@@ -1,0 +1,228 @@
+"""Core transformer layers: pure-functional pytree modules.
+
+TPU-first design decisions:
+
+- **Stacked layers + lax.scan.** All per-layer weights are stacked along a
+  leading layer axis and the block body is scanned, so XLA compiles ONE block
+  and pipelines it — faster compiles, identical math to a Python loop.
+- **Fused QKV.** q/k/v projections are one [D, 3D] matmul (large MXU tile).
+  The reference's separate HF q/k/v linears are fused at weight-conversion
+  time; LoRA deltas (rank r on q and v only, reference image_encoder.py:40-46,
+  dna_encoder.py:100-120) are added onto the q/v slices of the fused output.
+- **Mixed precision.** Matmuls/attention run in `compute_dtype` (bf16 by
+  default, matching the reference's autocast path, train_epoch.py:42-46);
+  layernorms and softmax accumulate in fp32.
+
+Parameter convention: weights are stored [in, out] for `x @ W` (transposed
+from torch's [out, in] at conversion time).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _precision(compute_dtype):
+    """fp32 compute requests HIGHEST precision (JAX's DEFAULT runs fp32
+    matmuls as bf16 passes, which would break fp32 parity tests); bf16
+    compute uses the fast default MXU path."""
+    return jax.lax.Precision.HIGHEST if compute_dtype == jnp.float32 else None
+
+
+def linear(params: dict, x: jnp.ndarray, compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+    w = params["w"].astype(compute_dtype)
+    y = jnp.dot(x.astype(compute_dtype), w, preferred_element_type=compute_dtype,
+                precision=_precision(compute_dtype))
+    if "b" in params and params["b"] is not None:
+        y = y + params["b"].astype(compute_dtype)
+    return y
+
+
+def layernorm(params: dict, x: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    """LayerNorm in fp32 (stability under bf16 compute)."""
+    x32 = x.astype(jnp.float32)
+    mean = x32.mean(axis=-1, keepdims=True)
+    var = ((x32 - mean) ** 2).mean(axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    return (y * params["scale"] + params["bias"]).astype(x.dtype)
+
+
+def gelu(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact (erf) GELU — torch nn.GELU default used by both timm ViT and HF BERT."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+def fused_qkv_attention(
+    x: jnp.ndarray,
+    qkv_w: jnp.ndarray,
+    qkv_b: jnp.ndarray,
+    out_w: jnp.ndarray,
+    out_b: jnp.ndarray,
+    num_heads: int,
+    mask_bias: Optional[jnp.ndarray] = None,
+    lora: Optional[dict] = None,
+    compute_dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """Multi-head self-attention with fused QKV and optional LoRA on q/v.
+
+    x: [B, N, D]; qkv_w: [D, 3D]; mask_bias: [B, 1, 1, N] additive bias.
+    lora: {a_q [D,r], b_q [r,D], a_v [D,r], b_v [r,D]} or None.
+    """
+    B, N, D = x.shape
+    head_dim = D // num_heads
+    xc = x.astype(compute_dtype)
+
+    qkv = jnp.dot(xc, qkv_w.astype(compute_dtype), preferred_element_type=compute_dtype,
+                  precision=_precision(compute_dtype))
+    qkv = qkv + qkv_b.astype(compute_dtype)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    if lora is not None:
+        # LoRA adapters run in fp32 (they are trained from zero-init B).
+        hp = jax.lax.Precision.HIGHEST
+        x32 = x.astype(jnp.float32)
+        dq = jnp.dot(jnp.dot(x32, lora["a_q"].astype(jnp.float32), precision=hp),
+                     lora["b_q"].astype(jnp.float32), precision=hp)
+        dv = jnp.dot(jnp.dot(x32, lora["a_v"].astype(jnp.float32), precision=hp),
+                     lora["b_v"].astype(jnp.float32), precision=hp)
+        q = q + dq.astype(compute_dtype)
+        v = v + dv.astype(compute_dtype)
+
+    def split_heads(t):
+        return t.reshape(B, N, num_heads, head_dim).transpose(0, 2, 1, 3)
+
+    q, k, v = split_heads(q), split_heads(k), split_heads(v)
+    prec = _precision(compute_dtype)
+    scale = 1.0 / math.sqrt(head_dim)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32,
+                        precision=prec) * scale
+    if mask_bias is not None:
+        scores = scores + mask_bias.astype(jnp.float32)
+    probs = jax.nn.softmax(scores, axis=-1).astype(compute_dtype)
+    ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v, preferred_element_type=compute_dtype,
+                     precision=prec)
+    ctx = ctx.transpose(0, 2, 1, 3).reshape(B, N, D)
+
+    out = jnp.dot(ctx, out_w.astype(compute_dtype), preferred_element_type=compute_dtype,
+                  precision=prec)
+    return out + out_b.astype(compute_dtype)
+
+
+def transformer_stack(
+    stacked: dict,
+    x: jnp.ndarray,
+    num_heads: int,
+    pre_ln: bool,
+    ln_eps: float,
+    mask_bias: Optional[jnp.ndarray] = None,
+    lora: Optional[dict] = None,
+    compute_dtype=jnp.bfloat16,
+    remat: bool = False,
+) -> jnp.ndarray:
+    """Scan a transformer block over stacked per-layer params.
+
+    stacked: dict of arrays with leading layer axis L:
+      qkv_w [L,D,3D], qkv_b [L,3D], out_w [L,D,D], out_b [L,D],
+      fc1_w [L,D,F], fc1_b [L,F], fc2_w [L,F,D], fc2_b [L,D],
+      ln1_scale/ln1_bias [L,D], ln2_scale/ln2_bias [L,D]
+    pre_ln: True = ViT/timm ordering; False = BERT post-LN ordering.
+    lora: dict of stacked arrays a_q [L,D,r], b_q [L,r,D], a_v, b_v (or None).
+    """
+
+    def block(h, layer):
+        p, lo = layer
+
+        def attn(inp):
+            return fused_qkv_attention(
+                inp, p["qkv_w"], p["qkv_b"], p["out_w"], p["out_b"],
+                num_heads=num_heads, mask_bias=mask_bias, lora=lo,
+                compute_dtype=compute_dtype,
+            )
+
+        def mlp(inp):
+            hmid = gelu(linear({"w": p["fc1_w"], "b": p["fc1_b"]}, inp, compute_dtype))
+            return linear({"w": p["fc2_w"], "b": p["fc2_b"]}, hmid, compute_dtype)
+
+        ln1 = {"scale": p["ln1_scale"], "bias": p["ln1_bias"]}
+        ln2 = {"scale": p["ln2_scale"], "bias": p["ln2_bias"]}
+        if pre_ln:
+            h = h + attn(layernorm(ln1, h, ln_eps))
+            h = h + mlp(layernorm(ln2, h, ln_eps))
+        else:
+            h = layernorm(ln1, h + attn(h), ln_eps)
+            h = layernorm(ln2, h + mlp(h), ln_eps)
+        return h, None
+
+    if remat:
+        block = jax.checkpoint(block)
+
+    num_layers = stacked["qkv_w"].shape[0]
+    if lora is None:
+        lora = {
+            "a_q": jnp.zeros((num_layers, 0, 0)), "b_q": jnp.zeros((num_layers, 0, 0)),
+            "a_v": jnp.zeros((num_layers, 0, 0)), "b_v": jnp.zeros((num_layers, 0, 0)),
+        }
+        use_lora = False
+    else:
+        use_lora = True
+
+    def scan_body(h, layer_params):
+        p, lo = layer_params
+        return block(h, (p, lo if use_lora else None))
+
+    x, _ = jax.lax.scan(scan_body, x, (stacked, lora))
+    return x
+
+
+# ---------------------------------------------------------------------------
+# Initializers (torch-equivalent defaults)
+# ---------------------------------------------------------------------------
+
+
+def torch_linear_init(rng, in_dim: int, out_dim: int, with_bias: bool = True) -> dict:
+    """torch nn.Linear default: kaiming_uniform(a=sqrt(5)) → U(±1/sqrt(in));
+    bias U(±1/sqrt(in))."""
+    k1, k2 = jax.random.split(rng)
+    bound = 1.0 / math.sqrt(in_dim)
+    p = {"w": jax.random.uniform(k1, (in_dim, out_dim), jnp.float32, -bound, bound)}
+    if with_bias:
+        p["b"] = jax.random.uniform(k2, (out_dim,), jnp.float32, -bound, bound)
+    return p
+
+
+def trunc_normal_init(rng, shape, std: float = 0.02) -> jnp.ndarray:
+    return std * jax.random.truncated_normal(rng, -2.0, 2.0, shape, jnp.float32)
+
+
+def ln_init(dim: int) -> dict:
+    return {"scale": jnp.ones((dim,), jnp.float32), "bias": jnp.zeros((dim,), jnp.float32)}
+
+
+def init_stacked_block_params(rng, num_layers: int, dim: int, mlp_dim: int) -> dict:
+    """Random init of a stacked transformer block (trunc-normal 0.02, zero bias)."""
+    keys = jax.random.split(rng, 4)
+    return {
+        "qkv_w": trunc_normal_init(keys[0], (num_layers, dim, 3 * dim)),
+        "qkv_b": jnp.zeros((num_layers, 3 * dim), jnp.float32),
+        "out_w": trunc_normal_init(keys[1], (num_layers, dim, dim)),
+        "out_b": jnp.zeros((num_layers, dim), jnp.float32),
+        "fc1_w": trunc_normal_init(keys[2], (num_layers, dim, mlp_dim)),
+        "fc1_b": jnp.zeros((num_layers, mlp_dim), jnp.float32),
+        "fc2_w": trunc_normal_init(keys[3], (num_layers, mlp_dim, dim)),
+        "fc2_b": jnp.zeros((num_layers, dim), jnp.float32),
+        "ln1_scale": jnp.ones((num_layers, dim), jnp.float32),
+        "ln1_bias": jnp.zeros((num_layers, dim), jnp.float32),
+        "ln2_scale": jnp.ones((num_layers, dim), jnp.float32),
+        "ln2_bias": jnp.zeros((num_layers, dim), jnp.float32),
+    }
+
+
+def attention_mask_bias(attention_mask: jnp.ndarray, dtype=jnp.float32) -> jnp.ndarray:
+    """HF-style extended mask: [B, N] {0,1} → additive [B,1,1,N] bias."""
+    neg = jnp.finfo(jnp.float32).min
+    return ((1.0 - attention_mask.astype(jnp.float32)) * neg)[:, None, None, :].astype(dtype)
