@@ -1,0 +1,93 @@
+"""On-device kNN retrieval: L2-normalized inner-product search as
+matmul + top-k, replacing the reference's CPU FAISS IndexFlatIP
+(bioscanclip/util/util.py:521-553 make_prediction, :759-789
+find_closest_match).
+
+Inner-product search over L2-normalized vectors is mathematically identical
+to FAISS's IndexFlatIP; scores are computed in fp32 at HIGHEST precision so
+tie-breaking on ~40k×40k score matrices matches CPU fp32 (SURVEY.md §7).
+
+The query set is processed in fixed-size chunks under lax.map (bounded HBM,
+one compiled program), and can additionally be sharded over the device mesh
+('data' axis) for multi-chip eval.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.clibd import l2_normalize
+
+
+@functools.partial(jax.jit, static_argnames=("k", "query_chunk", "normalize"))
+def _knn_jit(
+    queries: jnp.ndarray,
+    keys: jnp.ndarray,
+    k: int,
+    query_chunk: int,
+    normalize: bool,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    if normalize:
+        queries = l2_normalize(queries.astype(jnp.float32))
+        keys = l2_normalize(keys.astype(jnp.float32))
+    n = queries.shape[0]
+    pad = (-n) % query_chunk
+    qp = jnp.pad(queries, ((0, pad), (0, 0)))
+    chunks = qp.reshape(-1, query_chunk, queries.shape[1])
+
+    def search_chunk(q):
+        scores = jnp.dot(q, keys.T, precision=jax.lax.Precision.HIGHEST)
+        return jax.lax.top_k(scores, k)
+
+    sims, idx = jax.lax.map(search_chunk, chunks)
+    sims = sims.reshape(-1, k)[:n]
+    idx = idx.reshape(-1, k)[:n]
+    return sims, idx
+
+
+def knn_search(
+    queries,
+    keys,
+    k: int = 5,
+    query_chunk: int = 4096,
+    normalize: bool = True,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """→ (similarities [N,k] fp32, indices [N,k] int32), sorted descending.
+
+    Exact (non-approximate) search, like the reference's IndexFlatIP."""
+    queries = jnp.asarray(queries, jnp.float32)
+    keys = jnp.asarray(keys, jnp.float32)
+    query_chunk = int(min(query_chunk, max(queries.shape[0], 1)))
+    k = int(min(k, keys.shape[0]))
+    sims, idx = _knn_jit(queries, keys, k, query_chunk, normalize)
+    return np.asarray(sims), np.asarray(idx)
+
+
+def make_prediction(
+    query_feature: np.ndarray,
+    keys_feature: np.ndarray,
+    keys_label,
+    with_similarity: bool = False,
+    with_indices: bool = False,
+    max_k: int = 5,
+    query_chunk: int = 4096,
+):
+    """Drop-in analogue of the reference make_prediction (util/util.py:521-553):
+    returns per-query {level: [k labels]} dicts (keys_label = list of taxon
+    dicts), optionally with similarities / indices."""
+    sims, indices = knn_search(query_feature, keys_feature, k=max_k, query_chunk=query_chunk)
+    levels = ("order", "family", "genus", "species")
+    pred_list = []
+    for row in indices:
+        pred_list.append({level: [keys_label[i][level] for i in row] for level in levels})
+    out = [pred_list]
+    if with_similarity:
+        out.append(sims)
+    if with_indices:
+        out.append(indices)
+    return out[0] if len(out) == 1 else out

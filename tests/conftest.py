@@ -1,13 +1,19 @@
 """Test harness: force JAX onto a virtual 8-device CPU backend so pjit /
 all-gather collectives and the data-parallel loss are exercised without TPUs
-(SURVEY.md §4's strategy).  Must run before jax initializes a backend."""
+(SURVEY.md §4's strategy).
+
+Note: the env-var route (JAX_PLATFORMS / XLA_FLAGS) is overridden by the
+environment's TPU plugin, so the config API is used — it must run before any
+backend is initialized (pytest imports conftest first)."""
 
 import os
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import numpy as np
 import pytest

@@ -1,0 +1,43 @@
+import numpy as np
+
+from clibd_tpu.ops.knn import knn_search, make_prediction
+
+
+def _numpy_ip_search(queries, keys, k):
+    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    kn = keys / np.linalg.norm(keys, axis=1, keepdims=True)
+    scores = qn @ kn.T
+    idx = np.argsort(-scores, axis=1, kind="stable")[:, :k]
+    sims = np.take_along_axis(scores, idx, axis=1)
+    return sims, idx
+
+
+def test_knn_matches_numpy(rng):
+    q = rng.standard_normal((37, 16)).astype(np.float32)
+    keys = rng.standard_normal((101, 16)).astype(np.float32)
+    sims, idx = knn_search(q, keys, k=5, query_chunk=8)
+    ref_sims, ref_idx = _numpy_ip_search(q, keys, 5)
+    np.testing.assert_array_equal(idx, ref_idx)
+    np.testing.assert_allclose(sims, ref_sims, atol=1e-5)
+
+
+def test_knn_k_larger_than_keys(rng):
+    q = rng.standard_normal((4, 8)).astype(np.float32)
+    keys = rng.standard_normal((3, 8)).astype(np.float32)
+    sims, idx = knn_search(q, keys, k=5)
+    assert idx.shape == (4, 3)
+
+
+def test_make_prediction_labels(rng):
+    q = rng.standard_normal((5, 8)).astype(np.float32)
+    keys = np.concatenate([q, rng.standard_normal((20, 8)).astype(np.float32)])
+    labels = [
+        {"order": f"o{i}", "family": f"f{i}", "genus": f"g{i}", "species": f"s{i}"}
+        for i in range(len(keys))
+    ]
+    preds, sims, idx = make_prediction(q, keys, labels, with_similarity=True, with_indices=True, max_k=3)
+    # each query's own copy sits in keys -> top-1 must be itself
+    for i in range(5):
+        assert idx[i, 0] == i
+        assert preds[i]["species"][0] == f"s{i}"
+        assert sims[i, 0] > 0.999
