@@ -1,0 +1,210 @@
+"""Host input pipeline: HDF5 → decoded/transformed fixed-shape batches →
+prefetched device arrays.
+
+Replaces the reference's torch DataLoader + DistributedSampler stack
+(util/dataset.py:44-51, 390-471) with a thread-pool pipeline that does bulk
+HDF5 slab reads, per-image JPEG decode + resize/crop (numpy, torch-parity —
+see transforms.py; a C++ libjpeg pool accelerates decode when built), and
+vectorized DNA tokenization per batch (no whole-split pre-tokenization — the
+reference's 5M-scale CPU hot spot, dataset.py:416-429).
+
+Sharding: each host shards the index space by (host_id, num_hosts); within a
+batch the leading axis is laid out for the 'data' mesh axis.  Epoch shuffling
+matches DistributedSampler semantics (seeded permutation per epoch,
+drop_last).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+from .hdf5 import BioscanSplit
+from .tokenizers import tokenize_dna_batch
+from .transforms import decode_jpeg, eval_transform, train_transform
+
+
+@dataclass
+class BatchSpec:
+    batch_size: int = 64
+    image_size: int = 224
+    resize_to: int = 256
+    dna_kmer: int = 5
+    dna_max_bp: int = 660
+    with_image: bool = True
+    with_dna: bool = True
+    with_language: bool = True
+    train: bool = False
+    long_edge_eval: bool = False  # `transform_with_resize` variant
+    image_source: str = "image"  # "image" (jpeg) | "image_features"
+    dna_source: str = "sequence"  # "sequence" | "dna_features"
+
+
+class Batch(dict):
+    """dict with keys: 'image' [B,H,W,3] f32, 'dna' [B,133] i32,
+    'language' {input_ids,token_type_ids,attention_mask} [B,20] i32,
+    'label' [B] i64 (train) , 'index' [B] i64."""
+
+
+def shard_indices(
+    n: int,
+    epoch: int,
+    host_id: int = 0,
+    num_hosts: int = 1,
+    batch_size: int = 64,
+    shuffle: bool = True,
+    drop_last: bool = True,
+    seed: int = 0,
+) -> np.ndarray:
+    """DistributedSampler-equivalent per-host index stream."""
+    if shuffle:
+        order = np.random.default_rng(seed + epoch).permutation(n)
+    else:
+        order = np.arange(n)
+    if drop_last:
+        per_host = n // num_hosts
+        per_host -= per_host % batch_size
+    else:
+        per_host = -(-n // num_hosts)
+    local = order[host_id::num_hosts][:per_host]
+    return local
+
+
+class BioscanLoader:
+    """Iterable over batches of one split."""
+
+    def __init__(
+        self,
+        path: str,
+        split: str,
+        spec: BatchSpec,
+        labels: Optional[np.ndarray] = None,
+        host_id: int = 0,
+        num_hosts: int = 1,
+        num_workers: int = 4,
+        prefetch: int = 2,
+        seed: int = 0,
+        drop_last: Optional[bool] = None,
+        decoder=None,
+    ):
+        self.split_reader = BioscanSplit(path, split)
+        self.spec = spec
+        self.host_id = host_id
+        self.num_hosts = num_hosts
+        self.num_workers = num_workers
+        self.prefetch = prefetch
+        self.seed = seed
+        self.n = len(self.split_reader)
+        self.drop_last = spec.train if drop_last is None else drop_last
+        # training labels: row index (instance discrimination) unless given
+        # (reference dataset.py:155-163)
+        self.labels = labels if labels is not None else np.arange(self.n, dtype=np.int64)
+        self.decoder = decoder  # optional native C++ decode pool
+        self._pool = ThreadPoolExecutor(max_workers=max(num_workers, 1)) if num_workers > 0 else None
+
+    def __len__(self) -> int:
+        per_host = self.n // self.num_hosts if self.drop_last else -(-self.n // self.num_hosts)
+        if self.drop_last:
+            return per_host // self.spec.batch_size
+        return -(-per_host // self.spec.batch_size)
+
+    def _make_batch(self, indices: np.ndarray, epoch: int, batch_idx: int) -> Batch:
+        spec = self.spec
+        out = Batch()
+        out["index"] = indices.astype(np.int64)
+        out["label"] = self.labels[indices]
+
+        if spec.with_image:
+            if spec.image_source == "image":
+                jpegs = self.split_reader.jpeg_bytes(indices)
+                rng = np.random.default_rng((self.seed, epoch, batch_idx))
+                if self.decoder is not None:
+                    imgs = self.decoder.decode_transform_batch(
+                        jpegs, rng, train=spec.train,
+                        size=spec.image_size, resize_to=spec.resize_to,
+                        long_edge=spec.long_edge_eval,
+                    )
+                else:
+                    def one(args):
+                        i, data = args
+                        if spec.train:
+                            r = np.random.default_rng((self.seed, epoch, batch_idx, i))
+                            return train_transform(r, data, spec.image_size, spec.resize_to)
+                        return eval_transform(data, spec.image_size, spec.resize_to,
+                                              long_edge=spec.long_edge_eval)
+
+                    if self._pool is not None:
+                        imgs = list(self._pool.map(one, enumerate(jpegs)))
+                    else:
+                        imgs = [one(x) for x in enumerate(jpegs)]
+                out["image"] = np.stack(imgs).astype(np.float32)
+            else:
+                out["image"] = self.split_reader.features("image_features", indices)
+
+        if spec.with_dna:
+            if spec.dna_source == "sequence":
+                barcodes = self.split_reader.barcodes(indices)
+                out["dna"] = tokenize_dna_batch(barcodes, k=spec.dna_kmer, max_bp=spec.dna_max_bp)
+            else:
+                out["dna"] = self.split_reader.features("dna_features", indices)
+
+        if spec.with_language:
+            out["language"] = self.split_reader.language_tokens(indices)
+        return out
+
+    def batches(self, epoch: int = 0, shuffle: Optional[bool] = None) -> Iterator[Batch]:
+        """Yield batches with background prefetch (pipeline depth `prefetch`)."""
+        shuffle = self.spec.train if shuffle is None else shuffle
+        idx = shard_indices(
+            self.n, epoch, self.host_id, self.num_hosts,
+            self.spec.batch_size, shuffle=shuffle, drop_last=self.drop_last,
+            seed=self.seed,
+        )
+        nb = len(idx) // self.spec.batch_size if self.drop_last else -(-len(idx) // self.spec.batch_size)
+        if nb == 0:
+            return
+
+        q: "queue.Queue" = queue.Queue(maxsize=max(self.prefetch, 1))
+        stop = threading.Event()
+
+        def producer():
+            try:
+                for b in range(nb):
+                    if stop.is_set():
+                        break
+                    lo = b * self.spec.batch_size
+                    hi = min(lo + self.spec.batch_size, len(idx))
+                    q.put(("ok", self._make_batch(idx[lo:hi], epoch, b)))
+                q.put(("done", None))
+            except BaseException as e:  # surface worker errors to consumer
+                q.put(("err", e))
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                kind, item = q.get()
+                if kind == "done":
+                    break
+                if kind == "err":
+                    raise item
+                yield item
+        finally:
+            stop.set()
+
+    # reference returns the eval-style taxon dicts for non-training loaders
+    def label_dicts(self) -> List[dict]:
+        return self.split_reader.label_dicts()
+
+    def ids(self, field: str = "processid") -> List[str]:
+        return self.split_reader.ids(field=field)
+
+    def close(self):
+        self.split_reader.close()
+        if self._pool is not None:
+            self._pool.shutdown(wait=False)

@@ -1,0 +1,100 @@
+"""HDF5 reader + input pipeline tests over the synthetic fixture."""
+
+import numpy as np
+import pytest
+
+from clibd_tpu.data.hdf5 import BioscanSplit, list_splits, split_lengths
+from clibd_tpu.data.pipeline import BatchSpec, BioscanLoader, shard_indices
+
+
+def test_split_lengths(tiny_hdf5):
+    lengths = split_lengths(tiny_hdf5)
+    assert lengths["all_keys"] == 12
+    assert set(list_splits(tiny_hdf5)) >= {"all_keys", "val_seen", "test_unseen"}
+
+
+def test_split_reader_roundtrip(tiny_hdf5):
+    s = BioscanSplit(tiny_hdf5, "all_keys")
+    assert len(s) == 12
+    idx = np.array([3, 0, 7, 3])  # unsorted with duplicate
+    jpegs = s.jpeg_bytes(idx)
+    assert jpegs[0] == jpegs[3]  # duplicate index -> same bytes
+    assert jpegs[0][:2] == b"\xff\xd8"  # JPEG SOI
+    barcodes = s.barcodes(idx)
+    assert barcodes[0] == barcodes[3]
+    labels = s.label_dicts(idx)
+    assert set(labels[0].keys()) == {"order", "family", "genus", "species"}
+    ids = s.ids(idx)
+    assert ids[0] == "all_keys_3" and ids[1] == "all_keys_0"
+    toks = s.language_tokens(idx)
+    assert toks["input_ids"].shape == (4, 20)
+    tax = s.taxonomy_strings(np.array([0]))
+    assert len(tax[0].split(" ")) == 4
+    s.close()
+
+
+def test_shard_indices_semantics():
+    # drop_last + divisibility by batch
+    idx = shard_indices(103, epoch=0, host_id=0, num_hosts=2, batch_size=8)
+    assert len(idx) == 48  # 103//2=51 -> 48 (divisible by 8)
+    a = shard_indices(100, 0, 0, 2, 10)
+    b = shard_indices(100, 0, 1, 2, 10)
+    assert len(set(a) & set(b)) == 0  # disjoint hosts
+    # same epoch same permutation, different epochs differ
+    c = shard_indices(100, 0, 0, 2, 10)
+    np.testing.assert_array_equal(a, c)
+    d = shard_indices(100, 1, 0, 2, 10)
+    assert not np.array_equal(a, d)
+
+
+@pytest.mark.parametrize("train", [False, True])
+def test_loader_batches(tiny_hdf5, train):
+    spec = BatchSpec(batch_size=4, train=train)
+    loader = BioscanLoader(tiny_hdf5, "all_keys", spec, num_workers=2, seed=1)
+    batches = list(loader.batches(epoch=0))
+    assert len(batches) == 3
+    b = batches[0]
+    assert b["image"].shape == (4, 224, 224, 3)
+    assert b["image"].dtype == np.float32
+    assert 0.0 <= b["image"].min() and b["image"].max() <= 1.0
+    assert b["dna"].shape == (4, 133)
+    assert b["dna"].dtype == np.int32
+    assert b["language"]["input_ids"].shape == (4, 20)
+    assert b["label"].shape == (4,)
+    if not train:
+        # eval order is sequential
+        np.testing.assert_array_equal(b["index"], np.arange(4))
+    loader.close()
+
+
+def test_loader_deterministic_given_seed(tiny_hdf5):
+    spec = BatchSpec(batch_size=4, train=True)
+    l1 = BioscanLoader(tiny_hdf5, "all_keys", spec, num_workers=0, seed=7)
+    l2 = BioscanLoader(tiny_hdf5, "all_keys", spec, num_workers=2, seed=7)
+    b1 = next(iter(l1.batches(epoch=2)))
+    b2 = next(iter(l2.batches(epoch=2)))
+    np.testing.assert_array_equal(b1["index"], b2["index"])
+    np.testing.assert_allclose(b1["image"], b2["image"])  # worker count invariant
+    l1.close(); l2.close()
+
+
+def test_loader_eval_matches_reference_transform(tiny_hdf5):
+    """Eval batch image == eval_transform of the same JPEG bytes."""
+    from clibd_tpu.data.transforms import eval_transform
+
+    spec = BatchSpec(batch_size=3, train=False)
+    loader = BioscanLoader(tiny_hdf5, "val_seen", spec, num_workers=0)
+    b = next(iter(loader.batches()))
+    jpegs = loader.split_reader.jpeg_bytes(np.array([0, 1, 2]))
+    for i in range(3):
+        np.testing.assert_allclose(b["image"][i], eval_transform(jpegs[i]), atol=1e-6)
+    loader.close()
+
+
+def test_loader_custom_labels(tiny_hdf5):
+    labels = np.repeat(np.arange(6), 2)
+    spec = BatchSpec(batch_size=4, train=True)
+    loader = BioscanLoader(tiny_hdf5, "all_keys", spec, labels=labels, num_workers=0, seed=0)
+    b = next(iter(loader.batches()))
+    np.testing.assert_array_equal(b["label"], labels[b["index"]])
+    loader.close()
