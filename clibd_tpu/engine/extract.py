@@ -1,0 +1,233 @@
+"""Feature extraction engine (reference epoch/inference_epoch.py:43-111
+`get_feature_and_label` + util/util.py:702-742 `get_features_and_label`).
+
+One jitted forward over the tri-encoder model, batch sharded over the mesh's
+'data' axis; ragged final batches are edge-padded to the device multiple and
+trimmed on the host.  Output dict layout and the cached
+`extracted_feature_from_{split}_split.hdf5` (groups seen/unseen/key ×
+encoded_*_feature / averaged_feature / concatenated_feature /
+all_key_features) + labels/processed-id JSONs match the reference
+bit-for-bit in schema (scripts/inference_and_eval.py:535-667).
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import time
+from typing import Dict, List, Optional
+
+import h5py
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config.schema import ExperimentConfig, GlobalConfig
+from ..data.pipeline import BioscanLoader
+from ..models.clibd import clibd_apply
+from ..parallel.mesh import create_mesh, data_sharding, pad_to_multiple, replicate, shard_batch
+
+ALL_TYPE_OF_FEATURES_OF_QUERY = [
+    "encoded_image_feature",
+    "encoded_dna_feature",
+    "encoded_language_feature",
+    "averaged_feature",
+    "concatenated_feature",
+]
+ALL_TYPE_OF_FEATURES_OF_KEY = ALL_TYPE_OF_FEATURES_OF_QUERY + ["all_key_features"]
+
+
+def make_encode_step(cfg: ExperimentConfig, mesh=None, compute_dtype=jnp.bfloat16):
+    """Build the jitted embedding step: batch → {image, dna, language} [B, D]."""
+
+    def step(params, batch):
+        out = clibd_apply(
+            params,
+            cfg,
+            image_input=batch.get("image"),
+            dna_input=batch.get("dna"),
+            language_input=batch.get("language"),
+            compute_dtype=compute_dtype,
+        )
+        return {k: out[k] for k in ("image", "dna", "language") if out[k] is not None}
+
+    if mesh is None:
+        return jax.jit(step)
+    in_shard = (replicate_spec(mesh), batch_spec(mesh))
+    return jax.jit(step, in_shardings=in_shard, out_shardings=None)
+
+
+def replicate_spec(mesh):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return NamedSharding(mesh, P())
+
+
+def batch_spec(mesh):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    return NamedSharding(mesh, P("data"))
+
+
+def extract_split(
+    params,
+    cfg: ExperimentConfig,
+    loader: BioscanLoader,
+    for_key_set: bool = False,
+    mesh=None,
+    compute_dtype=jnp.bfloat16,
+    progress: bool = False,
+) -> Dict:
+    """→ dict with encoded_*_feature, averaged/concatenated features,
+    label_list (taxon dicts), processed_id_list, file_name_list, and for key
+    sets all_key_features (+labels) — reference util/util.py:702-742."""
+    if mesh is None:
+        mesh = create_mesh()
+    n_dev = mesh.size
+    step = make_encode_step(cfg, mesh=mesh, compute_dtype=compute_dtype)
+    params = replicate(mesh, params)
+
+    feats = {"image": [], "dna": [], "language": []}
+    t0 = time.time()
+    total = 0
+    for batch in loader.batches(epoch=0, shuffle=False):
+        model_batch = {k: batch[k] for k in ("image", "dna", "language") if k in batch}
+        padded, n = pad_to_multiple(model_batch, n_dev)
+        padded = shard_batch(mesh, padded)
+        out = step(params, padded)
+        total += n
+        for k, v in out.items():
+            feats[k].append(np.asarray(v[:n], np.float32))
+        if progress:
+            dt = time.time() - t0
+            print(f"\rencoded {total} samples ({total/max(dt,1e-9):.1f}/s)", end="")
+    if progress:
+        print()
+
+    enc = {
+        k: (np.concatenate(v, axis=0) if v else None) for k, v in feats.items()
+    }
+    label_list = loader.label_dicts()
+    ids = loader.ids()
+
+    averaged = concatenated = None
+    if enc["image"] is not None and enc["dna"] is not None:
+        averaged = np.mean([enc["image"], enc["dna"]], axis=0)
+        concatenated = np.concatenate([enc["image"], enc["dna"]], axis=1)
+
+    out_dict: Dict = {
+        "file_name_list": ids,
+        "processed_id_list": ids,
+        "encoded_image_feature": enc["image"],
+        "encoded_dna_feature": enc["dna"],
+        "encoded_language_feature": enc["language"],
+        "averaged_feature": averaged,
+        "concatenated_feature": concatenated,
+        "label_list": label_list,
+    }
+
+    all_key_features = all_key_features_label = None
+    if (
+        for_key_set
+        and enc["image"] is not None
+        and enc["dna"] is not None
+        and enc["language"] is not None
+    ):
+        all_key_features = np.concatenate([enc["image"], enc["dna"], enc["language"]], axis=0)
+        all_key_features_label = label_list + label_list + label_list
+    out_dict["all_key_features"] = all_key_features
+    out_dict["all_key_features_label"] = all_key_features_label
+    return out_dict
+
+
+# ---------------------------------------------------------------------------
+# Cache IO (reference scripts/inference_and_eval.py:552-667)
+# ---------------------------------------------------------------------------
+
+
+def save_extracted_features(
+    path: str, seen_dict: Dict, unseen_dict: Dict, keys_dict: Dict
+) -> None:
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with h5py.File(path, "w") as f:
+        for split_name, split in (("seen", seen_dict), ("unseen", unseen_dict), ("key", keys_dict)):
+            group = f.create_group(split_name)
+            for embedding_type in ALL_TYPE_OF_FEATURES_OF_KEY:
+                if embedding_type in split and split[embedding_type] is not None:
+                    group.create_dataset(embedding_type, data=split[embedding_type])
+
+
+def save_labels_and_ids(
+    labels_path: str, processed_id_path: str, seen_dict: Dict, unseen_dict: Dict, keys_dict: Dict
+) -> None:
+    with open(labels_path, "w") as f:
+        json.dump(
+            {
+                "seen_gt_dict": seen_dict["label_list"],
+                "unseen_gt_dict": unseen_dict["label_list"],
+                "key_gt_dict": keys_dict["label_list"],
+            },
+            f,
+            indent=4,
+        )
+    with open(processed_id_path, "w") as f:
+        json.dump(
+            {
+                "seen_id_list": seen_dict["file_name_list"],
+                "unseen_id_list": unseen_dict["file_name_list"],
+                "key_id_list": keys_dict["file_name_list"],
+            },
+            f,
+            indent=4,
+        )
+
+
+def load_extracted_features(path: str, labels_path: str, processed_id_path: str):
+    """Reload cached embeddings (reference load_inference path, :552-585)."""
+    seen_dict: Dict = {}
+    unseen_dict: Dict = {}
+    keys_dict: Dict = {}
+    with h5py.File(path, "r") as f:
+        for name, d in (("seen", seen_dict), ("unseen", unseen_dict), ("key", keys_dict)):
+            for t in ALL_TYPE_OF_FEATURES_OF_KEY:
+                if t in f[name]:
+                    d[t] = f[name][t][:]
+    with open(labels_path) as jf:
+        total = json.load(jf)
+    seen_dict["label_list"] = total["seen_gt_dict"]
+    unseen_dict["label_list"] = total["unseen_gt_dict"]
+    keys_dict["label_list"] = total["key_gt_dict"]
+    keys_dict["all_key_features_label"] = total["key_gt_dict"] * 3
+    with open(processed_id_path) as jf:
+        ids = json.load(jf)
+    seen_dict["processed_id_list"] = ids["seen_id_list"]
+    unseen_dict["processed_id_list"] = ids["unseen_id_list"]
+    keys_dict["processed_id_list"] = ids["key_id_list"]
+    keys_dict["all_processed_id_list"] = ids["key_id_list"] * 3
+    return seen_dict, unseen_dict, keys_dict
+
+
+# ---------------------------------------------------------------------------
+# Embedding export (reference scripts/save_embedding/extract_embedding.py:
+# gzip HDF5 with encoded_*_feature + per-level label lists, Embedding.md:1-30)
+# ---------------------------------------------------------------------------
+
+
+def save_embedding_export(path: str, split_dict: Dict, compress: bool = True) -> None:
+    kw = {"compression": "gzip"} if compress else {}
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with h5py.File(path, "w") as f:
+        for t in ("encoded_image_feature", "encoded_dna_feature", "encoded_language_feature"):
+            if split_dict.get(t) is not None:
+                f.create_dataset(t, data=split_dict[t], **kw)
+        labels = split_dict["label_list"]
+        for level in ("order", "family", "genus", "species"):
+            f.create_dataset(
+                f"{level}_list",
+                data=np.array([l[level].encode() for l in labels]),
+                **kw,
+            )
+        f.create_dataset(
+            "file_name", data=np.array([s.encode() for s in split_dict["file_name_list"]]), **kw
+        )

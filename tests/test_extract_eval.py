@@ -1,0 +1,199 @@
+"""End-to-end slice: HDF5 fixture → tri-encoder forward (8-device CPU mesh)
+→ embedding extraction → cache HDF5 schema → retrieval eval grid → reports."""
+
+import json
+import os
+
+import h5py
+import numpy as np
+import pytest
+
+import jax
+
+from clibd_tpu.config.schema import BertConfig, ExperimentConfig, ViTConfig
+from clibd_tpu.data.pipeline import BatchSpec, BioscanLoader
+from clibd_tpu.engine.evaluate import (
+    compute_overall_acc,
+    format_results,
+    inference_and_eval,
+    save_results,
+)
+from clibd_tpu.engine.extract import (
+    extract_split,
+    load_extracted_features,
+    save_embedding_export,
+    save_extracted_features,
+    save_labels_and_ids,
+)
+from clibd_tpu.models import init_clibd_params
+from clibd_tpu.parallel.mesh import create_mesh
+
+
+@pytest.fixture(scope="module")
+def tiny_cfg():
+    cfg = ExperimentConfig()
+    cfg.image.vit = ViTConfig(image_size=224, patch_size=32, hidden_size=32,
+                              num_layers=2, num_heads=4, mlp_dim=64)
+    cfg.dna.bert = BertConfig(vocab_size=1027, hidden_size=32, num_layers=2,
+                              num_heads=4, intermediate_size=64,
+                              max_position_embeddings=140, with_mlm_head=True)
+    cfg.language.bert = BertConfig(vocab_size=2000, hidden_size=16, num_layers=2,
+                                   num_heads=2, intermediate_size=32,
+                                   max_position_embeddings=24)
+    cfg.output_dim = 16
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def extracted(tiny_hdf5_module, tiny_cfg):
+    params = init_clibd_params(jax.random.PRNGKey(0), tiny_cfg)
+    mesh = create_mesh(jax.devices()[:4])
+    spec = BatchSpec(batch_size=6, train=False)
+
+    def run(split, for_key=False):
+        loader = BioscanLoader(tiny_hdf5_module, split, spec, num_workers=0)
+        out = extract_split(params, tiny_cfg, loader, for_key_set=for_key, mesh=mesh)
+        loader.close()
+        return out
+
+    keys_dict = run("all_keys", for_key=True)
+    seen_dict = run("test_seen")
+    unseen_dict = run("test_unseen")
+    return keys_dict, seen_dict, unseen_dict
+
+
+@pytest.fixture(scope="module")
+def tiny_hdf5_module(tmp_path_factory):
+    from tests.fixtures import make_tiny_bioscan_hdf5
+
+    path = tmp_path_factory.mktemp("e2e") / "tiny.hdf5"
+    make_tiny_bioscan_hdf5(str(path))
+    return str(path)
+
+
+def test_extract_shapes_and_norms(extracted):
+    keys_dict, seen_dict, unseen_dict = extracted
+    for d in (keys_dict, seen_dict, unseen_dict):
+        assert d["encoded_image_feature"].shape == (12, 16)
+        assert d["encoded_dna_feature"].shape == (12, 16)
+        assert d["encoded_language_feature"].shape == (12, 16)
+        np.testing.assert_allclose(
+            np.linalg.norm(d["encoded_image_feature"], axis=1), 1.0, atol=1e-4
+        )
+        assert d["averaged_feature"].shape == (12, 16)
+        assert d["concatenated_feature"].shape == (12, 32)
+        assert len(d["label_list"]) == 12
+        assert len(d["processed_id_list"]) == 12
+    assert keys_dict["all_key_features"].shape == (36, 16)
+    assert len(keys_dict["all_key_features_label"]) == 36
+    assert seen_dict["all_key_features"] is None
+
+
+def test_extract_matches_unsharded(extracted, tiny_hdf5_module, tiny_cfg):
+    """Mesh-sharded extraction == single-device extraction (same params)."""
+    params = init_clibd_params(jax.random.PRNGKey(0), tiny_cfg)
+    mesh1 = create_mesh(jax.devices()[:1])
+    spec = BatchSpec(batch_size=5, train=False)  # ragged: tests padding path
+    loader = BioscanLoader(tiny_hdf5_module, "test_seen", spec, num_workers=0)
+    single = extract_split(params, tiny_cfg, loader, mesh=mesh1)
+    loader.close()
+    np.testing.assert_allclose(
+        extracted[1]["encoded_image_feature"], single["encoded_image_feature"], atol=2e-3
+    )
+    np.testing.assert_allclose(
+        extracted[1]["encoded_dna_feature"], single["encoded_dna_feature"], atol=2e-3
+    )
+
+
+def test_cache_roundtrip(tmp_path, extracted):
+    keys_dict, seen_dict, unseen_dict = extracted
+    h5 = str(tmp_path / "extracted_feature_from_test_split.hdf5")
+    labels = str(tmp_path / "labels_test.json")
+    ids = str(tmp_path / "processed_id_test.json")
+    save_extracted_features(h5, seen_dict, unseen_dict, keys_dict)
+    save_labels_and_ids(labels, ids, seen_dict, unseen_dict, keys_dict)
+
+    # schema check (reference inference_and_eval.py:637-650)
+    with h5py.File(h5, "r") as f:
+        assert set(f.keys()) == {"seen", "unseen", "key"}
+        assert "encoded_image_feature" in f["seen"]
+        assert "all_key_features" in f["key"]
+        assert "all_key_features" not in f["seen"]
+        assert f["key"]["encoded_dna_feature"].shape == (12, 16)
+
+    s2, u2, k2 = load_extracted_features(h5, labels, ids)
+    np.testing.assert_allclose(s2["encoded_image_feature"], seen_dict["encoded_image_feature"])
+    assert s2["label_list"] == seen_dict["label_list"]
+    assert len(k2["all_key_features_label"]) == 36
+    assert k2["processed_id_list"] == keys_dict["processed_id_list"]
+
+
+def test_eval_grid_and_reports(tmp_path, extracted):
+    keys_dict, seen_dict, unseen_dict = extracted
+    acc_dict, per_class_acc, pred_dict = inference_and_eval(
+        keys_dict, seen_dict, unseen_dict, k_list=[1, 3, 5]
+    )
+    # all 5 query types x 6 key types present
+    assert set(acc_dict.keys()) == {
+        "encoded_image_feature", "encoded_dna_feature", "encoded_language_feature",
+        "averaged_feature", "concatenated_feature",
+    }
+    # 16-d image queries match every key type except the 32-d concatenated one
+    assert set(acc_dict["encoded_image_feature"].keys()) == {
+        "encoded_image_feature", "encoded_dna_feature", "encoded_language_feature",
+        "averaged_feature", "all_key_features",
+    }
+    # concatenated (32-d) only matches concatenated keys
+    assert list(acc_dict["concatenated_feature"].keys()) == ["concatenated_feature"]
+    e = acc_dict["encoded_image_feature"]["encoded_image_feature"]
+    for split in ("seen", "unseen"):
+        for t in ("micro_acc", "macro_acc"):
+            for k in (1, 3, 5):
+                for level in ("order", "family", "genus", "species"):
+                    assert 0.0 <= e[split][t][k][level] <= 1.0
+    # top-k monotonicity
+    assert e["seen"]["micro_acc"][1]["order"] <= e["seen"]["micro_acc"][5]["order"]
+
+    overall = compute_overall_acc(acc_dict)
+    assert 0.0 <= overall <= 1.0
+
+    table_str, csv_rows, raw_rows, copy_rows = format_results(acc_dict, [1, 3, 5], alignment="I,D,T")
+    assert "Seen Order" in table_str
+    assert len(csv_rows) == 1 + len(raw_rows)
+    assert csv_rows[0][7] == "Query"
+    assert all(len(r) == 8 for r in raw_rows)
+
+    save_results(str(tmp_path / "logs"), acc_dict, csv_rows, raw_rows, config_snapshot={"a": 1})
+    assert os.path.exists(tmp_path / "logs" / "accuracy.json")
+    assert os.path.exists(tmp_path / "logs" / "results.csv")
+    assert os.path.exists(tmp_path / "logs" / "raw.csv")
+    with open(tmp_path / "logs" / "accuracy.json") as f:
+        loaded = json.load(f)
+    assert "encoded_image_feature" in loaded
+
+    # pred_dict payload
+    p = pred_dict["encoded_image_feature"]["encoded_dna_feature"]
+    assert len(p["curr_seen_pred_list"]) == 12
+    assert len(p["curr_seen_pred_list"][0]["species"]) == 5
+
+
+def test_embedding_export_schema(tmp_path, extracted):
+    keys_dict, _, _ = extracted
+    path = str(tmp_path / "extracted_features_of_all_keys.hdf5")
+    save_embedding_export(path, keys_dict)
+    with h5py.File(path, "r") as f:
+        assert f["encoded_dna_feature"].shape == (12, 16)
+        assert f["order_list"].shape == (12,)
+        assert f["file_name"].shape == (12,)
+
+
+def test_self_retrieval_sanity(tiny_hdf5_module, tiny_cfg):
+    """Querying the key set with itself must give ~100% top-1 (self-match)."""
+    params = init_clibd_params(jax.random.PRNGKey(1), tiny_cfg)
+    mesh = create_mesh(jax.devices()[:2])
+    spec = BatchSpec(batch_size=6, train=False)
+    loader = BioscanLoader(tiny_hdf5_module, "all_keys", spec, num_workers=0)
+    d = extract_split(params, tiny_cfg, loader, for_key_set=False, mesh=mesh)
+    loader.close()
+    acc_dict, _, _ = inference_and_eval(d, d, d, k_list=[1])
+    assert acc_dict["encoded_image_feature"]["encoded_image_feature"]["seen"]["micro_acc"][1]["species"] == 1.0
