@@ -1,0 +1,154 @@
+"""Checkpointing: best/last semantics (reference train_cl.py:273-319) with
+full training state — params + optimizer state + step — which the reference's
+main path lacks (SURVEY.md §5.4: "no mid-epoch resume; optimizer state is not
+saved"), enabling true resume.
+
+Storage: flat-npz for arrays + a JSON meta sidecar.  Optimizer state is
+restored against a freshly-initialized optax state (structure donor), so no
+pickling of optax internals is needed.  Loading also resolves the reference's
+chain: exact file → best → last (util/util.py:951-963), and imports released
+PyTorch `best.pth` checkpoints via models/convert.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import numpy as np
+
+from ..models.convert import (
+    clibd_params_from_reference_checkpoint,
+    flatten_pytree,
+    load_params_npz,
+    load_torch_state_dict,
+    save_params_npz,
+    unflatten_pytree,
+)
+
+
+def _flatten_with_paths(tree) -> Dict[str, np.ndarray]:
+    flat = {}
+    for path, leaf in jax.tree_util.tree_leaves_with_path(tree):
+        key = "/".join(_path_str(p) for p in path)
+        flat[key] = np.asarray(leaf)
+    return flat
+
+
+def _path_str(p) -> str:
+    if hasattr(p, "key"):
+        return str(p.key)
+    if hasattr(p, "idx"):
+        return str(p.idx)
+    if hasattr(p, "name"):
+        return str(p.name)
+    return str(p)
+
+
+def save_train_state(
+    directory: str,
+    params,
+    opt_state=None,
+    step: int = 0,
+    epoch: int = 0,
+    meta: Optional[dict] = None,
+) -> None:
+    os.makedirs(directory, exist_ok=True)
+    save_params_npz(jax.tree.map(np.asarray, params), os.path.join(directory, "params.npz"))
+    if opt_state is not None:
+        np.savez(os.path.join(directory, "opt_state.npz"), **_flatten_with_paths(opt_state))
+    info = {"step": int(step), "epoch": int(epoch)}
+    info.update(meta or {})
+    with open(os.path.join(directory, "meta.json"), "w") as f:
+        json.dump(info, f, indent=2)
+
+
+def load_train_state(
+    directory: str, opt_state_like=None
+) -> Tuple[dict, Any, dict]:
+    """→ (params, opt_state or None, meta). opt_state_like: a freshly
+    initialized optax state supplying the pytree structure."""
+    params = load_params_npz(os.path.join(directory, "params.npz"))
+    meta = {}
+    meta_path = os.path.join(directory, "meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    opt_state = None
+    opt_path = os.path.join(directory, "opt_state.npz")
+    if opt_state_like is not None and os.path.exists(opt_path):
+        with np.load(opt_path) as data:
+            flat = {k: data[k] for k in data.files}
+        donor_flat = _flatten_with_paths(opt_state_like)
+        if set(donor_flat) != set(flat):
+            raise ValueError("Optimizer state keys do not match the checkpoint")
+        leaves_with_path = jax.tree_util.tree_leaves_with_path(opt_state_like)
+        treedef = jax.tree_util.tree_structure(opt_state_like)
+        new_leaves = []
+        for path, leaf in leaves_with_path:
+            key = "/".join(_path_str(p) for p in path)
+            new_leaves.append(np.asarray(flat[key], dtype=np.asarray(leaf).dtype))
+        opt_state = jax.tree_util.tree_unflatten(treedef, new_leaves)
+    return params, opt_state, meta
+
+
+def resolve_checkpoint_path(base: str) -> Optional[str]:
+    """Reference resolution chain (util/util.py:951-963): exact path → best →
+    last, for both our directories and torch .pth files."""
+    for cand in (
+        base,
+        os.path.join(base, "best"),
+        os.path.join(base, "last"),
+        os.path.join(base, "best.pth"),
+        os.path.join(base, "last.pth"),
+    ):
+        if os.path.isdir(cand) and os.path.exists(os.path.join(cand, "params.npz")):
+            return cand
+        if os.path.isfile(cand):
+            return cand
+    return None
+
+
+def load_params_any(path: str, cfg=None) -> dict:
+    """Load params from our npz dirs/files or a reference torch checkpoint."""
+    if os.path.isdir(path):
+        return load_params_npz(os.path.join(path, "params.npz"))
+    if path.endswith(".npz"):
+        return load_params_npz(path)
+    if path.endswith((".pth", ".pt", ".tar")):
+        if cfg is None:
+            raise ValueError("Loading a torch checkpoint requires the ExperimentConfig")
+        sd = load_torch_state_dict(path)
+        sd.pop("__meta__", None)
+        return clibd_params_from_reference_checkpoint(sd, cfg)
+    raise ValueError(f"Unrecognized checkpoint {path!r}")
+
+
+class BestLastCheckpointer:
+    """best/last checkpoint pair selected by overall_acc (train_cl.py:292-319)."""
+
+    def __init__(self, directory: str):
+        self.directory = directory
+        self.best_metric: Optional[float] = None
+        self.best_epoch: Optional[int] = None
+
+    def save_last(self, params, opt_state, step, epoch, meta=None):
+        save_train_state(os.path.join(self.directory, "last"), params, opt_state, step, epoch, meta)
+
+    def maybe_save_best(
+        self, metric: float, params, opt_state, step, epoch, meta=None, save: bool = True
+    ) -> bool:
+        """Track (and optionally persist) the best state; returns whether the
+        metric improved — the reference's early-stop signal is `not improved`
+        (train_cl.py:304-313)."""
+        if self.best_metric is None or metric > self.best_metric:
+            self.best_metric = metric
+            self.best_epoch = epoch
+            if save:
+                info = dict(meta or {})
+                info["overall_acc"] = metric
+                save_train_state(os.path.join(self.directory, "best"), params, opt_state, step, epoch, info)
+            return True
+        return False

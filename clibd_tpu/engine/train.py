@@ -1,0 +1,254 @@
+"""Contrastive trainer (reference scripts/train_cl.py:145-369 +
+epoch/train_epoch.py:9-81), TPU-native.
+
+One jitted train step under the device mesh: device-side augmentation
+(flips/rotation — the host pipeline does decode + resize + random-resized
+crop), tri-encoder forward in bf16 (the reference's autocast), global-batch
+multi-positive InfoNCE (XLA inserts the ICI all-gathers for the sharded
+batch), AdamW with per-step LR schedule and a trainability mask
+(LoRA/freeze semantics), donated params+opt_state.
+
+Epoch loop: eval every `evaluation_period` via the retrieval grid, best/last
+checkpoints selected by overall_acc, early stopping — rank logic and NCCL
+broadcasts disappear (single-controller JAX).
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config.schema import ExperimentConfig, GlobalConfig
+from ..data.pipeline import BatchSpec, BioscanLoader
+from ..models.clibd import clibd_apply, init_clibd_params, trainable_mask
+from ..ops.augment import train_augment
+from ..ops.loss import clip_loss
+from ..parallel.mesh import create_mesh, pad_to_multiple, replicate, shard_batch
+from .checkpoint import BestLastCheckpointer
+from .evaluate import compute_overall_acc, inference_and_eval
+from .extract import extract_split
+from .schedules import build_schedule
+
+
+def build_optimizer(cfg: ExperimentConfig, params, schedule) -> optax.GradientTransformation:
+    mask = trainable_mask(params, cfg)
+    labels = jax.tree.map(lambda m: "train" if m else "frozen", mask)
+    adamw = optax.adamw(
+        learning_rate=schedule,
+        b1=cfg.optim.beta1,
+        b2=cfg.optim.beta2,
+        eps=cfg.optim.eps,
+        weight_decay=cfg.optim.weight_decay,
+    )
+    tx = optax.multi_transform({"train": adamw, "frozen": optax.set_to_zero()}, labels)
+    if cfg.optim.grad_clip_norm > 0:
+        tx = optax.chain(optax.clip_by_global_norm(cfg.optim.grad_clip_norm), tx)
+    return tx
+
+
+def make_train_step(
+    cfg: ExperimentConfig,
+    optimizer: optax.GradientTransformation,
+    mesh=None,
+    donate: bool = True,
+) -> Callable:
+    """→ step(params, opt_state, batch, rng) → (params, opt_state, loss)."""
+    compute_dtype = jnp.bfloat16 if cfg.amp else jnp.float32
+    mask = None  # built lazily inside loss via stop_gradient on frozen params
+
+    def loss_fn(params, batch, rng):
+        image_in = batch.get("image")
+        if image_in is not None and cfg.image.input_type == "image":
+            image_in = train_augment(rng, image_in)
+        out = clibd_apply(
+            params,
+            cfg,
+            image_input=image_in,
+            dna_input=batch.get("dna"),
+            language_input=batch.get("language"),
+            compute_dtype=compute_dtype,
+        )
+        # fix_temperature → literal 1/0.07 (reference train_epoch.py:55-56)
+        logit_scale = (1.0 / 0.07) if cfg.loss.fix_temperature else out["logit_scale"]
+        features = {m: out[m] for m in ("image", "dna", "language")}
+        return clip_loss(features, batch["label"], logit_scale, cfg.loss)
+
+    def step(params, opt_state, batch, rng):
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch, rng)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(mesh, P())
+        data = NamedSharding(mesh, P("data"))
+
+        def batch_shardings(batch):
+            return jax.tree.map(lambda _: data, batch)
+
+        return jax.jit(step, donate_argnums=(0, 1) if donate else ())
+    return jax.jit(step, donate_argnums=(0, 1) if donate else ())
+
+
+class Trainer:
+    """Full training driver: loaders + model + optimizer + eval + checkpoints."""
+
+    def __init__(
+        self,
+        global_cfg: GlobalConfig,
+        hdf5_path: str,
+        output_dir: str,
+        train_split: str = "no_split_and_seen_train",
+        eval_splits: Optional[dict] = None,  # {"keys": ..., "seen": ..., "unseen": ...}
+        params: Optional[dict] = None,
+        mesh=None,
+        log_fn: Optional[Callable[[dict], None]] = None,
+        num_workers: Optional[int] = None,
+        train_labels: Optional[np.ndarray] = None,
+    ):
+        self.gcfg = global_cfg
+        self.cfg = global_cfg.model_config
+        self.hdf5_path = hdf5_path
+        self.mesh = mesh if mesh is not None else create_mesh()
+        self.log_fn = log_fn or (lambda d: None)
+        self.checkpointer = BestLastCheckpointer(output_dir)
+        self.eval_splits = eval_splits or {
+            "keys": "all_keys",
+            "seen": "val_seen",
+            "unseen": "val_unseen",
+        }
+
+        cfg = self.cfg
+        spec = BatchSpec(
+            batch_size=cfg.batch_size,
+            train=True,
+            with_image=cfg.image.enable,
+            with_dna=cfg.dna.enable,
+            with_language=cfg.language.enable,
+            dna_kmer=cfg.dna.kmer,
+            dna_max_bp=cfg.dna.max_bp,
+            image_source="image" if cfg.image.input_type == "image" else "image_features",
+            dna_source="sequence" if cfg.dna.input_type == "sequence" else "dna_features",
+        )
+        nw = global_cfg.pipeline.num_workers if num_workers is None else num_workers
+        self.train_loader = BioscanLoader(
+            hdf5_path, train_split, spec,
+            labels=train_labels,
+            num_workers=nw,
+            prefetch=global_cfg.pipeline.prefetch_batches,
+            seed=cfg.default_seed,
+        )
+
+        if params is None:
+            params = init_clibd_params(jax.random.PRNGKey(cfg.default_seed), cfg)
+        self.params = replicate(self.mesh, params)
+
+        steps_per_epoch = len(self.train_loader)
+        total_steps = max(steps_per_epoch * cfg.epochs, 1)
+        self.schedule = build_schedule(cfg.optim, total_steps, cfg.batch_size, world_size=1)
+        self.optimizer = build_optimizer(cfg, params, self.schedule)
+        self.opt_state = replicate(self.mesh, self.optimizer.init(params))
+        self.step_fn = make_train_step(cfg, self.optimizer, mesh=self.mesh)
+        self.global_step = 0
+        self.stop_flag = False
+
+    # -- epoch loops --------------------------------------------------------
+
+    def train_epoch(self, epoch: int, progress: bool = False) -> float:
+        cfg = self.cfg
+        rng = jax.random.PRNGKey((cfg.default_seed << 16) + epoch)
+        epoch_loss, n_steps = 0.0, 0
+        t0 = time.time()
+        for batch in self.train_loader.batches(epoch=epoch):
+            rng, sub = jax.random.split(rng)
+            model_batch = {
+                k: batch[k] for k in ("image", "dna", "language", "label") if k in batch
+            }
+            padded, _ = pad_to_multiple(model_batch, self.mesh.size)
+            padded = shard_batch(self.mesh, padded)
+            self.params, self.opt_state, loss = self.step_fn(
+                self.params, self.opt_state, padded, sub
+            )
+            loss_val = float(loss)
+            epoch_loss += loss_val
+            self.global_step += 1
+            n_steps += 1
+            lr = float(self.schedule(self.global_step - 1))
+            self.log_fn({"loss": loss_val, "step": self.global_step, "learning_rate": lr})
+            if progress:
+                dt = time.time() - t0
+                print(
+                    f"\rEpoch {epoch}||Step {n_steps}||Loss {loss_val:.4f}||LR {lr:.3e}||{n_steps/max(dt,1e-9):.2f} it/s",
+                    end="",
+                )
+        if progress:
+            print()
+        return epoch_loss / max(n_steps, 1)
+
+    def evaluate(self) -> dict:
+        cfg = self.cfg
+        spec = BatchSpec(
+            batch_size=cfg.batch_size,
+            train=False,
+            with_image=cfg.image.enable,
+            with_dna=cfg.dna.enable,
+            with_language=cfg.language.enable,
+            dna_kmer=cfg.dna.kmer,
+            dna_max_bp=cfg.dna.max_bp,
+            image_source="image" if cfg.image.input_type == "image" else "image_features",
+            dna_source="sequence" if cfg.dna.input_type == "sequence" else "dna_features",
+        )
+
+        def run(split, for_key=False):
+            loader = BioscanLoader(self.hdf5_path, split, spec, num_workers=0)
+            out = extract_split(self.params, cfg, loader, for_key_set=for_key, mesh=self.mesh)
+            loader.close()
+            return out
+
+        keys_dict = run(self.eval_splits["keys"], for_key=True)
+        seen_dict = run(self.eval_splits["seen"])
+        unseen_dict = run(self.eval_splits["unseen"])
+        acc_dict, _, _ = inference_and_eval(keys_dict, seen_dict, unseen_dict)
+        return acc_dict
+
+    def fit(self, progress: bool = False) -> dict:
+        cfg = self.cfg
+        history = {"loss": [], "overall_acc": [], "best_epoch": None}
+        for epoch in range(cfg.epochs):
+            if self.stop_flag:
+                break
+            mean_loss = self.train_epoch(epoch, progress=progress)
+            history["loss"].append(mean_loss)
+
+            do_eval = (
+                epoch % cfg.evaluation_period == 0 or epoch == cfg.epochs - 1
+            ) and epoch > cfg.eval_skip_epoch
+            if do_eval:
+                if self.gcfg.save_ckpt:
+                    self.checkpointer.save_last(
+                        self.params, self.opt_state, self.global_step, epoch
+                    )
+                acc_dict = self.evaluate()
+                overall = compute_overall_acc(acc_dict)
+                history["overall_acc"].append((epoch, overall))
+                improved = self.checkpointer.maybe_save_best(
+                    overall, self.params, self.opt_state, self.global_step, epoch,
+                    save=self.gcfg.save_ckpt,
+                )
+                if improved:
+                    history["best_epoch"] = epoch
+                elif self.gcfg.enable_early_stopping:
+                    self.stop_flag = True
+                self.log_fn({"overall_acc": overall, "epoch": epoch})
+        return history
+
+    def close(self):
+        self.train_loader.close()

@@ -1,0 +1,193 @@
+"""Trainer smoke + semantics tests on the tiny fixture with an 8-device mesh."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from clibd_tpu.config.schema import BertConfig, ExperimentConfig, GlobalConfig, ViTConfig
+from clibd_tpu.engine.checkpoint import (
+    BestLastCheckpointer,
+    load_params_any,
+    load_train_state,
+    resolve_checkpoint_path,
+    save_train_state,
+)
+from clibd_tpu.engine.train import Trainer, build_optimizer, make_train_step
+from clibd_tpu.models import init_clibd_params, trainable_mask
+from clibd_tpu.parallel.mesh import create_mesh
+
+
+def tiny_global_cfg():
+    g = GlobalConfig()
+    g.save_ckpt = True
+    cfg = g.model_config
+    cfg.batch_size = 8
+    cfg.epochs = 2
+    cfg.evaluation_period = 1
+    cfg.eval_skip_epoch = -1
+    cfg.output_dim = 16
+    cfg.disable_lora = False
+    cfg.image.vit = ViTConfig(image_size=224, patch_size=32, hidden_size=32,
+                              num_layers=2, num_heads=4, mlp_dim=64)
+    cfg.dna.bert = BertConfig(vocab_size=1027, hidden_size=32, num_layers=2,
+                              num_heads=4, intermediate_size=64,
+                              max_position_embeddings=140, with_mlm_head=True)
+    cfg.language.bert = BertConfig(vocab_size=2000, hidden_size=16, num_layers=2,
+                                   num_heads=2, intermediate_size=32,
+                                   max_position_embeddings=24)
+    return g
+
+
+def test_train_step_decreases_loss_and_freezes_backbone(tiny_hdf5):
+    g = tiny_global_cfg()
+    cfg = g.model_config
+    params = init_clibd_params(jax.random.PRNGKey(0), cfg)
+    backbone_before = np.asarray(params["image_encoder"]["blocks"]["qkv_w"]).copy()
+    lora_before = np.asarray(params["image_encoder"]["lora"]["b_q"]).copy()
+    logit_scale_before = float(params["logit_scale"])
+
+    mesh = create_mesh(jax.devices()[:4])
+    from clibd_tpu.engine.schedules import build_schedule
+
+    schedule = build_schedule(cfg.optim, total_steps=20, batch_size=cfg.batch_size)
+    optimizer = build_optimizer(cfg, params, schedule)
+    opt_state = optimizer.init(params)
+    step = make_train_step(cfg, optimizer, mesh=mesh)
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": rng.random((8, 224, 224, 3), dtype=np.float32),
+        "dna": rng.integers(0, 1027, (8, 133)).astype(np.int32),
+        "language": {
+            "input_ids": rng.integers(0, 2000, (8, 20)).astype(np.int32),
+            "token_type_ids": np.zeros((8, 20), np.int32),
+            "attention_mask": np.ones((8, 20), np.int32),
+        },
+        "label": np.arange(8, dtype=np.int32),
+    }
+    from clibd_tpu.parallel.mesh import replicate, shard_batch
+
+    params_d = replicate(mesh, params)
+    opt_d = replicate(mesh, opt_state)
+    batch_d = shard_batch(mesh, batch)
+    key = jax.random.PRNGKey(0)
+
+    losses = []
+    for i in range(4):
+        params_d, opt_d, loss = step(params_d, opt_d, batch_d, jax.random.fold_in(key, i))
+        losses.append(float(loss))
+    assert losses[-1] < losses[0], losses
+
+    after = jax.device_get(params_d)
+    # frozen ViT backbone unchanged; LoRA B moved off zero
+    np.testing.assert_array_equal(np.asarray(after["image_encoder"]["blocks"]["qkv_w"]), backbone_before)
+    assert np.abs(np.asarray(after["image_encoder"]["lora"]["b_q"]) - lora_before).max() > 0
+    # logit_scale trains
+    assert float(after["logit_scale"]) != logit_scale_before
+
+
+def test_trainer_fit_end_to_end(tiny_hdf5, tmp_path):
+    g = tiny_global_cfg()
+    trainer = Trainer(
+        g,
+        tiny_hdf5,
+        output_dir=str(tmp_path / "ckpt"),
+        train_split="no_split_and_seen_train",
+        eval_splits={"keys": "all_keys", "seen": "val_seen", "unseen": "val_unseen"},
+        mesh=create_mesh(jax.devices()[:2]),
+        num_workers=0,
+    )
+    history = trainer.fit()
+    trainer.close()
+    assert len(history["loss"]) == 2
+    assert len(history["overall_acc"]) == 2
+    assert os.path.exists(tmp_path / "ckpt" / "last" / "params.npz")
+    assert os.path.exists(tmp_path / "ckpt" / "best" / "params.npz")
+    assert os.path.exists(tmp_path / "ckpt" / "best" / "meta.json")
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    g = tiny_global_cfg()
+    cfg = g.model_config
+    params = init_clibd_params(jax.random.PRNGKey(0), cfg)
+    from clibd_tpu.engine.schedules import build_schedule
+
+    optimizer = build_optimizer(cfg, params, build_schedule(cfg.optim, 10, 8))
+    opt_state = optimizer.init(params)
+
+    d = str(tmp_path / "state")
+    save_train_state(d, params, opt_state, step=7, epoch=2, meta={"overall_acc": 0.5})
+    donor = optimizer.init(params)
+    p2, o2, meta = load_train_state(d, opt_state_like=donor)
+    assert meta["step"] == 7 and meta["epoch"] == 2
+    for (kp1, l1), (kp2, l2) in zip(
+        jax.tree_util.tree_leaves_with_path(params), jax.tree_util.tree_leaves_with_path(p2)
+    ):
+        np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+    flat1 = jax.tree.leaves(opt_state)
+    flat2 = jax.tree.leaves(o2)
+    assert len(flat1) == len(flat2)
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    assert resolve_checkpoint_path(d) == d
+    # best/last resolution
+    os.makedirs(tmp_path / "run" / "best", exist_ok=True)
+    save_train_state(str(tmp_path / "run" / "best"), params)
+    assert resolve_checkpoint_path(str(tmp_path / "run")) == str(tmp_path / "run" / "best")
+
+
+def test_load_reference_torch_checkpoint(tmp_path):
+    """Full released-checkpoint import path: build a torch SimpleCLIP-shaped
+    state_dict (LoRA layout with legacy names + module. prefix) and load it."""
+    import torch
+
+    g = tiny_global_cfg()
+    cfg = g.model_config
+    D_vit, L = cfg.image.vit.hidden_size, cfg.image.vit.num_layers
+    r = cfg.lora_rank
+    sd = {"module.logit_scale": torch.tensor(2.659)}
+
+    # legacy-named image encoder (LoRA_ViT_timm/lora_vit -> migrated)
+    pre = "module.image_encoder.lora_vit."
+    sd[pre + "cls_token"] = torch.randn(1, 1, D_vit)
+    sd[pre + "pos_embed"] = torch.randn(1, cfg.image.vit.seq_len, D_vit)
+    sd[pre + "patch_embed.proj.weight"] = torch.randn(D_vit, 3, 32, 32)
+    sd[pre + "patch_embed.proj.bias"] = torch.randn(D_vit)
+    for i in range(L):
+        p = pre + f"blocks.{i}."
+        sd[p + "attn.qkv.qkv.weight"] = torch.randn(3 * D_vit, D_vit)
+        sd[p + "attn.qkv.qkv.bias"] = torch.randn(3 * D_vit)
+        sd[p + "attn.qkv.linear_a_q.weight"] = torch.randn(r, D_vit)
+        sd[p + "attn.qkv.linear_b_q.weight"] = torch.randn(D_vit, r)
+        sd[p + "attn.qkv.linear_a_v.weight"] = torch.randn(r, D_vit)
+        sd[p + "attn.qkv.linear_b_v.weight"] = torch.randn(D_vit, r)
+        sd[p + "attn.proj.weight"] = torch.randn(D_vit, D_vit)
+        sd[p + "attn.proj.bias"] = torch.randn(D_vit)
+        sd[p + "mlp.fc1.weight"] = torch.randn(cfg.image.vit.mlp_dim, D_vit)
+        sd[p + "mlp.fc1.bias"] = torch.randn(cfg.image.vit.mlp_dim)
+        sd[p + "mlp.fc2.weight"] = torch.randn(D_vit, cfg.image.vit.mlp_dim)
+        sd[p + "mlp.fc2.bias"] = torch.randn(D_vit)
+        for ln in ("norm1", "norm2"):
+            sd[p + ln + ".weight"] = torch.randn(D_vit)
+            sd[p + ln + ".bias"] = torch.randn(D_vit)
+    sd[pre + "norm.weight"] = torch.randn(D_vit)
+    sd[pre + "norm.bias"] = torch.randn(D_vit)
+    sd[pre + "head.weight"] = torch.randn(cfg.output_dim, D_vit)
+    sd[pre + "head.bias"] = torch.randn(cfg.output_dim)
+
+    path = str(tmp_path / "best.pth")
+    torch.save(sd, path)
+    params = load_params_any(path, cfg)
+    assert params["image_encoder"]["blocks"]["qkv_w"].shape == (L, D_vit, 3 * D_vit)
+    assert params["image_encoder"]["lora"]["a_q"].shape == (L, D_vit, r)
+    assert abs(float(params["logit_scale"]) - 2.659) < 1e-5
+    # transposition correctness
+    np.testing.assert_allclose(
+        params["image_encoder"]["blocks"]["qkv_w"][0],
+        sd["module.image_encoder.lora_vit.blocks.0.attn.qkv.qkv.weight"].numpy().T,
+    )
