@@ -1,0 +1,76 @@
+"""Headline benchmark: image+DNA embedding extraction throughput per chip.
+
+Mirrors the reference's hot path (scripts/inference_and_eval.py →
+epoch/inference_epoch.py:43-111: ViT-B/16 + BarcodeBERT forward, L2
+normalize) on the flagship full-size model, bf16, batch 256, on one real TPU
+chip.  Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "samples/s/chip", "vs_baseline": N}
+
+Baseline: the reference publishes no machine-readable numbers
+(BASELINE.md:3-7).  A100_REF_SAMPLES_PER_S estimates the A100 PyTorch eager
+reference for the same two-encoder extraction (ViT-B/16 ≈ 35 GFLOP/img +
+BarcodeBERT(133 tok) ≈ 22 GFLOP/sample at typical eager-mode utilization,
+batch 500, bf16 autocast) ≈ 1000 samples/s.  The v5e-8 "≥10×" north star
+(BASELINE.json) therefore needs ≥1250 samples/s/chip.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+A100_REF_SAMPLES_PER_S = 1000.0
+BATCH = 256
+WARMUP = 3
+ITERS = 10
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from clibd_tpu.config.schema import ExperimentConfig
+    from clibd_tpu.models import init_clibd_params
+    from clibd_tpu.models.clibd import clibd_apply
+
+    cfg = ExperimentConfig()  # flagship ViT-B/16 + BarcodeBERT, 768-d
+    cfg.language.enable = False  # headline metric is image+DNA extraction
+    params = init_clibd_params(jax.random.PRNGKey(0), cfg)
+
+    @jax.jit
+    def encode(params, image, dna):
+        out = clibd_apply(params, cfg, image_input=image, dna_input=dna)
+        return out["image"], out["dna"]
+
+    rng = np.random.default_rng(0)
+    image = jnp.asarray(rng.random((BATCH, 224, 224, 3), dtype=np.float32))
+    dna = jnp.asarray(rng.integers(0, 1027, (BATCH, 133)).astype(np.int32))
+
+    for _ in range(WARMUP):
+        o = encode(params, image, dna)
+    jax.block_until_ready(o)
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        o = encode(params, image, dna)
+    jax.block_until_ready(o)
+    dt = time.perf_counter() - t0
+
+    n_chips = 1  # bench runs on the one tunneled chip
+    samples_per_s = BATCH * ITERS / dt / n_chips
+    print(
+        json.dumps(
+            {
+                "metric": "image+DNA embeddings/sec/chip",
+                "value": round(samples_per_s, 2),
+                "unit": "samples/s/chip",
+                "vs_baseline": round(samples_per_s / A100_REF_SAMPLES_PER_S, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,266 @@
+"""Command-line entry points (replacing the reference's Hydra-decorated
+scripts, README.md:109-127):
+
+  clibd train   --experiment <cfg.yaml> [--global-config g.yaml] [k=v ...]
+  clibd eval    --experiment <cfg.yaml> ...      (inference_and_eval.py)
+  clibd extract --experiment <cfg.yaml> --split all_keys --out emb.hdf5
+  clibd bench   (throughput microbenchmark)
+  clibd configs (list bundled experiment configs)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from typing import List, Optional
+
+from .config import GlobalConfig, load_config, save_config
+
+
+def _dataset_hdf5_path(cfg: GlobalConfig) -> str:
+    name = cfg.model_config.dataset
+    if name == "bioscan_5m":
+        if cfg.model_config.train_with_small_subset:
+            return cfg.bioscan_5m_data.path_to_smaller_hdf5_data
+        return cfg.bioscan_5m_data.path_to_hdf5_data
+    return cfg.bioscan_data.path_to_hdf5_data
+
+
+def _load_cfg(args, overrides) -> GlobalConfig:
+    return load_config(
+        global_yaml=args.global_config, experiment=args.experiment, overrides=overrides
+    )
+
+
+def _resolve_params(cfg: GlobalConfig):
+    """Checkpoint resolution chain (reference simple_clip.py:248-285):
+    configured path → model_output_dir best/last → fresh init."""
+    import jax
+
+    from .engine.checkpoint import load_params_any, resolve_checkpoint_path
+    from .models import init_clibd_params
+
+    mc = cfg.model_config
+    candidates = []
+    if mc.ckpt_path:
+        candidates.append(mc.ckpt_path)
+    candidates.append(
+        os.path.join(
+            cfg.project_root_path, "ckpt", "bioscan_clip", cfg.version, mc.dataset, mc.model_output_name
+        )
+    )
+    if mc.load_ckpt:
+        for cand in candidates:
+            resolved = resolve_checkpoint_path(cand)
+            if resolved:
+                print(f"Loading checkpoint: {resolved}")
+                return load_params_any(resolved, mc)
+    print("No checkpoint found/requested — using fresh init")
+    return init_clibd_params(jax.random.PRNGKey(mc.default_seed), mc)
+
+
+def cmd_train(args, overrides) -> int:
+    cfg = _load_cfg(args, overrides)
+    from .engine.train import Trainer
+    from .utils.seed import set_seed
+
+    seed = None if cfg.model_config.random_seed else cfg.model_config.default_seed
+    set_seed(seed)
+
+    hdf5 = args.hdf5 or _dataset_hdf5_path(cfg)
+    out_dir = args.output_dir or os.path.join(
+        cfg.model_output_dir, cfg.model_config.model_output_name
+    )
+    eval_on = cfg.inference_and_eval_setting.eval_on
+    eval_splits = {
+        "keys": "all_keys",
+        "seen": "val_seen",
+        "unseen": "val_unseen",
+    }
+    trainer = Trainer(
+        cfg,
+        hdf5,
+        output_dir=out_dir,
+        train_split=args.train_split,
+        eval_splits=eval_splits,
+        log_fn=print if cfg.debug_flag else None,
+    )
+    save_config(cfg, os.path.join(out_dir, "config.yaml"))
+    history = trainer.fit(progress=True)
+    trainer.close()
+    print(json.dumps({"best_epoch": history["best_epoch"], "final_loss": history["loss"][-1] if history["loss"] else None}))
+    return 0
+
+
+def cmd_eval(args, overrides) -> int:
+    cfg = _load_cfg(args, overrides)
+    from .data.pipeline import BatchSpec, BioscanLoader
+    from .engine.evaluate import format_results, inference_and_eval, save_results
+    from .engine.extract import (
+        extract_split,
+        load_extracted_features,
+        save_extracted_features,
+        save_labels_and_ids,
+    )
+    from .config.schema import to_dict
+
+    mc = cfg.model_config
+    eval_on = cfg.inference_and_eval_setting.eval_on
+    hdf5 = args.hdf5 or _dataset_hdf5_path(cfg)
+    folder = os.path.join(
+        cfg.project_root_path, "extracted_embedding", mc.dataset, mc.model_output_name
+    )
+    os.makedirs(folder, exist_ok=True)
+    feat_path = os.path.join(folder, f"extracted_feature_from_{eval_on}_split.hdf5")
+    labels_path = os.path.join(folder, f"labels_{eval_on}.json")
+    ids_path = os.path.join(folder, f"processed_id_{eval_on}.json")
+
+    if cfg.load_inference and all(os.path.exists(p) for p in (feat_path, labels_path, ids_path)):
+        print("Loading embeddings from file...")
+        seen_dict, unseen_dict, keys_dict = load_extracted_features(feat_path, labels_path, ids_path)
+    else:
+        params = _resolve_params(cfg)
+        spec = BatchSpec(
+            batch_size=mc.batch_size,
+            train=False,
+            with_image=mc.image.enable,
+            with_dna=mc.dna.enable,
+            with_language=mc.language.enable,
+            long_edge_eval=mc.transform_with_resize,
+        )
+
+        def run(split, for_key=False):
+            loader = BioscanLoader(hdf5, split, spec, num_workers=cfg.pipeline.num_workers)
+            out = extract_split(params, mc, loader, for_key_set=for_key, progress=True)
+            loader.close()
+            return out
+
+        keys_dict = run("all_keys", for_key=True)
+        seen_dict = run(f"{eval_on}_seen")
+        unseen_dict = run(f"{eval_on}_unseen")
+        if cfg.save_inference:
+            save_extracted_features(feat_path, seen_dict, unseen_dict, keys_dict)
+            save_labels_and_ids(labels_path, ids_path, seen_dict, unseen_dict, keys_dict)
+
+    k_list = list(cfg.inference_and_eval_setting.k_list)
+    acc_dict, per_class_acc, pred_dict = inference_and_eval(
+        keys_dict, seen_dict, unseen_dict, k_list=k_list,
+        query_chunk=cfg.inference_and_eval_setting.knn_query_chunk,
+    )
+    alignment = "I"
+    if mc.dna.enable:
+        alignment += ",D"
+    if mc.language.enable:
+        alignment += ",T"
+    meta = {
+        "learning_strategy": "FineTuning" if mc.disable_lora else "LoRA",
+        "dna_encoder": mc.dna.model,
+        "image_encoder": mc.image.model,
+        "language_encoder": mc.language.model,
+        "epochs": mc.epochs,
+        "output_dim": mc.output_dim,
+    }
+    table, csv_rows, raw_rows, copy_rows = format_results(acc_dict, k_list, alignment, meta)
+    print(table)
+    print("For copy to google doc")
+    for row in copy_rows:
+        print(row)
+    if cfg.save_inference:
+        save_results("logs", acc_dict, csv_rows, raw_rows, config_snapshot=to_dict(cfg))
+        for name, payload in (
+            (f"per_class_acc_{eval_on}.json", per_class_acc),
+            (f"acc_dict_{eval_on}.json", acc_dict),
+            (f"pred_dict_{eval_on}.json", pred_dict),
+        ):
+            with open(os.path.join(folder, name), "w") as f:
+                json.dump(_stringify(payload), f, indent=4)
+    return 0
+
+
+def _stringify(obj):
+    if isinstance(obj, dict):
+        return {str(k): _stringify(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_stringify(v) for v in obj]
+    if hasattr(obj, "item") and getattr(obj, "ndim", 1) == 0:
+        return obj.item()
+    return obj
+
+
+def cmd_extract(args, overrides) -> int:
+    """Embedding export (reference scripts/save_embedding/extract_embedding.py)."""
+    cfg = _load_cfg(args, overrides)
+    from .data.pipeline import BatchSpec, BioscanLoader
+    from .engine.extract import extract_split, save_embedding_export
+
+    mc = cfg.model_config
+    params = _resolve_params(cfg)
+    hdf5 = args.hdf5 or _dataset_hdf5_path(cfg)
+    spec = BatchSpec(
+        batch_size=mc.batch_size, train=False,
+        with_image=mc.image.enable, with_dna=mc.dna.enable, with_language=mc.language.enable,
+    )
+    loader = BioscanLoader(hdf5, args.split, spec, num_workers=cfg.pipeline.num_workers)
+    out = extract_split(params, mc, loader, progress=True)
+    loader.close()
+    save_embedding_export(args.out, out)
+    print(f"Saved embeddings for split {args.split!r} to {args.out}")
+    return 0
+
+
+def cmd_configs(args, overrides) -> int:
+    from .config import available_configs
+
+    for name in available_configs():
+        print(name)
+    return 0
+
+
+def cmd_bench(args, overrides) -> int:
+    import runpy
+
+    runpy.run_path(os.path.join(os.path.dirname(__file__), "..", "bench.py"), run_name="__main__")
+    return 0
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    parser = argparse.ArgumentParser(prog="clibd", description=__doc__)
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    def common(p):
+        p.add_argument("--experiment", "-e", default=None, help="experiment config name or path")
+        p.add_argument("--global-config", "-g", default=None)
+        p.add_argument("--hdf5", default=None, help="override dataset HDF5 path")
+        p.add_argument("overrides", nargs="*", help="key.path=value overrides")
+
+    p_train = sub.add_parser("train", help="contrastive training (train_cl.py)")
+    common(p_train)
+    p_train.add_argument("--output-dir", default=None)
+    p_train.add_argument("--train-split", default="no_split_and_seen_train")
+
+    p_eval = sub.add_parser("eval", help="extract + retrieval eval (inference_and_eval.py)")
+    common(p_eval)
+
+    p_extract = sub.add_parser("extract", help="embedding export (save_embedding/)")
+    common(p_extract)
+    p_extract.add_argument("--split", default="all_keys")
+    p_extract.add_argument("--out", default="embeddings.hdf5")
+
+    sub.add_parser("configs", help="list bundled experiment configs")
+    sub.add_parser("bench", help="run the throughput microbenchmark")
+
+    args = parser.parse_args(argv)
+    overrides = getattr(args, "overrides", [])
+    return {
+        "train": cmd_train,
+        "eval": cmd_eval,
+        "extract": cmd_extract,
+        "configs": cmd_configs,
+        "bench": cmd_bench,
+    }[args.command](args, overrides)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
