@@ -48,14 +48,17 @@ def main() -> None:
     image = jnp.asarray(rng.random((BATCH, 224, 224, 3), dtype=np.float32))
     dna = jnp.asarray(rng.integers(0, 1027, (BATCH, 133)).astype(np.int32))
 
+    # NOTE: block_until_ready is a no-op on the tunneled 'axon' platform —
+    # force a host fetch to get a true device-complete timestamp.
     for _ in range(WARMUP):
         o = encode(params, image, dna)
-    jax.block_until_ready(o)
+    np.asarray(o[0])
 
     t0 = time.perf_counter()
     for _ in range(ITERS):
         o = encode(params, image, dna)
-    jax.block_until_ready(o)
+    np.asarray(o[0])
+    np.asarray(o[1])
     dt = time.perf_counter() - t0
 
     n_chips = 1  # bench runs on the one tunneled chip
