@@ -1,0 +1,149 @@
+"""SimCLR unimodal image-encoder pretraining (reference util/simclr.py:50-168
++ scripts/unimodel/unimodel_training_for_image_encoder.py).
+
+Two augmented views per image: the host pipeline produces two independent
+random-resized crops; the device applies the stochastic color tail (flip,
+jitter, grayscale, blur — ops/color.py) inside the jitted step, then the
+full-trainable ViT encodes the stacked [2B] views and the InfoNCE loss
+(in-batch negatives, temperature from config) is taken — loss math parity
+is tested against the reference's info_nce_loss in tests/test_loss.py.
+
+Checkpoints: checkpoint_{epoch:04d} + model_best (best by epoch loss),
+matching the reference's save scheme (simclr.py:16-23,157-164).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config.schema import ExperimentConfig, GlobalConfig
+from ..data.pipeline import BatchSpec, BioscanLoader
+from ..models.vit import init_vit_params, vit_apply
+from ..ops.color import simclr_augment
+from ..ops.loss import simclr_loss
+from ..parallel.mesh import create_mesh, pad_to_multiple, replicate, shard_batch
+from .checkpoint import save_train_state
+
+
+class TwoViewLoader:
+    """Wraps BioscanLoader to produce two independently-cropped views
+    (reference DatasetForSimCLRStyleTraining, dataset.py:328-367)."""
+
+    def __init__(self, path: str, split: str, batch_size: int, num_workers: int = 2, seed: int = 0):
+        spec = BatchSpec(batch_size=batch_size, train=True, with_dna=False, with_language=False)
+        self.a = BioscanLoader(path, split, spec, num_workers=num_workers, seed=seed)
+        self.b = BioscanLoader(path, split, spec, num_workers=num_workers, seed=seed + 104729)
+
+    def __len__(self):
+        return len(self.a)
+
+    def batches(self, epoch: int):
+        # identical index order (same permutation seed comes from shard_indices
+        # with the loader seed) — force it by sharing the sampling seed
+        for ba, bb in zip(
+            self.a.batches(epoch=epoch, shuffle=True), self.b.batches(epoch=epoch, shuffle=True)
+        ):
+            yield ba["image"], bb["image"], ba["index"]
+
+    def close(self):
+        self.a.close()
+        self.b.close()
+
+
+def make_simclr_step(cfg: ExperimentConfig, optimizer, temperature: float = 0.07):
+    compute_dtype = jnp.bfloat16 if cfg.amp else jnp.float32
+
+    def loss_fn(params, views, rng):
+        k1, k2 = jax.random.split(rng)
+        v1 = simclr_augment(k1, views[0], size=cfg.image.vit.image_size)
+        v2 = simclr_augment(k2, views[1], size=cfg.image.vit.image_size)
+        images = jnp.concatenate([v1, v2], axis=0)
+        feats = vit_apply(params, images, cfg.image.vit, compute_dtype=compute_dtype)
+        return simclr_loss(feats, temperature)
+
+    @jax.jit
+    def step(params, opt_state, view1, view2, rng):
+        loss, grads = jax.value_and_grad(loss_fn)(params, (view1, view2), rng)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step
+
+
+class SimCLRTrainer:
+    def __init__(
+        self,
+        global_cfg: GlobalConfig,
+        hdf5_path: str,
+        output_dir: str,
+        split: str = "no_split_and_seen_train",
+        temperature: float = 0.07,
+        lr: float = 3e-4,
+        weight_decay: float = 1e-4,
+        num_workers: int = 2,
+        params: Optional[dict] = None,
+        log_fn: Optional[Callable] = None,
+    ):
+        self.gcfg = global_cfg
+        self.cfg = global_cfg.model_config
+        self.output_dir = output_dir
+        self.log_fn = log_fn or (lambda d: None)
+        self.loader = TwoViewLoader(
+            hdf5_path, split, self.cfg.batch_size, num_workers=num_workers,
+            seed=self.cfg.default_seed,
+        )
+        if params is None:
+            # full-trainable ViT, no LoRA, classifier head kept (feature dim =
+            # num_classes of the pretrained head; reference trains the raw timm
+            # ViT with its 1000-way head as the projection, simple_clip.py:64-72)
+            params = init_vit_params(
+                jax.random.PRNGKey(self.cfg.default_seed), self.cfg.image.vit,
+                output_dim=self.cfg.output_dim, lora_rank=0,
+            )
+        self.params = params
+        self.optimizer = optax.adamw(lr, weight_decay=weight_decay)
+        self.opt_state = self.optimizer.init(params)
+        self.step_fn = make_simclr_step(self.cfg, self.optimizer, temperature)
+
+    def fit(self, progress: bool = False) -> dict:
+        best_loss = None
+        history = {"loss": []}
+        for epoch in range(self.cfg.epochs):
+            rng = jax.random.PRNGKey((self.cfg.default_seed << 20) + epoch)
+            losses = []
+            for view1, view2, _idx in self.loader.batches(epoch):
+                rng, sub = jax.random.split(rng)
+                self.params, self.opt_state, loss = self.step_fn(
+                    self.params, self.opt_state, view1, view2, sub
+                )
+                loss_val = float(loss)
+                losses.append(loss_val)
+                self.log_fn({"loss": loss_val, "epoch": epoch})
+            mean_loss = float(np.mean(losses)) if losses else 0.0
+            history["loss"].append(mean_loss)
+            if progress:
+                print(f"SimCLR epoch {epoch}: loss {mean_loss:.4f}")
+            if self.gcfg.save_ckpt:
+                save_train_state(
+                    os.path.join(self.output_dir, f"checkpoint_{epoch:04d}"),
+                    self.params, self.opt_state, epoch=epoch,
+                )
+                if best_loss is None or mean_loss < best_loss:
+                    best_loss = mean_loss
+                    save_train_state(
+                        os.path.join(self.output_dir, "model_best"),
+                        self.params, self.opt_state, epoch=epoch,
+                        meta={"loss": mean_loss},
+                    )
+        return history
+
+    def close(self):
+        self.loader.close()

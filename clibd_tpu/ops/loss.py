@@ -171,6 +171,15 @@ def simclr_info_nce_loss(
 
 
 def simclr_loss(features: jnp.ndarray, temperature: float = 0.07) -> jnp.ndarray:
-    logits, labels = simclr_info_nce_loss(features, temperature)
-    logp = jax.nn.log_softmax(logits, axis=-1)
-    return -logp[jnp.arange(logits.shape[0]), labels].mean()
+    """jit-safe NT-Xent equal to CE(info_nce_loss logits, 0): with the
+    diagonal masked out, loss_i = logsumexp_j≠i(s_ij/τ) − s_{i,partner}/τ
+    (the reference's [positive|negatives] + CE-at-0 is the same quantity)."""
+    n = features.shape[0]
+    b = n // 2
+    f = l2_normalize(features.astype(jnp.float32))
+    sim = jnp.dot(f, f.T, precision=jax.lax.Precision.HIGHEST) / temperature
+    neg_inf = jnp.finfo(jnp.float32).min
+    sim = jnp.where(jnp.eye(n, dtype=bool), neg_inf, sim)
+    partner = (jnp.arange(n) + b) % n
+    pos = sim[jnp.arange(n), partner]
+    return (jax.nn.logsumexp(sim, axis=-1) - pos).mean()
