@@ -1,0 +1,133 @@
+"""Seen/unseen fusion baselines (reference scripts/method_nn.py 374 LoC and
+scripts/method_linear.py 574 LoC): route each query's k-th prediction to the
+seen-key search result when its confidence/similarity exceeds a threshold,
+otherwise to the unseen-key search result; the threshold is grid-searched to
+maximize the harmonic mean of seen/unseen species top-1 micro-accuracy.
+
+method_nn: side A = image-query-vs-seen-keys similarity;
+method_linear: side A = trained linear classifier confidence.
+Both reduce to the same fusion + threshold-search core implemented here,
+vectorized over [N, k] prediction/score matrices.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from ..utils.metrics import LEVELS, top_k_macro_accuracy, top_k_micro_accuracy
+
+
+def fuse_predictions(
+    preds_seen: Dict[str, np.ndarray],
+    scores_seen: np.ndarray,
+    preds_unseen: Dict[str, np.ndarray],
+    threshold: float,
+) -> Dict[str, np.ndarray]:
+    """Per (query, k): pick the seen-key prediction when score > threshold
+    (reference decide_prediction_with_threshold, method_nn.py:66-93)."""
+    take_seen = scores_seen > threshold  # [N, k]
+    return {
+        level: np.where(take_seen, preds_seen[level], preds_unseen[level]) for level in LEVELS
+    }
+
+
+def harmonic_mean_list(values: Sequence[float]) -> float:
+    """Reference harmonic_mean (method_nn.py:128-135): 0 if any item is 0."""
+    s = 0.0
+    for v in values:
+        if v == 0:
+            return 0.0
+        s += 1.0 / v
+    return len(values) / s
+
+
+def search_threshold(
+    split_data: List[dict],
+    k_list: Sequence[int] = (1, 3, 5),
+    num_intervals: int = 1000,
+) -> float:
+    """Grid-search thresholds in [0,1] maximizing the harmonic mean of
+    per-split species top-1 micro accuracy (method_nn.py:138-164).
+
+    split_data items: {'preds_seen': {level: [N,k]}, 'scores_seen': [N,k],
+    'preds_unseen': {level: [N,k]}, 'gt': {level: [N]}}."""
+    thresholds = np.linspace(0, 1, num_intervals)
+    best_threshold = thresholds[0]
+    max_score = float("-inf")
+    for threshold in thresholds:
+        accs = []
+        for split in split_data:
+            fused = fuse_predictions(
+                split["preds_seen"], split["scores_seen"], split["preds_unseen"], threshold
+            )
+            micro = top_k_micro_accuracy(fused, split["gt"], k_list=k_list)
+            accs.append(micro[k_list[0]]["species"])
+        score = harmonic_mean_list(accs)
+        if score > max_score:
+            max_score = score
+            best_threshold = float(threshold)
+    return best_threshold
+
+
+def evaluate_with_threshold(
+    split_data: List[dict],
+    threshold: float,
+    k_list: Sequence[int] = (1, 3, 5),
+) -> List[dict]:
+    """→ per split {'micro_acc', 'macro_acc', 'per_class_acc', 'best_threshold'}."""
+    out = []
+    for split in split_data:
+        fused = fuse_predictions(
+            split["preds_seen"], split["scores_seen"], split["preds_unseen"], threshold
+        )
+        micro = top_k_micro_accuracy(fused, split["gt"], k_list=k_list)
+        macro, per_class = top_k_macro_accuracy(fused, split["gt"], k_list=k_list)
+        out.append(
+            {
+                "micro_acc": micro,
+                "macro_acc": macro,
+                "per_class_acc": per_class,
+                "best_threshold": threshold,
+            }
+        )
+    return out
+
+
+def method_nn(
+    seen_query_feats: Dict[str, np.ndarray],
+    unseen_query_feats: Dict[str, np.ndarray],
+    seen_keys_feats: np.ndarray,
+    seen_keys_labels: Dict[str, np.ndarray],
+    unseen_keys_feats: np.ndarray,
+    unseen_keys_labels: Dict[str, np.ndarray],
+    seen_gt: Dict[str, np.ndarray],
+    unseen_gt: Dict[str, np.ndarray],
+    max_k: int = 5,
+    threshold: Optional[float] = None,
+    k_list: Sequence[int] = (1, 3, 5),
+) -> dict:
+    """Full method_nn pipeline: image-query vs seen IMAGE keys (side A,
+    similarity = confidence) + dna-query vs unseen DNA keys (side B).
+
+    *_query_feats: {'image': [N,D], 'dna': [N,D]}."""
+    from ..ops.knn import knn_search
+    from ..utils.metrics import predictions_to_level_arrays
+
+    def side(query, keys, key_labels):
+        sims, idx = knn_search(query, keys, k=max_k)
+        return predictions_to_level_arrays(idx, key_labels), sims
+
+    split_data = []
+    for qf, gt in ((seen_query_feats, seen_gt), (unseen_query_feats, unseen_gt)):
+        preds_seen, scores_seen = side(qf["image"], seen_keys_feats, seen_keys_labels)
+        preds_unseen, _ = side(qf["dna"], unseen_keys_feats, unseen_keys_labels)
+        split_data.append(
+            {"preds_seen": preds_seen, "scores_seen": scores_seen, "preds_unseen": preds_unseen, "gt": gt}
+        )
+
+    if threshold is None:
+        threshold = search_threshold(split_data, k_list=k_list)
+    seen_out, unseen_out = evaluate_with_threshold(split_data, threshold, k_list=k_list)
+    return {"seen": seen_out, "unseen": unseen_out, "best_threshold": threshold}
