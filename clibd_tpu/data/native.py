@@ -1,0 +1,112 @@
+"""ctypes bindings for the native C++ decode/transform pool
+(native/decoder.cpp).  Falls back gracefully when the shared library is not
+built — `load_native_decoder()` returns None and the pipeline uses the
+PIL/numpy path."""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Optional
+
+import numpy as np
+
+_LIB_NAME = "libclibd_native.so"
+
+
+def native_lib_path() -> str:
+    return os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "native", _LIB_NAME)
+
+
+def build_native(verbose: bool = False) -> Optional[str]:
+    """Build the shared library with make; returns its path or None."""
+    native_dir = os.path.dirname(native_lib_path())
+    try:
+        subprocess.run(
+            ["make", "-C", native_dir],
+            check=True,
+            capture_output=not verbose,
+        )
+    except Exception:
+        return None
+    path = native_lib_path()
+    return path if os.path.exists(path) else None
+
+
+class NativeDecoder:
+    """Batch decode+transform via the C++ pool (thread count configurable)."""
+
+    def __init__(self, lib_path: Optional[str] = None, num_threads: int = 0):
+        path = lib_path or native_lib_path()
+        self.lib = ctypes.CDLL(path)
+        self.lib.clibd_decode_transform_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),  # jpegs
+            ctypes.POINTER(ctypes.c_int64),  # offsets
+            ctypes.c_int,                    # n
+            ctypes.POINTER(ctypes.c_float),  # out
+            ctypes.c_int,                    # out_size
+            ctypes.c_int,                    # resize_to
+            ctypes.c_int,                    # mode
+            ctypes.POINTER(ctypes.c_uint64), # seeds
+            ctypes.POINTER(ctypes.c_int32),  # ok
+            ctypes.c_int,                    # num_threads
+        ]
+        self.lib.clibd_version.restype = ctypes.c_int
+        assert self.lib.clibd_version() == 1
+        self.num_threads = num_threads if num_threads > 0 else (os.cpu_count() or 1)
+
+    def decode_transform_batch(
+        self,
+        jpegs: List[bytes],
+        rng: Optional[np.random.Generator] = None,
+        train: bool = False,
+        size: int = 224,
+        resize_to: int = 256,
+        long_edge: bool = False,
+    ) -> np.ndarray:
+        if long_edge:
+            # the rare transform_with_resize eval variant stays on the numpy path
+            from .transforms import eval_transform
+
+            return np.stack([eval_transform(j, size, resize_to, long_edge=True) for j in jpegs])
+
+        n = len(jpegs)
+        blob = b"".join(jpegs)
+        buf = np.frombuffer(blob, dtype=np.uint8)
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum([len(j) for j in jpegs], out=offsets[1:])
+        out = np.empty((n, size, size, 3), dtype=np.float32)
+        ok = np.zeros(n, dtype=np.int32)
+        if train:
+            seed_rng = rng if rng is not None else np.random.default_rng()
+            seeds = seed_rng.integers(1, 2**63, size=n, dtype=np.uint64)
+        else:
+            seeds = np.zeros(n, dtype=np.uint64)
+        self.lib.clibd_decode_transform_batch(
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            n,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            size,
+            resize_to,
+            1 if train else 0,
+            seeds.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            ok.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            self.num_threads,
+        )
+        if not ok.all():
+            bad = np.where(ok == 0)[0]
+            raise ValueError(f"native decode failed for batch items {bad.tolist()}")
+        return out
+
+
+def load_native_decoder(num_threads: int = 0, build_if_missing: bool = True) -> Optional[NativeDecoder]:
+    path = native_lib_path()
+    if not os.path.exists(path):
+        if not build_if_missing or build_native() is None:
+            return None
+    try:
+        return NativeDecoder(path, num_threads=num_threads)
+    except Exception:
+        return None

@@ -91,6 +91,7 @@ class BioscanLoader:
         seed: int = 0,
         drop_last: Optional[bool] = None,
         decoder=None,
+        use_native: bool = False,
     ):
         self.split_reader = BioscanSplit(path, split)
         self.spec = spec
@@ -104,6 +105,10 @@ class BioscanLoader:
         # training labels: row index (instance discrimination) unless given
         # (reference dataset.py:155-163)
         self.labels = labels if labels is not None else np.arange(self.n, dtype=np.int64)
+        if decoder is None and use_native:
+            from .native import load_native_decoder
+
+            decoder = load_native_decoder()
         self.decoder = decoder  # optional native C++ decode pool
         self._pool = ThreadPoolExecutor(max_workers=max(num_workers, 1)) if num_workers > 0 else None
 

@@ -145,6 +145,7 @@ class Trainer:
             num_workers=nw,
             prefetch=global_cfg.pipeline.prefetch_batches,
             seed=cfg.default_seed,
+            use_native=global_cfg.pipeline.use_native_decoder,
         )
 
         if params is None:

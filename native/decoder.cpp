@@ -1,0 +1,291 @@
+// Native input-pipeline kernels: JPEG decode (libjpeg) + torch-parity
+// antialiased bilinear resize + crop, with a std::thread worker pool.
+//
+// Replaces the reference's PIL + torchvision CPU worker path
+// (bioscanclip/util/dataset.py:242-249, 169-223) — the per-image hot loop of
+// the input pipeline (SURVEY.md hot loop (a)).  The resize uses the same
+// separable triangle-filter algorithm as clibd_tpu/data/transforms.py
+// (drop out-of-range taps, renormalize), so C++ and numpy paths agree to
+// float rounding.
+//
+// C ABI (ctypes): see clibd_tpu/data/native.py.
+
+#include <cstddef>
+#include <cstdio>
+
+#include <jpeglib.h>
+
+#include <algorithm>
+#include <atomic>
+#include <cmath>
+#include <csetjmp>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct JpegErrorMgr {
+  jpeg_error_mgr pub;
+  jmp_buf setjmp_buffer;
+};
+
+void jpeg_error_exit(j_common_ptr cinfo) {
+  JpegErrorMgr* err = reinterpret_cast<JpegErrorMgr*>(cinfo->err);
+  longjmp(err->setjmp_buffer, 1);
+}
+
+// Decode JPEG bytes to RGB uint8 [h, w, 3]. Returns false on failure.
+bool decode_jpeg(const uint8_t* data, size_t len, std::vector<uint8_t>& out,
+                 int& width, int& height) {
+  jpeg_decompress_struct cinfo;
+  JpegErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = jpeg_error_exit;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<uint8_t*>(data), len);
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  width = cinfo.output_width;
+  height = cinfo.output_height;
+  out.resize(static_cast<size_t>(width) * height * 3);
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* row = out.data() + static_cast<size_t>(cinfo.output_scanline) * width * 3;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return true;
+}
+
+// 1D resize weights, torch F.interpolate(bilinear, antialias) parity:
+// center-aligned mapping, triangle filter support max(1, scale),
+// out-of-range taps dropped and weights renormalized.
+struct ResizeWeights {
+  std::vector<int> start;     // first input tap per output index
+  std::vector<float> weights; // [out, width] flattened
+  int width;
+};
+
+ResizeWeights make_weights(int in_size, int out_size, bool antialias) {
+  double scale = static_cast<double>(in_size) / out_size;
+  double support = (antialias && scale > 1.0) ? scale : 1.0;
+  int width = static_cast<int>(std::ceil(2 * support)) + 2;
+  ResizeWeights rw;
+  rw.width = width;
+  rw.start.resize(out_size);
+  rw.weights.assign(static_cast<size_t>(out_size) * width, 0.f);
+  for (int o = 0; o < out_size; ++o) {
+    double center = (o + 0.5) * scale - 0.5;
+    int lo = static_cast<int>(std::floor(center - support));
+    rw.start[o] = lo;
+    double total = 0.0;
+    std::vector<double> w(width, 0.0);
+    for (int t = 0; t < width; ++t) {
+      int idx = lo + t;
+      if (idx < 0 || idx >= in_size) continue;
+      double dist = std::fabs((idx - center) / (support > 1.0 ? support : 1.0));
+      double val = std::max(1.0 - dist, 0.0);
+      w[t] = val;
+      total += val;
+    }
+    for (int t = 0; t < width; ++t) {
+      rw.weights[static_cast<size_t>(o) * width + t] =
+          total > 0 ? static_cast<float>(w[t] / total) : 0.f;
+    }
+  }
+  return rw;
+}
+
+// Separable resize: src [h, w, 3] float -> dst [out_h, out_w, 3] float.
+void resize_bilinear(const float* src, int h, int w, float* dst, int out_h,
+                     int out_w, bool antialias) {
+  ResizeWeights wh = make_weights(h, out_h, antialias);
+  ResizeWeights ww = make_weights(w, out_w, antialias);
+  // vertical pass: [out_h, w, 3]
+  std::vector<float> tmp(static_cast<size_t>(out_h) * w * 3, 0.f);
+  for (int o = 0; o < out_h; ++o) {
+    for (int t = 0; t < wh.width; ++t) {
+      float wt = wh.weights[static_cast<size_t>(o) * wh.width + t];
+      if (wt == 0.f) continue;
+      int idx = std::clamp(wh.start[o] + t, 0, h - 1);
+      const float* srow = src + static_cast<size_t>(idx) * w * 3;
+      float* drow = tmp.data() + static_cast<size_t>(o) * w * 3;
+      for (int x = 0; x < w * 3; ++x) drow[x] += wt * srow[x];
+    }
+  }
+  // horizontal pass: [out_h, out_w, 3]
+  std::memset(dst, 0, static_cast<size_t>(out_h) * out_w * 3 * sizeof(float));
+  for (int o = 0; o < out_w; ++o) {
+    for (int t = 0; t < ww.width; ++t) {
+      float wt = ww.weights[static_cast<size_t>(o) * ww.width + t];
+      if (wt == 0.f) continue;
+      int idx = std::clamp(ww.start[o] + t, 0, w - 1);
+      for (int y = 0; y < out_h; ++y) {
+        const float* spix = tmp.data() + (static_cast<size_t>(y) * w + idx) * 3;
+        float* dpix = dst + (static_cast<size_t>(y) * out_w + o) * 3;
+        dpix[0] += wt * spix[0];
+        dpix[1] += wt * spix[1];
+        dpix[2] += wt * spix[2];
+      }
+    }
+  }
+}
+
+// xorshift128+ PRNG for train-time crop sampling (self-deterministic per seed)
+struct Rng {
+  uint64_t s0, s1;
+  explicit Rng(uint64_t seed) {
+    s0 = seed ^ 0x9E3779B97F4A7C15ULL;
+    s1 = (seed << 1) | 1;
+    for (int i = 0; i < 8; ++i) next();
+  }
+  uint64_t next() {
+    uint64_t x = s0, y = s1;
+    s0 = y;
+    x ^= x << 23;
+    s1 = x ^ y ^ (x >> 17) ^ (y >> 26);
+    return s1 + y;
+  }
+  double uniform() { return (next() >> 11) * (1.0 / 9007199254740992.0); }
+  int randint(int lo, int hi) {  // inclusive lo, exclusive hi
+    return lo + static_cast<int>(uniform() * (hi - lo));
+  }
+};
+
+// torchvision RandomResizedCrop.get_params (scale 0.08-1, ratio 3/4-4/3)
+void sample_rrc(Rng& rng, int h, int w, int& top, int& left, int& ch, int& cw) {
+  double area = static_cast<double>(h) * w;
+  double log_lo = std::log(3.0 / 4.0), log_hi = std::log(4.0 / 3.0);
+  for (int attempt = 0; attempt < 10; ++attempt) {
+    double ta = area * (0.08 + rng.uniform() * (1.0 - 0.08));
+    double ar = std::exp(log_lo + rng.uniform() * (log_hi - log_lo));
+    cw = static_cast<int>(std::lround(std::sqrt(ta * ar)));
+    ch = static_cast<int>(std::lround(std::sqrt(ta / ar)));
+    if (cw > 0 && cw <= w && ch > 0 && ch <= h) {
+      top = rng.randint(0, h - ch + 1);
+      left = rng.randint(0, w - cw + 1);
+      return;
+    }
+  }
+  double in_ratio = static_cast<double>(w) / h;
+  if (in_ratio < 3.0 / 4.0) {
+    cw = w;
+    ch = static_cast<int>(std::lround(cw / (3.0 / 4.0)));
+  } else if (in_ratio > 4.0 / 3.0) {
+    ch = h;
+    cw = static_cast<int>(std::lround(ch * (4.0 / 3.0)));
+  } else {
+    cw = w;
+    ch = h;
+  }
+  top = (h - ch) / 2;
+  left = (w - cw) / 2;
+}
+
+// One image: decode -> [0,1] float -> resize shorter edge -> crop -> resize.
+// mode 0 = eval (center crop), 1 = train (random resized crop via seed).
+bool process_one(const uint8_t* data, size_t len, float* out, int out_size,
+                 int resize_to, int mode, uint64_t seed) {
+  std::vector<uint8_t> rgb;
+  int w, h;
+  if (!decode_jpeg(data, len, rgb, w, h)) return false;
+
+  std::vector<float> img(static_cast<size_t>(w) * h * 3);
+  for (size_t i = 0; i < img.size(); ++i) img[i] = rgb[i] * (1.0f / 255.0f);
+
+  int rh, rw_;
+  if (h <= w) {
+    rh = resize_to;
+    rw_ = std::max(1, static_cast<int>(std::lround(static_cast<double>(resize_to) * w / h)));
+  } else {
+    rw_ = resize_to;
+    rh = std::max(1, static_cast<int>(std::lround(static_cast<double>(resize_to) * h / w)));
+  }
+  std::vector<float> resized(static_cast<size_t>(rh) * rw_ * 3);
+  resize_bilinear(img.data(), h, w, resized.data(), rh, rw_, true);
+
+  if (mode == 0) {
+    // center crop out_size (assumes resize_to >= out_size, as in the recipes)
+    int top = static_cast<int>(std::lround((rh - out_size) / 2.0));
+    int left = static_cast<int>(std::lround((rw_ - out_size) / 2.0));
+    top = std::clamp(top, 0, std::max(rh - out_size, 0));
+    left = std::clamp(left, 0, std::max(rw_ - out_size, 0));
+    for (int y = 0; y < out_size; ++y) {
+      std::memcpy(out + static_cast<size_t>(y) * out_size * 3,
+                  resized.data() + ((static_cast<size_t>(y + top)) * rw_ + left) * 3,
+                  static_cast<size_t>(out_size) * 3 * sizeof(float));
+    }
+  } else {
+    Rng rng(seed);
+    int top, left, ch, cw;
+    sample_rrc(rng, rh, rw_, top, left, ch, cw);
+    std::vector<float> crop(static_cast<size_t>(ch) * cw * 3);
+    for (int y = 0; y < ch; ++y) {
+      std::memcpy(crop.data() + static_cast<size_t>(y) * cw * 3,
+                  resized.data() + ((static_cast<size_t>(y + top)) * rw_ + left) * 3,
+                  static_cast<size_t>(cw) * 3 * sizeof(float));
+    }
+    resize_bilinear(crop.data(), ch, cw, out, out_size, out_size, true);
+  }
+  return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode+transform a batch. jpegs: concatenated bytes; offsets[n+1].
+// out: [n, out_size, out_size, 3] float32. ok: [n] int32 success flags.
+// mode: 0 eval, 1 train; seeds: [n] uint64 (train only).
+void clibd_decode_transform_batch(const uint8_t* jpegs, const int64_t* offsets,
+                                  int n, float* out, int out_size,
+                                  int resize_to, int mode,
+                                  const uint64_t* seeds, int32_t* ok,
+                                  int num_threads) {
+  std::atomic<int> next(0);
+  auto worker = [&]() {
+    while (true) {
+      int i = next.fetch_add(1);
+      if (i >= n) break;
+      const uint8_t* data = jpegs + offsets[i];
+      size_t len = static_cast<size_t>(offsets[i + 1] - offsets[i]);
+      float* dst = out + static_cast<size_t>(i) * out_size * out_size * 3;
+      uint64_t seed = seeds ? seeds[i] : 0;
+      ok[i] = process_one(data, len, dst, out_size, resize_to, mode, seed) ? 1 : 0;
+      if (!ok[i]) std::memset(dst, 0, static_cast<size_t>(out_size) * out_size * 3 * sizeof(float));
+    }
+  };
+  int nt = std::max(1, num_threads);
+  if (nt == 1) {
+    worker();
+  } else {
+    std::vector<std::thread> threads;
+    for (int t = 0; t < nt; ++t) threads.emplace_back(worker);
+    for (auto& t : threads) t.join();
+  }
+}
+
+// Standalone decode of one JPEG (for tests / single-image tools):
+// returns 0 on failure; out must hold max_bytes; writes w/h.
+int clibd_decode_jpeg(const uint8_t* data, int64_t len, uint8_t* out,
+                      int64_t max_bytes, int* width, int* height) {
+  std::vector<uint8_t> rgb;
+  int w, h;
+  if (!decode_jpeg(data, static_cast<size_t>(len), rgb, w, h)) return 0;
+  if (static_cast<int64_t>(rgb.size()) > max_bytes) return 0;
+  std::memcpy(out, rgb.data(), rgb.size());
+  *width = w;
+  *height = h;
+  return 1;
+}
+
+int clibd_version() { return 1; }
+
+}  // extern "C"

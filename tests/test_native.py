@@ -1,0 +1,59 @@
+"""Native C++ decoder: build, parity with the numpy transform path,
+pipeline integration."""
+
+import numpy as np
+import pytest
+
+from clibd_tpu.data.native import load_native_decoder
+from clibd_tpu.data.transforms import eval_transform
+
+
+@pytest.fixture(scope="module")
+def decoder():
+    dec = load_native_decoder(build_if_missing=True)
+    if dec is None:
+        pytest.skip("native decoder could not be built")
+    return dec
+
+
+def test_eval_parity_with_numpy_path(decoder, rng):
+    from tests.fixtures import random_jpeg_bytes
+
+    jpegs = [
+        random_jpeg_bytes(rng, h=90, w=130),
+        random_jpeg_bytes(rng, h=260, w=300),
+        random_jpeg_bytes(rng, h=64, w=64),
+    ]
+    out = decoder.decode_transform_batch(jpegs, train=False)
+    ref = np.stack([eval_transform(j) for j in jpegs])
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_train_mode_deterministic_per_seed(decoder, rng):
+    from tests.fixtures import random_jpeg_bytes
+
+    jpegs = [random_jpeg_bytes(rng, h=100, w=140)]
+    a = decoder.decode_transform_batch(jpegs, rng=np.random.default_rng(5), train=True)
+    b = decoder.decode_transform_batch(jpegs, rng=np.random.default_rng(5), train=True)
+    c = decoder.decode_transform_batch(jpegs, rng=np.random.default_rng(6), train=True)
+    np.testing.assert_array_equal(a, b)
+    assert np.abs(a - c).max() > 0  # different seed -> different crop
+    assert a.shape == (1, 224, 224, 3)
+    assert 0.0 <= a.min() and a.max() <= 1.0
+
+
+def test_invalid_jpeg_raises(decoder):
+    with pytest.raises(ValueError, match="native decode failed"):
+        decoder.decode_transform_batch([b"not a jpeg"], train=False)
+
+
+def test_pipeline_with_native_decoder(decoder, tiny_hdf5):
+    from clibd_tpu.data.pipeline import BatchSpec, BioscanLoader
+
+    spec = BatchSpec(batch_size=4, train=False)
+    l_native = BioscanLoader(tiny_hdf5, "all_keys", spec, num_workers=0, decoder=decoder)
+    l_py = BioscanLoader(tiny_hdf5, "all_keys", spec, num_workers=0)
+    b_native = next(iter(l_native.batches()))
+    b_py = next(iter(l_py.batches()))
+    np.testing.assert_allclose(b_native["image"], b_py["image"], atol=1e-5)
+    l_native.close(); l_py.close()
