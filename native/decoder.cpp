@@ -212,9 +212,10 @@ bool process_one(const uint8_t* data, size_t len, float* out, int out_size,
   resize_bilinear(img.data(), h, w, resized.data(), rh, rw_, true);
 
   if (mode == 0) {
-    // center crop out_size (assumes resize_to >= out_size, as in the recipes)
-    int top = static_cast<int>(std::lround((rh - out_size) / 2.0));
-    int left = static_cast<int>(std::lround((rw_ - out_size) / 2.0));
+    // center crop out_size (assumes resize_to >= out_size, as in the recipes);
+    // nearbyint = round-half-to-even, matching Python round() in torchvision
+    int top = static_cast<int>(std::nearbyint((rh - out_size) / 2.0));
+    int left = static_cast<int>(std::nearbyint((rw_ - out_size) / 2.0));
     top = std::clamp(top, 0, std::max(rh - out_size, 0));
     left = std::clamp(left, 0, std::max(rw_ - out_size, 0));
     for (int y = 0; y < out_size; ++y) {
