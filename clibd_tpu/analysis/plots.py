@@ -1,0 +1,218 @@
+"""Visualization suite (reference scripts/inference_and_eval.py:98-505 +
+scripts/result/): 2D embedding plots per taxonomic level with the reference's
+taxa filtering (top-N classes, parent-level filters), and query→retrieved
+image grids.
+
+The reference uses UMAP + plotly; this environment has neither, so the 2D
+projection uses UMAP when importable and falls back to sklearn TSNE (cosine
+metric) or PCA; rendering is matplotlib (PNG/PDF).
+"""
+
+from __future__ import annotations
+
+import os
+import random
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+LEVELS = ("order", "family", "genus", "species")
+
+
+def project_2d(features: np.ndarray, random_state: int = 0, method: str = "auto") -> np.ndarray:
+    """cosine-metric 2D projection: umap → tsne → pca fallback chain."""
+    if method in ("auto", "umap"):
+        try:
+            from umap import UMAP  # type: ignore
+
+            return UMAP(
+                n_components=2, init="random", random_state=random_state,
+                min_dist=0.5, metric="cosine",
+            ).fit_transform(features)
+        except ImportError:
+            if method == "umap":
+                raise
+    if method in ("auto", "tsne") and features.shape[0] > 10:
+        try:
+            from sklearn.manifold import TSNE
+
+            return TSNE(
+                n_components=2, metric="cosine", init="random",
+                random_state=random_state,
+                perplexity=min(30.0, max(2.0, features.shape[0] / 4 - 1)),
+            ).fit_transform(features)
+        except Exception:
+            pass
+    from sklearn.decomposition import PCA
+
+    return PCA(n_components=2, random_state=random_state).fit_transform(features)
+
+
+def select_plot_indices(
+    gt_labels: List[dict],
+    level: str,
+    parent_filter: Optional[Dict[str, str]] = None,
+    num_classes: int = 10,
+    seed: int = 0,
+) -> List[int]:
+    """Reference filtering (inference_and_eval.py:121-140): restrict to the
+    configured parent taxon, keep the top-N most frequent classes, shuffle."""
+    level_idx = LEVELS.index(level)
+    indices = list(range(len(gt_labels)))
+    if level_idx > 0 and parent_filter:
+        prev = LEVELS[level_idx - 1]
+        if prev in parent_filter:
+            indices = [i for i in indices if gt_labels[i][prev] == parent_filter[prev]]
+    values, counts = np.unique([gt_labels[i][level] for i in indices], return_counts=True)
+    top = set(values[np.argsort(-counts)][:num_classes])
+    indices = [i for i in indices if gt_labels[i][level] in top]
+    rng = random.Random(seed)
+    rng.shuffle(indices)
+    return indices
+
+
+def generate_embedding_plot(
+    output_dir: str,
+    image_features: Optional[np.ndarray],
+    dna_features: Optional[np.ndarray],
+    language_features: Optional[np.ndarray],
+    gt_labels: List[dict],
+    embeddings_filters: Optional[Dict[str, str]] = None,
+    num_classes: int = 10,
+    seed: int = 0,
+    formats: Sequence[str] = ("png",),
+) -> List[str]:
+    """One scatter per level, colored by class, marker by modality.
+    → list of written file paths."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    feats, names = [], []
+    lang_inverse = None
+    if language_features is not None:
+        uniq, first_idx, inverse = np.unique(
+            language_features, axis=0, return_index=True, return_inverse=True
+        )
+        lang_inverse = inverse
+        language_unique = uniq
+    else:
+        language_unique = None
+    for name, f in (("image", image_features), ("dna", dna_features), ("text", language_unique)):
+        if f is not None:
+            feats.append(f)
+            names.append(name)
+    if not feats:
+        raise ValueError("No image, DNA, or language features provided.")
+    proj = project_2d(np.concatenate(feats, axis=0), random_state=seed)
+    # slice back per modality
+    pieces = {}
+    off = 0
+    for name, f in zip(names, feats):
+        pieces[name] = proj[off : off + len(f)]
+        off += len(f)
+
+    os.makedirs(output_dir, exist_ok=True)
+    written = []
+    markers = {"image": "o", "dna": "^", "text": "s"}
+    for level in LEVELS:
+        indices = select_plot_indices(gt_labels, level, embeddings_filters, num_classes, seed)
+        if not indices:
+            continue
+        classes = sorted({gt_labels[i][level] for i in indices})
+        cmap = plt.get_cmap("tab10")
+        color_of = {c: cmap(k % 10) for k, c in enumerate(classes)}
+        fig, ax = plt.subplots(figsize=(8, 8))
+        for name in names:
+            if name == "text" and lang_inverse is not None:
+                pts = pieces["text"][lang_inverse[indices]]
+            else:
+                pts = pieces[name][indices]
+            colors = [color_of[gt_labels[i][level]] for i in indices]
+            ax.scatter(pts[:, 0], pts[:, 1], c=colors, marker=markers[name], s=12,
+                       alpha=0.7, label=name, linewidths=0)
+        ax.set_title(f"Embeddings by {level}")
+        ax.legend(loc="best", fontsize=8)
+        for fmt in formats:
+            path = os.path.join(output_dir, f"embedding_{level}.{fmt}")
+            fig.savefig(path, dpi=150, bbox_inches="tight")
+            written.append(path)
+        plt.close(fig)
+    return written
+
+
+def retrieve_images_grid(
+    output_path: str,
+    query_images: List[np.ndarray],
+    retrieved_images: List[List[np.ndarray]],
+    query_labels: Optional[List[str]] = None,
+    retrieved_labels: Optional[List[List[str]]] = None,
+    correct: Optional[List[List[bool]]] = None,
+) -> str:
+    """Query→top-k retrieval figure (reference retrieve_images,
+    inference_and_eval.py:223-505): one row per query, first column the query,
+    then its neighbours; green/red frame marks correct species."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    n = len(query_images)
+    k = max(len(r) for r in retrieved_images)
+    fig, axes = plt.subplots(n, k + 1, figsize=(1.6 * (k + 1), 1.6 * n), squeeze=False)
+    for i in range(n):
+        ax = axes[i][0]
+        ax.imshow(np.clip(query_images[i], 0, 1))
+        ax.set_xticks([]); ax.set_yticks([])
+        if query_labels:
+            ax.set_title(query_labels[i], fontsize=6)
+        for spine in ax.spines.values():
+            spine.set_edgecolor("blue"); spine.set_linewidth(2)
+        for j in range(k):
+            ax = axes[i][j + 1]
+            if j < len(retrieved_images[i]):
+                ax.imshow(np.clip(retrieved_images[i][j], 0, 1))
+                if retrieved_labels:
+                    ax.set_title(retrieved_labels[i][j], fontsize=6)
+                if correct is not None:
+                    color = "green" if correct[i][j] else "red"
+                    for spine in ax.spines.values():
+                        spine.set_edgecolor(color); spine.set_linewidth(2)
+            ax.set_xticks([]); ax.set_yticks([])
+    os.makedirs(os.path.dirname(os.path.abspath(output_path)), exist_ok=True)
+    fig.savefig(output_path, dpi=150, bbox_inches="tight")
+    plt.close(fig)
+    return output_path
+
+
+def plot_confusion_matrix(
+    gt: Sequence[str],
+    pred: Sequence[str],
+    output_path: Optional[str] = None,
+    labels: Optional[List[str]] = None,
+    normalize: bool = True,
+):
+    """Reference show_confusion_metrix (epoch/inference_epoch.py:23-40)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from sklearn.metrics import confusion_matrix
+
+    if labels is None:
+        labels = sorted(set(gt))
+    cm = confusion_matrix(gt, pred, labels=labels).astype(np.float64)
+    if normalize:
+        cm = cm / np.maximum(cm.sum(axis=1, keepdims=True), 1)
+    fig, ax = plt.subplots(figsize=(12, 12))
+    im = ax.imshow(cm, cmap="Blues")
+    ax.set_xticks(range(len(labels)), labels, rotation=30, fontsize=7)
+    ax.set_yticks(range(len(labels)), labels, fontsize=7)
+    ax.set_xlabel("Predicted"); ax.set_ylabel("Ground Truth"); ax.set_title("Confusion Matrix")
+    fig.colorbar(im)
+    if output_path:
+        fig.savefig(output_path, dpi=150, bbox_inches="tight")
+        plt.close(fig)
+        return output_path
+    return fig

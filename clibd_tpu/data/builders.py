@@ -109,14 +109,21 @@ def build_split_hdf5(
                     jpegs.append(data)
                     keep.append(idx)
             kept = frame.loc[keep]
+
+            def col(*names, default=""):
+                for name in names:
+                    if name in kept.columns:
+                        return list(kept[name])
+                return [default] * len(kept)
+
             records = {
-                "barcode": kept.get("barcode", kept.get("nucraw", [""] * len(kept))),
-                "sampleid": kept.get("sampleid", [""] * len(kept)),
-                "processid": kept.get("processid", kept.get("sampleid", [""] * len(kept))),
-                "image_file": kept[image_file_column],
+                "barcode": col("barcode", "nucraw"),
+                "sampleid": col("sampleid"),
+                "processid": col("processid", "sampleid"),
+                "image_file": list(kept[image_file_column]),
             }
             for level in LEVELS:
-                records[level] = kept.get(level, ["not_classified"] * len(kept))
+                records[level] = col(level, default="not_classified")
             write_split_group(
                 f, group_name, records, jpegs, tokenizer=tokenizer, compression=compression
             )
