@@ -92,6 +92,7 @@ class BioscanLoader:
         drop_last: Optional[bool] = None,
         decoder=None,
         use_native: bool = False,
+        aug_seed: Optional[int] = None,
     ):
         self.split_reader = BioscanSplit(path, split)
         self.spec = spec
@@ -99,7 +100,8 @@ class BioscanLoader:
         self.num_hosts = num_hosts
         self.num_workers = num_workers
         self.prefetch = prefetch
-        self.seed = seed
+        self.seed = seed  # epoch permutation (shared across paired loaders)
+        self.aug_seed = seed if aug_seed is None else aug_seed  # crop randomness
         self.n = len(self.split_reader)
         self.drop_last = spec.train if drop_last is None else drop_last
         # training labels: row index (instance discrimination) unless given
@@ -127,7 +129,7 @@ class BioscanLoader:
         if spec.with_image:
             if spec.image_source == "image":
                 jpegs = self.split_reader.jpeg_bytes(indices)
-                rng = np.random.default_rng((self.seed, epoch, batch_idx))
+                rng = np.random.default_rng((self.aug_seed, epoch, batch_idx))
                 if self.decoder is not None:
                     imgs = self.decoder.decode_transform_batch(
                         jpegs, rng, train=spec.train,
@@ -138,7 +140,7 @@ class BioscanLoader:
                     def one(args):
                         i, data = args
                         if spec.train:
-                            r = np.random.default_rng((self.seed, epoch, batch_idx, i))
+                            r = np.random.default_rng((self.aug_seed, epoch, batch_idx, i))
                             return train_transform(r, data, spec.image_size, spec.resize_to)
                         return eval_transform(data, spec.image_size, spec.resize_to,
                                               long_edge=spec.long_edge_eval)

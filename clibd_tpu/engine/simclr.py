@@ -38,18 +38,21 @@ class TwoViewLoader:
 
     def __init__(self, path: str, split: str, batch_size: int, num_workers: int = 2, seed: int = 0):
         spec = BatchSpec(batch_size=batch_size, train=True, with_dna=False, with_language=False)
+        # SAME sampling seed (identical epoch permutation → the two streams
+        # are views of the same images), DIFFERENT augmentation seeds
         self.a = BioscanLoader(path, split, spec, num_workers=num_workers, seed=seed)
-        self.b = BioscanLoader(path, split, spec, num_workers=num_workers, seed=seed + 104729)
+        self.b = BioscanLoader(
+            path, split, spec, num_workers=num_workers, seed=seed, aug_seed=seed + 104729
+        )
 
     def __len__(self):
         return len(self.a)
 
     def batches(self, epoch: int):
-        # identical index order (same permutation seed comes from shard_indices
-        # with the loader seed) — force it by sharing the sampling seed
         for ba, bb in zip(
             self.a.batches(epoch=epoch, shuffle=True), self.b.batches(epoch=epoch, shuffle=True)
         ):
+            assert (ba["index"] == bb["index"]).all()
             yield ba["image"], bb["image"], ba["index"]
 
     def close(self):
