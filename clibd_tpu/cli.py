@@ -210,6 +210,138 @@ def cmd_extract(args, overrides) -> int:
     return 0
 
 
+def cmd_simclr(args, overrides) -> int:
+    """SimCLR unimodal image pretraining (reference scripts/unimodel/)."""
+    cfg = _load_cfg(args, overrides)
+    from .engine.simclr import SimCLRTrainer
+
+    hdf5 = args.hdf5 or _dataset_hdf5_path(cfg)
+    out_dir = args.output_dir or os.path.join(
+        cfg.project_root_path, "ckpt", "uni_model", "uni_model", "image",
+        cfg.model_config.model_output_name,
+    )
+    trainer = SimCLRTrainer(
+        cfg, hdf5, output_dir=out_dir, split=args.train_split,
+        temperature=args.temperature, num_workers=cfg.pipeline.num_workers,
+    )
+    hist = trainer.fit(progress=True)
+    trainer.close()
+    print(json.dumps({"final_loss": hist["loss"][-1] if hist["loss"] else None}))
+    return 0
+
+
+def cmd_create_splits(args, overrides) -> int:
+    """BIOSCAN split creation (reference dataset/create_splits.py)."""
+    import pandas as pd
+
+    from .data.splits import create_splits
+
+    metadata = pd.read_csv(args.metadata, sep="\t")
+    out = create_splits(
+        metadata,
+        min_species_size=args.min_species_size,
+        seen_ratio=args.seen_ratio,
+        seed=args.seed,
+    )
+    out.to_csv(args.out, sep="\t")
+    print(out["split"].value_counts())
+    return 0
+
+
+def cmd_build_hdf5(args, overrides) -> int:
+    """Build split HDF5 from metadata + split TSVs + an image directory."""
+    import pandas as pd
+
+    from .data.builders import REFERENCE_SPLIT_NAME_MAP, build_split_hdf5
+    from .data.tokenizers import WordPieceTokenizer
+
+    metadata = pd.read_csv(args.metadata, sep="\t")
+    if args.splits:
+        splits = pd.read_csv(args.splits, sep="\t")[["sampleid", "split"]]
+        metadata = metadata.merge(splits, on="sampleid", how="inner")
+    tokenizer = WordPieceTokenizer(args.vocab) if args.vocab else None
+    build_split_hdf5(
+        args.out, metadata, args.image_dir,
+        tokenizer=tokenizer, split_name_map=REFERENCE_SPLIT_NAME_MAP,
+        compression="gzip" if args.compress else None,
+    )
+    print(f"Wrote {args.out}")
+    return 0
+
+
+def cmd_bzsl_extract(args, overrides) -> int:
+    """INSECT feature extraction → BZSL CSVs (scripts/BZSL/
+    extract_feature_for_insect_dataset.py)."""
+    cfg = _load_cfg(args, overrides)
+    import scipy.io as sio
+
+    from .data.insect import INSECTDataset, INSECTLoader, export_bzsl_csvs
+    from .data.pipeline import BatchSpec
+    from .engine.extract import extract_split
+
+    mc = cfg.model_config
+    params = _resolve_params(cfg)
+    ds = INSECTDataset(
+        cfg.insect_data.path_to_att_splits_mat,
+        cfg.insect_data.path_to_res_101_mat,
+        cfg.insect_data.path_to_image_hdf5,
+        cfg.insect_data.species_to_other,
+        split="all",
+    )
+    spec = BatchSpec(batch_size=args.batch_size, train=False, with_language=False)
+    loader = INSECTLoader(ds, spec)
+    out = extract_split(params, mc, loader, progress=True)
+    loader.close()
+
+    res = sio.loadmat(cfg.insect_data.path_to_res_101_mat)
+    class_labels = res["labels"].squeeze() - 1
+    folder = os.path.join(
+        cfg.project_root_path, "extracted_embedding", "INSECT",
+        mc.model_output_name, "trained_on_BIOSCAN_1M",
+    )
+    os.makedirs(folder, exist_ok=True)
+    dna_csv = os.path.join(folder, "dna_embedding_from_bioscan_clip_no_fine_tuned_on_INSECT.csv")
+    img_csv = os.path.join(folder, "image_embedding_from_bioscan_clip_no_fine_tuned_on_INSECT.csv")
+    export_bzsl_csvs(out["encoded_dna_feature"], out["encoded_image_feature"], class_labels, dna_csv, img_csv)
+    print(dna_csv)
+    print(img_csv)
+    return 0
+
+
+def cmd_flatten_csv(args, overrides) -> int:
+    from .analysis.tables import flatten_results_csv
+
+    out = flatten_results_csv(args.input, args.out)
+    print(f"Wrote {out}")
+    return 0
+
+
+def cmd_plot_embeddings(args, overrides) -> int:
+    """Embedding plots from a cached extraction HDF5 (inference_and_eval.py:98-220)."""
+    cfg = _load_cfg(args, overrides)
+    import json as _json
+
+    import h5py
+
+    from .analysis.plots import generate_embedding_plot
+
+    with h5py.File(args.features) as f:
+        g = f[args.group]
+        img = g["encoded_image_feature"][:] if "encoded_image_feature" in g else None
+        dna = g["encoded_dna_feature"][:] if "encoded_dna_feature" in g else None
+        lang = g["encoded_language_feature"][:] if "encoded_language_feature" in g else None
+    with open(args.labels) as f:
+        total = _json.load(f)
+    key = {"seen": "seen_gt_dict", "unseen": "unseen_gt_dict", "key": "key_gt_dict"}[args.group]
+    written = generate_embedding_plot(
+        args.out, img, dna, lang, total[key],
+        embeddings_filters=dict(cfg.inference_and_eval_setting.embeddings_filters),
+    )
+    for p in written:
+        print(p)
+    return 0
+
+
 def cmd_configs(args, overrides) -> int:
     from .config import available_configs
 
@@ -248,6 +380,45 @@ def main(argv: Optional[List[str]] = None) -> int:
     p_extract.add_argument("--split", default="all_keys")
     p_extract.add_argument("--out", default="embeddings.hdf5")
 
+    p_simclr = sub.add_parser("simclr", help="SimCLR image pretraining (unimodel/)")
+    common(p_simclr)
+    p_simclr.add_argument("--output-dir", default=None)
+    p_simclr.add_argument("--train-split", default="no_split_and_seen_train")
+    p_simclr.add_argument("--temperature", type=float, default=0.07)
+
+    p_splits = sub.add_parser("create-splits", help="BIOSCAN split creation (dataset/create_splits.py)")
+    p_splits.add_argument("--metadata", required=True)
+    p_splits.add_argument("--out", default="splits.tsv")
+    p_splits.add_argument("--min-species-size", type=int, default=10)
+    p_splits.add_argument("--seen-ratio", type=float, default=0.8)
+    p_splits.add_argument("--seed", type=int, default=None)
+    p_splits.set_defaults(overrides=[])
+
+    p_build = sub.add_parser("build-hdf5", help="build split HDF5 (data_processing/)")
+    p_build.add_argument("--metadata", required=True)
+    p_build.add_argument("--splits", default=None)
+    p_build.add_argument("--image-dir", required=True)
+    p_build.add_argument("--out", required=True)
+    p_build.add_argument("--vocab", default=None, help="vocab.txt for language token pre-tokenization")
+    p_build.add_argument("--compress", action="store_true")
+    p_build.set_defaults(overrides=[])
+
+    p_bzsl = sub.add_parser("bzsl-extract", help="INSECT feature → BZSL CSVs (scripts/BZSL/)")
+    common(p_bzsl)
+    p_bzsl.add_argument("--batch-size", type=int, default=200)
+
+    p_flat = sub.add_parser("flatten-csv", help="flatten results.csv (scripts/flattenCsv.py)")
+    p_flat.add_argument("--input", required=True)
+    p_flat.add_argument("--out", default="flat.csv")
+    p_flat.set_defaults(overrides=[])
+
+    p_plot = sub.add_parser("plot-embeddings", help="2D embedding plots from cached features")
+    common(p_plot)
+    p_plot.add_argument("--features", required=True, help="extracted_feature_*.hdf5")
+    p_plot.add_argument("--labels", required=True, help="labels_*.json")
+    p_plot.add_argument("--group", default="key", choices=["seen", "unseen", "key"])
+    p_plot.add_argument("--out", default="plots")
+
     sub.add_parser("configs", help="list bundled experiment configs")
     sub.add_parser("bench", help="run the throughput microbenchmark")
 
@@ -257,6 +428,12 @@ def main(argv: Optional[List[str]] = None) -> int:
         "train": cmd_train,
         "eval": cmd_eval,
         "extract": cmd_extract,
+        "simclr": cmd_simclr,
+        "create-splits": cmd_create_splits,
+        "build-hdf5": cmd_build_hdf5,
+        "bzsl-extract": cmd_bzsl_extract,
+        "flatten-csv": cmd_flatten_csv,
+        "plot-embeddings": cmd_plot_embeddings,
         "configs": cmd_configs,
         "bench": cmd_bench,
     }[args.command](args, overrides)

@@ -131,3 +131,116 @@ def method_nn(
         threshold = search_threshold(split_data, k_list=k_list)
     seen_out, unseen_out = evaluate_with_threshold(split_data, threshold, k_list=k_list)
     return {"seen": seen_out, "unseen": unseen_out, "best_threshold": threshold}
+
+
+# ---------------------------------------------------------------------------
+# method_linear: side A = linear classifier over image features, confidence =
+# softmax probability of the top-k classes (reference scripts/method_linear.py)
+# ---------------------------------------------------------------------------
+
+
+def train_linear_probe(
+    features: np.ndarray,
+    class_ids: np.ndarray,
+    num_classes: int,
+    steps: int = 500,
+    lr: float = 1e-2,
+    weight_decay: float = 1e-4,
+    seed: int = 0,
+):
+    """Multinomial logistic regression on (frozen) features with AdamW.
+    → (w [D, C], b [C])."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    d = features.shape[1]
+    key = jax.random.PRNGKey(seed)
+    params = {
+        "w": 0.01 * jax.random.normal(key, (d, num_classes), jnp.float32),
+        "b": jnp.zeros((num_classes,), jnp.float32),
+    }
+    tx = optax.adamw(lr, weight_decay=weight_decay)
+    opt_state = tx.init(params)
+    x = jnp.asarray(features, jnp.float32)
+    y = jnp.asarray(class_ids, jnp.int32)
+
+    @jax.jit
+    def step(params, opt_state):
+        def loss_fn(p):
+            logits = x @ p["w"] + p["b"]
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            return -logp[jnp.arange(x.shape[0]), y].mean()
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    for _ in range(steps):
+        params, opt_state, _loss = step(params, opt_state)
+    return np.asarray(params["w"]), np.asarray(params["b"])
+
+
+def classifier_predictions(
+    features: np.ndarray,
+    w: np.ndarray,
+    b: np.ndarray,
+    class_labels_by_level: Dict[str, np.ndarray],
+    max_k: int = 5,
+):
+    """→ (preds {level: [N, k]}, confidences [N, k]) — softmax probability of
+    each of the top-k classes, the method_linear confidence signal."""
+    logits = features @ w + b
+    logits = logits - logits.max(axis=1, keepdims=True)
+    probs = np.exp(logits)
+    probs /= probs.sum(axis=1, keepdims=True)
+    order = np.argsort(-probs, axis=1)[:, :max_k]
+    conf = np.take_along_axis(probs, order, axis=1)
+    preds = {level: np.asarray(labels, dtype=object)[order] for level, labels in class_labels_by_level.items()}
+    return preds, conf
+
+
+def method_linear(
+    train_features: np.ndarray,
+    train_species: np.ndarray,
+    seen_query_feats: Dict[str, np.ndarray],
+    unseen_query_feats: Dict[str, np.ndarray],
+    unseen_keys_feats: np.ndarray,
+    unseen_keys_labels: Dict[str, np.ndarray],
+    seen_gt: Dict[str, np.ndarray],
+    unseen_gt: Dict[str, np.ndarray],
+    species_to_levels: Dict[str, dict],
+    max_k: int = 5,
+    threshold: Optional[float] = None,
+    k_list: Sequence[int] = (1, 3, 5),
+    probe_steps: int = 500,
+) -> dict:
+    """Full method_linear: linear classifier over seen species (trained on
+    image features of the training/key set) routes confident queries; the
+    rest fall back to DNA search against unseen keys."""
+    from ..ops.knn import knn_search
+    from ..utils.metrics import predictions_to_level_arrays
+
+    classes = sorted(set(train_species))
+    class_index = {s: i for i, s in enumerate(classes)}
+    y = np.asarray([class_index[s] for s in train_species])
+    w, b = train_linear_probe(train_features, y, len(classes), steps=probe_steps)
+
+    class_labels_by_level = {
+        level: np.asarray([species_to_levels[s][level] for s in classes], dtype=object)
+        for level in LEVELS
+    }
+
+    split_data = []
+    for qf, gt in ((seen_query_feats, seen_gt), (unseen_query_feats, unseen_gt)):
+        preds_seen, conf = classifier_predictions(qf["image"], w, b, class_labels_by_level, max_k)
+        _, idx = knn_search(qf["dna"], unseen_keys_feats, k=max_k)
+        preds_unseen = predictions_to_level_arrays(idx, unseen_keys_labels)
+        split_data.append(
+            {"preds_seen": preds_seen, "scores_seen": conf, "preds_unseen": preds_unseen, "gt": gt}
+        )
+
+    if threshold is None:
+        threshold = search_threshold(split_data, k_list=k_list)
+    seen_out, unseen_out = evaluate_with_threshold(split_data, threshold, k_list=k_list)
+    return {"seen": seen_out, "unseen": unseen_out, "best_threshold": threshold}

@@ -101,3 +101,54 @@ def test_cli_extract(tiny_hdf5, tiny_exp_yaml, tmp_path, monkeypatch):
     with h5py.File(out_path) as f:
         assert f["encoded_image_feature"].shape == (12, 16)
         assert f["species_list"].shape == (12,)
+
+
+def test_cli_create_splits_and_build(tmp_path, rng, monkeypatch):
+    import pandas as pd
+
+    from tests.fixtures import random_jpeg_bytes
+
+    # metadata with images on disk
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rows = []
+    for i in range(40):
+        name = f"i{i}.jpg"
+        (img_dir / name).write_bytes(random_jpeg_bytes(rng))
+        rows.append({
+            "sampleid": f"s{i}", "uri": f"u{i%5}", "image_file": name,
+            "barcode": "ACGT" * 30, "order": "Diptera", "family": "F",
+            "genus": "G", "species": f"sp{i%3}",
+        })
+    md_path = tmp_path / "meta.tsv"
+    pd.DataFrame(rows).to_csv(md_path, sep="\t", index=False)
+
+    splits_path = tmp_path / "splits.tsv"
+    rc = main(["create-splits", "--metadata", str(md_path), "--out", str(splits_path),
+               "--min-species-size", "5", "--seed", "0"])
+    assert rc == 0
+    out = tmp_path / "built.hdf5"
+    rc = main(["build-hdf5", "--metadata", str(md_path), "--splits", str(splits_path),
+               "--image-dir", str(img_dir), "--out", str(out)])
+    assert rc == 0
+    with h5py.File(out) as f:
+        assert "train_seen" in f
+
+
+def test_cli_flatten_csv(tmp_path):
+    import csv as _csv
+
+    rows = [
+        ["learning_strategy", "Alignment", "DNA_encoder", "Image_encoder", "Language_encoder",
+         "Epoch", "Latent_space_dim", "Query", "Key", "Metric",
+         "Seen_Order", "Seen_Family", "Seen_Genus", "Seen_Species",
+         "Unseen_Order", "Unseen_Family", "Unseen_Genus", "Unseen_Species"],
+        ["LoRA", "I,D", "bb", "vit", "bert", "50", "768", "Image", "DNA",
+         "Micro_Top-1_acc", "0.9", "0.8", "0.7", "0.6", "0.5", "0.4", "0.3", "0.2"],
+    ]
+    src = tmp_path / "results.csv"
+    with open(src, "w", newline="") as f:
+        _csv.writer(f).writerows(rows)
+    rc = main(["flatten-csv", "--input", str(src), "--out", str(tmp_path / "flat.csv")])
+    assert rc == 0
+    assert (tmp_path / "flat.csv").exists()

@@ -190,3 +190,46 @@ def test_method_nn_end_to_end(rng):
     assert 0.0 <= out["best_threshold"] <= 1.0
     assert out["seen"]["micro_acc"][1]["species"] >= 0.0
     assert out["unseen"]["micro_acc"][1]["species"] >= 0.0
+
+
+def test_method_linear_end_to_end(rng):
+    from clibd_tpu.engine.fusion import method_linear
+    from clibd_tpu.utils.metrics import LEVELS
+
+    d, n_classes = 8, 4
+    # well-separated class prototypes
+    protos = rng.standard_normal((n_classes, d)).astype(np.float32) * 3
+    train_n = 80
+    y = np.arange(train_n) % n_classes
+    train_feats = protos[y] + 0.1 * rng.standard_normal((train_n, d)).astype(np.float32)
+    train_species = np.asarray([f"sp{c}" for c in y], dtype=object)
+    species_to_levels = {
+        f"sp{c}": {"order": f"o{c%2}", "family": f"f{c}", "genus": f"g{c}", "species": f"sp{c}"}
+        for c in range(n_classes)
+    }
+    # seen queries drawn from the same prototypes
+    qy = np.arange(12) % n_classes
+    seen_q = {
+        "image": (protos[qy] + 0.1 * rng.standard_normal((12, d))).astype(np.float32),
+        "dna": rng.standard_normal((12, d)).astype(np.float32),
+    }
+    seen_gt = {lv: np.asarray([species_to_levels[f"sp{c}"][lv] for c in qy], dtype=object) for lv in LEVELS}
+    # unseen side: dna queries match unseen keys exactly
+    unseen_keys = rng.standard_normal((6, d)).astype(np.float32)
+    unseen_labels = {lv: np.asarray([f"u{lv}{i}" for i in range(6)], dtype=object) for lv in LEVELS}
+    unseen_q = {
+        "image": rng.standard_normal((5, d)).astype(np.float32) * 0.01,
+        "dna": unseen_keys[:5],
+    }
+    unseen_gt = {lv: unseen_labels[lv][:5] for lv in LEVELS}
+
+    out = method_linear(
+        train_feats, train_species, seen_q, unseen_q,
+        unseen_keys, unseen_labels, seen_gt, unseen_gt,
+        species_to_levels, max_k=3, k_list=[1, 3], probe_steps=300,
+    )
+    assert 0.0 <= out["best_threshold"] <= 1.0
+    # the linear probe should classify the well-separated seen queries
+    assert out["seen"]["micro_acc"][1]["species"] >= 0.8
+    # and the dna-exact unseen queries should route to search
+    assert out["unseen"]["micro_acc"][1]["species"] >= 0.8
