@@ -113,7 +113,13 @@ class Trainer:
         log_fn: Optional[Callable[[dict], None]] = None,
         num_workers: Optional[int] = None,
         train_labels: Optional[np.ndarray] = None,
+        train_loader=None,
+        eval_loader_factory: Optional[Callable[[str, bool], object]] = None,
     ):
+        """train_loader / eval_loader_factory allow alternate datasets (e.g.
+        INSECT contrastive fine-tune, reference train_cl.py:166-169):
+        eval_loader_factory(split_name, train) must return a loader with
+        batches()/label_dicts()/ids()/close()."""
         self.gcfg = global_cfg
         self.cfg = global_cfg.model_config
         self.hdf5_path = hdf5_path
@@ -138,15 +144,19 @@ class Trainer:
             image_source="image" if cfg.image.input_type == "image" else "image_features",
             dna_source="sequence" if cfg.dna.input_type == "sequence" else "dna_features",
         )
+        self.eval_loader_factory = eval_loader_factory
         nw = global_cfg.pipeline.num_workers if num_workers is None else num_workers
-        self.train_loader = BioscanLoader(
-            hdf5_path, train_split, spec,
-            labels=train_labels,
-            num_workers=nw,
-            prefetch=global_cfg.pipeline.prefetch_batches,
-            seed=cfg.default_seed,
-            use_native=global_cfg.pipeline.use_native_decoder,
-        )
+        if train_loader is not None:
+            self.train_loader = train_loader
+        else:
+            self.train_loader = BioscanLoader(
+                hdf5_path, train_split, spec,
+                labels=train_labels,
+                num_workers=nw,
+                prefetch=global_cfg.pipeline.prefetch_batches,
+                seed=cfg.default_seed,
+                use_native=global_cfg.pipeline.use_native_decoder,
+            )
 
         if params is None:
             params = init_clibd_params(jax.random.PRNGKey(cfg.default_seed), cfg)
@@ -209,7 +219,10 @@ class Trainer:
         )
 
         def run(split, for_key=False):
-            loader = BioscanLoader(self.hdf5_path, split, spec, num_workers=0)
+            if self.eval_loader_factory is not None:
+                loader = self.eval_loader_factory(split, False)
+            else:
+                loader = BioscanLoader(self.hdf5_path, split, spec, num_workers=0)
             out = extract_split(self.params, cfg, loader, for_key_set=for_key, mesh=self.mesh)
             loader.close()
             return out
