@@ -20,11 +20,18 @@ from torch's [out, in] at conversion time).
 from __future__ import annotations
 
 import math
+import os
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Attention implementation: "xla" (einsum chain) or "pallas" (fused VMEM
+# kernel, ops/pallas/attention.py — the faster path on real TPU hardware;
+# Mosaic compilation hangs through this environment's tunneled chip, so XLA
+# is the default).  Override with CLIBD_ATTN_IMPL=pallas.
+ATTENTION_IMPL = os.environ.get("CLIBD_ATTN_IMPL", "xla")
 
 
 def _precision(compute_dtype):
@@ -97,6 +104,16 @@ def fused_qkv_attention(
         return t.reshape(B, N, num_heads, head_dim).transpose(0, 2, 1, 3)
 
     q, k, v = split_heads(q), split_heads(k), split_heads(v)
+
+    if ATTENTION_IMPL == "pallas" and mask_bias is None:
+        from ..ops.pallas.attention import fused_mha
+
+        ctx = fused_mha(q, k, v).astype(compute_dtype)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(B, N, D)
+        out = jnp.dot(ctx, out_w.astype(compute_dtype), preferred_element_type=compute_dtype,
+                      precision=_precision(compute_dtype))
+        return out + out_b.astype(compute_dtype)
+
     prec = _precision(compute_dtype)
     scale = 1.0 / math.sqrt(head_dim)
     # scores materialize in compute_dtype (halves the [B,H,N,N] HBM traffic
