@@ -64,6 +64,14 @@ def gelu(x: jnp.ndarray) -> jnp.ndarray:
     return jax.nn.gelu(x, approximate=False)
 
 
+def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
+    """OpenAI CLIP's QuickGELU: x·sigmoid(1.702x)."""
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+_ACTIVATIONS = {"gelu": gelu, "quick_gelu": quick_gelu}
+
+
 def fused_qkv_attention(
     x: jnp.ndarray,
     qkv_w: jnp.ndarray,
@@ -99,6 +107,10 @@ def fused_qkv_attention(
                      lora["b_v"].astype(jnp.float32), precision=hp)
         q = q + dq.astype(compute_dtype)
         v = v + dv.astype(compute_dtype)
+        if "a_k" in lora:  # q/k/v variant (reference add_lora_layer_to_open_clip)
+            dk = jnp.dot(jnp.dot(x32, lora["a_k"].astype(jnp.float32), precision=hp),
+                         lora["b_k"].astype(jnp.float32), precision=hp)
+            k = k + dk.astype(compute_dtype)
 
     def split_heads(t):
         return t.reshape(B, N, num_heads, head_dim).transpose(0, 2, 1, 3)
@@ -143,6 +155,7 @@ def transformer_stack(
     lora: Optional[dict] = None,
     compute_dtype=jnp.bfloat16,
     remat: bool = False,
+    activation: str = "gelu",
 ) -> jnp.ndarray:
     """Scan a transformer block over stacked per-layer params.
 
@@ -164,8 +177,10 @@ def transformer_stack(
                 compute_dtype=compute_dtype,
             )
 
+        act = _ACTIVATIONS[activation]
+
         def mlp(inp):
-            hmid = gelu(linear({"w": p["fc1_w"], "b": p["fc1_b"]}, inp, compute_dtype))
+            hmid = act(linear({"w": p["fc1_w"], "b": p["fc1_b"]}, inp, compute_dtype))
             return linear({"w": p["fc2_w"], "b": p["fc2_b"]}, hmid, compute_dtype)
 
         ln1 = {"scale": p["ln1_scale"], "bias": p["ln1_bias"]}

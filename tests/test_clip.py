@@ -1,0 +1,190 @@
+"""CLIP towers: parity vs a torch replica (causal text transformer, fused
+in_proj conversion), BPE tokenizer, zero-shot prompt ensembles."""
+
+import gzip
+import math
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from clibd_tpu.models.clip import (
+    CLIPTextConfig,
+    CLIPVisionConfig,
+    clip_normalize,
+    clip_params_from_state_dict,
+    clip_text_apply,
+    clip_vision_apply,
+)
+
+F32 = jnp.float32
+
+
+def build_torch_clip(vcfg, tcfg, seed=0):
+    """Random torch state_dict in open_clip naming + a reference forward."""
+    import torch
+
+    torch.manual_seed(seed)
+    sd = {}
+    D = vcfg.hidden_size
+
+    def resblocks(prefix, L, D, F):
+        for i in range(L):
+            p = f"{prefix}.resblocks.{i}."
+            sd[p + "attn.in_proj_weight"] = torch.randn(3 * D, D) * 0.02
+            sd[p + "attn.in_proj_bias"] = torch.randn(3 * D) * 0.02
+            sd[p + "attn.out_proj.weight"] = torch.randn(D, D) * 0.02
+            sd[p + "attn.out_proj.bias"] = torch.randn(D) * 0.02
+            sd[p + "mlp.c_fc.weight"] = torch.randn(F, D) * 0.02
+            sd[p + "mlp.c_fc.bias"] = torch.randn(F) * 0.02
+            sd[p + "mlp.c_proj.weight"] = torch.randn(D, F) * 0.02
+            sd[p + "mlp.c_proj.bias"] = torch.randn(D) * 0.02
+            sd[p + "ln_1.weight"] = torch.ones(D)
+            sd[p + "ln_1.bias"] = torch.zeros(D)
+            sd[p + "ln_2.weight"] = torch.ones(D)
+            sd[p + "ln_2.bias"] = torch.zeros(D)
+
+    sd["visual.conv1.weight"] = torch.randn(D, 3, vcfg.patch_size, vcfg.patch_size) * 0.02
+    sd["visual.class_embedding"] = torch.randn(D) * 0.02
+    sd["visual.positional_embedding"] = torch.randn(vcfg.seq_len, D) * 0.02
+    sd["visual.ln_pre.weight"] = torch.ones(D)
+    sd["visual.ln_pre.bias"] = torch.zeros(D)
+    resblocks("visual.transformer", vcfg.num_layers, D, vcfg.mlp_dim)
+    sd["visual.ln_post.weight"] = torch.ones(D)
+    sd["visual.ln_post.bias"] = torch.zeros(D)
+    sd["visual.proj"] = torch.randn(D, vcfg.embed_dim) * 0.02
+
+    T = tcfg.hidden_size
+    sd["token_embedding.weight"] = torch.randn(tcfg.vocab_size, T) * 0.02
+    sd["positional_embedding"] = torch.randn(tcfg.context_length, T) * 0.02
+    resblocks("transformer", tcfg.num_layers, T, tcfg.mlp_dim)
+    sd["ln_final.weight"] = torch.ones(T)
+    sd["ln_final.bias"] = torch.zeros(T)
+    sd["text_projection"] = torch.randn(T, tcfg.embed_dim) * 0.02
+    sd["logit_scale"] = torch.tensor(2.659)
+    return sd
+
+
+def torch_clip_text_forward(sd, tcfg, token_ids):
+    import torch
+    import torch.nn.functional as TF
+
+    x = sd["token_embedding.weight"][torch.tensor(token_ids)]
+    x = x + sd["positional_embedding"][: x.shape[1]]
+    N = x.shape[1]
+    mask = torch.triu(torch.full((N, N), float("-inf")), diagonal=1)
+    D = tcfg.hidden_size
+    H = tcfg.num_heads
+    hd = D // H
+    for i in range(tcfg.num_layers):
+        p = f"transformer.resblocks.{i}."
+        h = TF.layer_norm(x, (D,), sd[p + "ln_1.weight"], sd[p + "ln_1.bias"], eps=tcfg.layernorm_eps)
+        qkv = h @ sd[p + "attn.in_proj_weight"].T + sd[p + "attn.in_proj_bias"]
+        q, k, v = qkv.chunk(3, dim=-1)
+        B, N, _ = q.shape
+        sh = lambda t: t.reshape(B, N, H, hd).transpose(1, 2)
+        att = (sh(q) @ sh(k).transpose(-2, -1)) / math.sqrt(hd) + mask
+        att = att.softmax(dim=-1)
+        h = (att @ sh(v)).transpose(1, 2).reshape(B, N, D)
+        h = h @ sd[p + "attn.out_proj.weight"].T + sd[p + "attn.out_proj.bias"]
+        x = x + h
+        h = TF.layer_norm(x, (D,), sd[p + "ln_2.weight"], sd[p + "ln_2.bias"], eps=tcfg.layernorm_eps)
+        h = TF.gelu(h @ sd[p + "mlp.c_fc.weight"].T + sd[p + "mlp.c_fc.bias"])
+        h = h @ sd[p + "mlp.c_proj.weight"].T + sd[p + "mlp.c_proj.bias"]
+        x = x + h
+    x = TF.layer_norm(x, (D,), sd["ln_final.weight"], sd["ln_final.bias"], eps=tcfg.layernorm_eps)
+    eot = torch.tensor(token_ids).argmax(dim=-1)
+    pooled = x[torch.arange(x.shape[0]), eot]
+    return (pooled @ sd["text_projection"]).detach().numpy()
+
+
+@pytest.fixture(scope="module")
+def small_cfgs():
+    vcfg = CLIPVisionConfig(image_size=32, patch_size=8, hidden_size=24, num_layers=2,
+                            num_heads=3, mlp_dim=48, embed_dim=16)
+    tcfg = CLIPTextConfig(vocab_size=100, context_length=12, hidden_size=16,
+                          num_layers=2, num_heads=2, mlp_dim=32, embed_dim=16)
+    return vcfg, tcfg
+
+
+def test_clip_text_parity(small_cfgs):
+    vcfg, tcfg = small_cfgs
+    sd_torch = build_torch_clip(vcfg, tcfg)
+    sd = {k: v.numpy() for k, v in sd_torch.items()}
+    vision, text, logit_scale = clip_params_from_state_dict(sd, vcfg, tcfg)
+    assert abs(logit_scale - 2.659) < 1e-5
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(1, 99, (3, 12))
+    ids[:, -1] = 99  # EOT = max id
+    ref = torch_clip_text_forward(sd_torch, tcfg, ids)
+    ours = np.asarray(clip_text_apply(text, jnp.asarray(ids), tcfg, compute_dtype=F32))
+    np.testing.assert_allclose(ours, ref, atol=1e-4, rtol=1e-3)
+
+
+def test_clip_vision_shapes(small_cfgs):
+    vcfg, tcfg = small_cfgs
+    sd = {k: v.numpy() for k, v in build_torch_clip(vcfg, tcfg).items()}
+    vision, _, _ = clip_params_from_state_dict(sd, vcfg, tcfg)
+    rng = np.random.default_rng(1)
+    imgs = clip_normalize(jnp.asarray(rng.random((2, 32, 32, 3), dtype=np.float32)))
+    out = clip_vision_apply(vision, imgs, vcfg, compute_dtype=F32)
+    assert out.shape == (2, 16)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_clip_tokenizer(tmp_path):
+    from clibd_tpu.data.clip_tokenizer import CLIPTokenizer
+
+    # tiny merges file in the standard format (version header + merges)
+    merges = ["#version: 0.2", "h e", "he l", "hel l", "hell o</w>", "w o", "wo r", "wor l", "worl d</w>"]
+    path = tmp_path / "bpe.txt.gz"
+    with gzip.open(path, "wt", encoding="utf-8") as f:
+        f.write("\n".join(merges))
+    tok = CLIPTokenizer(str(path), context_length=10)
+    out = tok(["hello world", "hello"])
+    assert out.shape == (2, 10)
+    assert out[0, 0] == tok.sot
+    # "hello" fully merges to one token; "world" to one token -> sot,hello,world,eot
+    assert out[0, 3] == tok.eot
+    assert out[1, 2] == tok.eot
+    assert (out[1, 3:] == 0).all()
+    # same word -> same id across calls
+    assert out[0, 1] == tok(["hello"])[0, 1]
+
+
+def test_zero_shot_prompt_ensemble(small_cfgs):
+    from clibd_tpu.engine.zeroshot import (
+        OPENAI_IMAGENET_TEMPLATES,
+        build_class_prototypes,
+        taxon_prompt,
+        zero_shot_classify,
+    )
+
+    assert len(OPENAI_IMAGENET_TEMPLATES) == 80
+    rng = np.random.default_rng(2)
+    class_vecs = {"cat": rng.standard_normal(8), "dog": rng.standard_normal(8)}
+
+    def encode_text(prompts):
+        # deterministic fake encoder keyed on the class name in the prompt
+        out = []
+        for p in prompts:
+            for name, vec in class_vecs.items():
+                if name in p:
+                    out.append(vec + 0.01 * rng.standard_normal(8))
+                    break
+            else:
+                out.append(rng.standard_normal(8))
+        return np.stack(out).astype(np.float32)
+
+    protos = build_class_prototypes(["cat", "dog"], encode_text)
+    assert protos.shape == (2, 8)
+    np.testing.assert_allclose(np.linalg.norm(protos, axis=1), 1.0, atol=1e-5)
+
+    queries = np.stack([class_vecs["dog"], class_vecs["cat"]]).astype(np.float32)
+    names, scores = zero_shot_classify(queries, protos, ["cat", "dog"], max_k=2)
+    assert names[0, 0] == "dog" and names[1, 0] == "cat"
+
+    assert taxon_prompt({"order": "a", "family": "b", "genus": "c", "species": "d"}) == "a b c d"
