@@ -199,6 +199,32 @@ class OptimConfig:
 
 
 @dataclass
+class CLIPBackboneConfig:
+    """OpenCLIP/BioCLIP backbone settings (reference `using_open_clip` /
+    `for_bio_clip`, simple_clip.py:140-147): one CLIP model supplies both the
+    image and text encoders; DNA stays BarcodeBERT."""
+
+    # vision tower (ViT-L/14 defaults)
+    image_size: int = 224
+    patch_size: int = 14
+    vision_hidden: int = 1024
+    vision_layers: int = 24
+    vision_heads: int = 16
+    vision_mlp: int = 4096
+    # text tower
+    vocab_size: int = 49408
+    context_length: int = 77
+    text_hidden: int = 768
+    text_layers: int = 12
+    text_heads: int = 12
+    text_mlp: int = 3072
+    embed_dim: int = 768
+    activation: str = "gelu"  # "quick_gelu" for OpenAI-pretrained weights
+    checkpoint: str = ""  # open_clip state_dict (.pt) or converted .npz
+    bpe_path: str = ""  # CLIP BPE merges file
+
+
+@dataclass
 class ExperimentConfig:
     model_output_name: str = "image_dna_text"
     dataset: str = "bioscan_1m"  # bioscan_1m | bioscan_5m | INSECT
@@ -219,6 +245,11 @@ class ExperimentConfig:
     transform_with_resize: bool = False
     load_ckpt: bool = True
     ckpt_path: str = ""
+
+    # "default" = ViT-B/16 + BERT-small; "open_clip" = CLIP towers for
+    # image+text (reference using_open_clip / for_bio_clip)
+    backbone: str = "default"
+    clip: CLIPBackboneConfig = field(default_factory=CLIPBackboneConfig)
 
     image: ImageModalityConfig = field(default_factory=ImageModalityConfig)
     dna: DNAModalityConfig = field(default_factory=DNAModalityConfig)

@@ -29,10 +29,41 @@ def l2_normalize(x: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
     return x / jnp.maximum(norm, eps)
 
 
+def _clip_configs(cfg: ExperimentConfig):
+    from .clip import CLIPTextConfig, CLIPVisionConfig
+
+    c = cfg.clip
+    vcfg = CLIPVisionConfig(
+        image_size=c.image_size, patch_size=c.patch_size, hidden_size=c.vision_hidden,
+        num_layers=c.vision_layers, num_heads=c.vision_heads, mlp_dim=c.vision_mlp,
+        embed_dim=c.embed_dim, activation=c.activation,
+    )
+    tcfg = CLIPTextConfig(
+        vocab_size=c.vocab_size, context_length=c.context_length,
+        hidden_size=c.text_hidden, num_layers=c.text_layers, num_heads=c.text_heads,
+        mlp_dim=c.text_mlp, embed_dim=c.embed_dim, activation=c.activation,
+    )
+    return vcfg, tcfg
+
+
 def init_clibd_params(rng, cfg: ExperimentConfig) -> dict:
     keys = jax.random.split(rng, 5)
     lora_rank = 0 if cfg.disable_lora else cfg.lora_rank
     params: Dict[str, Any] = {"logit_scale": jnp.asarray(cfg.init_logit_scale, jnp.float32)}
+
+    if cfg.backbone == "open_clip":
+        from .clip import init_clip_text_params, init_clip_vision_params
+
+        vcfg, tcfg = _clip_configs(cfg)
+        if cfg.image.enable:
+            params["clip_vision"] = init_clip_vision_params(keys[0], vcfg, lora_rank=lora_rank)
+        if cfg.language.enable:
+            params["clip_text"] = init_clip_text_params(keys[2], tcfg, lora_rank=lora_rank)
+        if cfg.dna.enable:
+            params["dna_encoder"] = init_bert_params(
+                keys[1], cfg.dna.bert, lora_rank=lora_rank, head_dim=cfg.output_dim
+            )
+        return params
 
     if cfg.image.enable:
         if cfg.image.input_type == "image":
@@ -119,11 +150,23 @@ def clibd_apply(
     is encoded and normalized; logit_scale is returned exp()'d.
     """
     out: Dict[str, Any] = {"image": None, "dna": None, "language": None}
-    if image_input is not None and "image_encoder" in params:
+    if image_input is not None and "clip_vision" in params:
+        from .clip import clip_normalize, clip_vision_apply
+
+        vcfg, _ = _clip_configs(cfg)
+        feats = clip_vision_apply(params["clip_vision"], clip_normalize(image_input), vcfg, compute_dtype)
+        out["image"] = l2_normalize(feats)
+    elif image_input is not None and "image_encoder" in params:
         out["image"] = l2_normalize(encode_image(params, cfg, image_input, compute_dtype, remat))
     if dna_input is not None and "dna_encoder" in params:
         out["dna"] = l2_normalize(encode_dna(params, cfg, dna_input, compute_dtype, remat))
-    if language_input is not None and "language_encoder" in params:
+    if language_input is not None and "clip_text" in params:
+        from .clip import clip_text_apply
+
+        _, tcfg = _clip_configs(cfg)
+        ids = language_input["input_ids"] if isinstance(language_input, dict) else language_input
+        out["language"] = l2_normalize(clip_text_apply(params["clip_text"], ids, tcfg, compute_dtype))
+    elif language_input is not None and "language_encoder" in params:
         out["language"] = l2_normalize(encode_language(params, cfg, language_input, compute_dtype, remat))
     out["logit_scale"] = jnp.exp(params["logit_scale"])
     return out
@@ -150,7 +193,7 @@ def trainable_mask(params: dict, cfg: ExperimentConfig) -> dict:
     mask["logit_scale"] = not cfg.loss.fix_temperature
 
     if not cfg.disable_lora:
-        for enc_key in ("image_encoder", "dna_encoder", "language_encoder"):
+        for enc_key in ("image_encoder", "dna_encoder", "language_encoder", "clip_vision", "clip_text"):
             if enc_key in params and "lora" in params[enc_key]:
                 mask[enc_key]["lora"] = mask_tree(params[enc_key]["lora"], True)
         if "image_encoder" in params and "head" in params["image_encoder"]:
@@ -170,6 +213,8 @@ def trainable_mask(params: dict, cfg: ExperimentConfig) -> dict:
         "image_encoder": cfg.image.freeze,
         "dna_encoder": cfg.dna.freeze,
         "language_encoder": cfg.language.freeze,
+        "clip_vision": cfg.image.freeze,
+        "clip_text": cfg.language.freeze,
     }
     for enc_key, frozen in freeze_flags.items():
         if frozen and enc_key in params:

@@ -188,3 +188,43 @@ def test_zero_shot_prompt_ensemble(small_cfgs):
     assert names[0, 0] == "dog" and names[1, 0] == "cat"
 
     assert taxon_prompt({"order": "a", "family": "b", "genus": "c", "species": "d"}) == "a b c d"
+
+
+def test_clibd_with_open_clip_backbone():
+    from clibd_tpu.config.schema import BertConfig, ExperimentConfig
+    from clibd_tpu.models import init_clibd_params, trainable_mask
+    from clibd_tpu.models.clibd import clibd_apply
+
+    cfg = ExperimentConfig()
+    cfg.backbone = "open_clip"
+    cfg.output_dim = 16
+    c = cfg.clip
+    c.image_size, c.patch_size = 32, 8
+    c.vision_hidden, c.vision_layers, c.vision_heads, c.vision_mlp = 24, 2, 3, 48
+    c.vocab_size, c.context_length = 100, 12
+    c.text_hidden, c.text_layers, c.text_heads, c.text_mlp = 16, 2, 2, 32
+    c.embed_dim = 16
+    cfg.dna.bert = BertConfig(vocab_size=1027, hidden_size=24, num_layers=2,
+                              num_heads=3, intermediate_size=48,
+                              max_position_embeddings=140, with_mlm_head=True)
+
+    params = init_clibd_params(jax.random.PRNGKey(0), cfg)
+    assert "clip_vision" in params and "clip_text" in params and "dna_encoder" in params
+    assert "lora" in params["clip_vision"] and "a_k" in params["clip_vision"]["lora"]
+
+    rng = np.random.default_rng(3)
+    ids = rng.integers(1, 99, (2, 12)); ids[:, -1] = 99
+    out = clibd_apply(
+        params, cfg,
+        image_input=jnp.asarray(rng.random((2, 32, 32, 3), dtype=np.float32)),
+        dna_input=jnp.asarray(rng.integers(0, 1027, (2, 133))),
+        language_input={"input_ids": jnp.asarray(ids)},
+        compute_dtype=F32,
+    )
+    for m in ("image", "dna", "language"):
+        assert out[m].shape == (2, 16)
+        np.testing.assert_allclose(np.linalg.norm(np.asarray(out[m]), axis=1), 1.0, atol=1e-5)
+
+    mask = trainable_mask(params, cfg)
+    assert mask["clip_vision"]["lora"]["a_q"] is True
+    assert mask["clip_vision"]["blocks"]["qkv_w"] is False
