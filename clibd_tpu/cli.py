@@ -57,6 +57,16 @@ def _resolve_params(cfg: GlobalConfig):
             if resolved:
                 print(f"Loading checkpoint: {resolved}")
                 return load_params_any(resolved, mc)
+        # HF Hub fallback (reference simple_clip.py:265-281); requires network
+        try:
+            from huggingface_hub import hf_hub_download
+
+            hf_name = f"ckpt/bioscan_clip/{cfg.version}/{mc.dataset}/{mc.model_output_name}/best.pth"
+            path = hf_hub_download(repo_id=cfg.hf_repo_id, filename=hf_name)
+            print(f"Loaded from hf repo: {cfg.hf_repo_id}/{hf_name}")
+            return load_params_any(path, mc)
+        except Exception:
+            pass
     print("No checkpoint found/requested — using fresh init")
     return init_clibd_params(jax.random.PRNGKey(mc.default_seed), mc)
 
@@ -308,6 +318,40 @@ def cmd_bzsl_extract(args, overrides) -> int:
     return 0
 
 
+def cmd_extract_single(args, overrides) -> int:
+    """Single-record encoder (reference scripts/save_embedding/
+    extract_single_image.py / extract_embedding_for_single_image.py):
+    embed one image file and/or one DNA barcode string."""
+    cfg = _load_cfg(args, overrides)
+    import numpy as np
+
+    from .data.tokenizers import tokenize_dna_batch
+    from .data.transforms import eval_transform
+    from .models.clibd import clibd_apply
+
+    mc = cfg.model_config
+    params = _resolve_params(cfg)
+    image_input = dna_input = None
+    if args.image:
+        with open(args.image, "rb") as f:
+            image_input = eval_transform(f.read())[None]
+    if args.barcode:
+        dna_input = tokenize_dna_batch([args.barcode], k=mc.dna.kmer, max_bp=mc.dna.max_bp)
+    out = clibd_apply(params, mc, image_input=image_input, dna_input=dna_input)
+    result = {}
+    if out["image"] is not None:
+        result["image_embedding"] = np.asarray(out["image"][0]).tolist()
+    if out["dna"] is not None:
+        result["dna_embedding"] = np.asarray(out["dna"][0]).tolist()
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(result, f)
+        print(f"Wrote {args.out}")
+    else:
+        print(json.dumps({k: v[:8] for k, v in result.items()}))
+    return 0
+
+
 def cmd_flatten_csv(args, overrides) -> int:
     from .analysis.tables import flatten_results_csv
 
@@ -407,6 +451,12 @@ def main(argv: Optional[List[str]] = None) -> int:
     common(p_bzsl)
     p_bzsl.add_argument("--batch-size", type=int, default=200)
 
+    p_single = sub.add_parser("extract-single", help="embed one image/barcode (save_embedding/extract_single_image.py)")
+    common(p_single)
+    p_single.add_argument("--image", default=None)
+    p_single.add_argument("--barcode", default=None)
+    p_single.add_argument("--out", default=None)
+
     p_flat = sub.add_parser("flatten-csv", help="flatten results.csv (scripts/flattenCsv.py)")
     p_flat.add_argument("--input", required=True)
     p_flat.add_argument("--out", default="flat.csv")
@@ -432,6 +482,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         "create-splits": cmd_create_splits,
         "build-hdf5": cmd_build_hdf5,
         "bzsl-extract": cmd_bzsl_extract,
+        "extract-single": cmd_extract_single,
         "flatten-csv": cmd_flatten_csv,
         "plot-embeddings": cmd_plot_embeddings,
         "configs": cmd_configs,

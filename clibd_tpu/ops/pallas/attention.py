@@ -13,6 +13,14 @@ padded key columns are masked to -inf before the softmax; padded query rows
 produce garbage that the wrapper slices off.
 
 `interpret=True` keeps the kernel testable on the CPU backend.
+
+STATUS: numerically validated (tests/test_pallas.py); on this environment's
+tunneled v5e chip Mosaic compiles take ~8 min and the generated code lowers
+the [H, N, hd] batched dot_generals poorly (measured ~1s/layer vs ~5ms for
+the XLA einsum path), so layers.ATTENTION_IMPL defaults to "xla".  On
+directly-attached TPU hardware re-profile with CLIBD_ATTN_IMPL=pallas; the
+per-(batch,head) tiling likely needs head-major blocking (grid (B, H) with
+2D [N, hd] tiles) before it wins.
 """
 
 from __future__ import annotations

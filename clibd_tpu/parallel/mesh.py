@@ -19,6 +19,22 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 
 
+def maybe_initialize_distributed() -> None:
+    """Multi-host init (single-controller JAX): call once per process before
+    any backend use when running on a multi-host TPU slice.  Uses the TPU
+    coordinator autodetection; no-ops when unconfigured or already
+    initialized (replaces the reference's MASTER_ADDR/port NCCL rendezvous,
+    train_cl.py:44-48)."""
+    import os
+
+    if os.environ.get("CLIBD_DISABLE_DISTRIBUTED"):
+        return
+    try:
+        jax.distributed.initialize()
+    except Exception:
+        pass  # single-process run or already initialized
+
+
 def create_mesh(devices: Optional[Sequence] = None, axis_name: str = DATA_AXIS) -> Mesh:
     if devices is None:
         devices = jax.devices()

@@ -152,3 +152,22 @@ def test_cli_flatten_csv(tmp_path):
     rc = main(["flatten-csv", "--input", str(src), "--out", str(tmp_path / "flat.csv")])
     assert rc == 0
     assert (tmp_path / "flat.csv").exists()
+
+
+def test_cli_extract_single(tiny_hdf5, tiny_exp_yaml, tmp_path, rng, monkeypatch, capsys):
+    from tests.fixtures import random_jpeg_bytes
+
+    monkeypatch.chdir(tmp_path)
+    img_path = tmp_path / "one.jpg"
+    img_path.write_bytes(random_jpeg_bytes(rng))
+    out_path = tmp_path / "single.json"
+    rc = main([
+        "extract-single", "-e", tiny_exp_yaml,
+        "--image", str(img_path), "--barcode", "ACGT" * 50,
+        "--out", str(out_path),
+    ])
+    assert rc == 0
+    with open(out_path) as f:
+        result = json.load(f)
+    assert len(result["image_embedding"]) == 16
+    assert len(result["dna_embedding"]) == 16
