@@ -83,12 +83,39 @@ def cmd_train(args, overrides) -> int:
     out_dir = args.output_dir or os.path.join(
         cfg.model_output_dir, cfg.model_config.model_output_name
     )
-    eval_on = cfg.inference_and_eval_setting.eval_on
     eval_splits = {
         "keys": "all_keys",
         "seen": "val_seen",
         "unseen": "val_unseen",
     }
+    train_loader = None
+    eval_loader_factory = None
+    if cfg.model_config.dataset == "INSECT":
+        # contrastive fine-tune on INSECT (reference train_cl.py:166-169)
+        from .data.insect import INSECTDataset, INSECTLoader
+        from .data.pipeline import BatchSpec
+
+        mc = cfg.model_config
+
+        def make_loader(split, train):
+            ds = INSECTDataset(
+                cfg.insect_data.path_to_att_splits_mat,
+                cfg.insect_data.path_to_res_101_mat,
+                cfg.insect_data.path_to_image_hdf5,
+                cfg.insect_data.species_to_other,
+                split=split,
+            )
+            spec = BatchSpec(
+                batch_size=mc.batch_size, train=train,
+                with_image=mc.image.enable, with_dna=mc.dna.enable,
+                with_language=False,
+            )
+            return INSECTLoader(ds, spec, seed=mc.default_seed)
+
+        train_loader = make_loader("trainval_loc", True)
+        eval_loader_factory = make_loader
+        eval_splits = {"keys": "trainval_loc", "seen": "test_seen_loc", "unseen": "test_unseen_loc"}
+
     trainer = Trainer(
         cfg,
         hdf5,
@@ -96,6 +123,8 @@ def cmd_train(args, overrides) -> int:
         train_split=args.train_split,
         eval_splits=eval_splits,
         log_fn=print if cfg.debug_flag else None,
+        train_loader=train_loader,
+        eval_loader_factory=eval_loader_factory,
     )
     save_config(cfg, os.path.join(out_dir, "config.yaml"))
     history = trainer.fit(progress=True)
