@@ -75,6 +75,29 @@ def latex_accuracy_table(
     return "\n".join(lines)
 
 
+def summarize_per_class_acc(per_class_acc: Dict, k: int = 1, level: str = "species") -> Dict:
+    """Per-class accuracy digest (reference logs/check_per_class_acc.py +
+    scripts/result per-class analysis): for each query/key combo, the count
+    of perfect / failed classes and the worst performers."""
+    out: Dict = {}
+    for q, by_key in per_class_acc.items():
+        for kt, entry in by_key.items():
+            for split in ("seen", "unseen"):
+                table = entry.get(split, {}).get(k, {}).get(level) or entry.get(split, {}).get(str(k), {}).get(level)
+                if not table:
+                    continue
+                values = sorted(table.items(), key=lambda kv: kv[1])
+                accs = [v for _, v in values]
+                out[f"{q}||{kt}||{split}"] = {
+                    "num_classes": len(accs),
+                    "mean": sum(accs) / len(accs),
+                    "perfect_classes": sum(1 for a in accs if a == 1.0),
+                    "zero_classes": sum(1 for a in accs if a == 0.0),
+                    "worst": values[:10],
+                }
+    return out
+
+
 def dataset_statistics(label_dicts: List[dict]) -> Dict:
     """Per-level class counts + long-tail stats (reference
     scripts/create_statistics_summaries.py core numbers)."""

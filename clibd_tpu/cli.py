@@ -415,6 +415,66 @@ def cmd_plot_embeddings(args, overrides) -> int:
     return 0
 
 
+def cmd_zeroshot(args, overrides) -> int:
+    """CLIP/BioCLIP zero-shot taxonomic classification with prompt ensembles
+    (reference scripts/bioclip/inference_and_eval_with_bioclip.py)."""
+    cfg = _load_cfg(args, overrides)
+    import numpy as np
+
+    from .data.clip_tokenizer import CLIPTokenizer
+    from .data.pipeline import BatchSpec, BioscanLoader
+    from .engine.zeroshot import build_class_prototypes, zero_shot_classify
+    from .models.clibd import _clip_configs
+    from .models.clip import (
+        clip_normalize,
+        clip_params_from_state_dict,
+        clip_text_apply,
+        clip_vision_apply,
+    )
+    from .models.convert import load_params_npz, load_torch_state_dict
+
+    mc = cfg.model_config
+    vcfg, tcfg = _clip_configs(mc)
+    if not mc.clip.checkpoint or not mc.clip.bpe_path:
+        raise SystemExit("zeroshot requires model_config.clip.checkpoint and .bpe_path")
+    sd = load_torch_state_dict(mc.clip.checkpoint)
+    sd.pop("__meta__", None)
+    vision, text, _scale = clip_params_from_state_dict(sd, vcfg, tcfg)
+    tokenizer = CLIPTokenizer(mc.clip.bpe_path, context_length=mc.clip.context_length)
+
+    hdf5 = args.hdf5 or _dataset_hdf5_path(cfg)
+    spec = BatchSpec(batch_size=args.batch_size, train=False, with_dna=False, with_language=False)
+    loader = BioscanLoader(hdf5, args.split, spec, num_workers=cfg.pipeline.num_workers)
+    import jax
+
+    @jax.jit
+    def encode_images(imgs):
+        return clip_vision_apply(vision, clip_normalize(imgs), vcfg)
+
+    feats, labels = [], loader.label_dicts()
+    for batch in loader.batches(shuffle=False):
+        feats.append(np.asarray(encode_images(batch["image"])))
+    loader.close()
+    image_features = np.concatenate(feats)
+
+    level = args.level
+    class_names = sorted({l[level] for l in labels})
+
+    @jax.jit
+    def encode_text_ids(ids):
+        return clip_text_apply(text, ids, tcfg)
+
+    def encode_text(prompts):
+        return np.asarray(encode_text_ids(tokenizer(prompts)))
+
+    protos = build_class_prototypes(class_names, encode_text)
+    preds, _scores = zero_shot_classify(image_features, protos, class_names, max_k=5)
+    gt = np.asarray([l[level] for l in labels], dtype=object)
+    hits = {k: float((preds[:, :k] == gt[:, None]).any(1).mean()) for k in (1, 3, 5)}
+    print(json.dumps({"level": level, "top_k_micro_acc": hits, "num_classes": len(class_names)}))
+    return 0
+
+
 def cmd_configs(args, overrides) -> int:
     from .config import available_configs
 
@@ -498,6 +558,12 @@ def main(argv: Optional[List[str]] = None) -> int:
     p_plot.add_argument("--group", default="key", choices=["seen", "unseen", "key"])
     p_plot.add_argument("--out", default="plots")
 
+    p_zs = sub.add_parser("zeroshot", help="CLIP/BioCLIP zero-shot eval (scripts/bioclip/)")
+    common(p_zs)
+    p_zs.add_argument("--split", default="test_seen")
+    p_zs.add_argument("--level", default="species")
+    p_zs.add_argument("--batch-size", type=int, default=64)
+
     sub.add_parser("configs", help="list bundled experiment configs")
     sub.add_parser("bench", help="run the throughput microbenchmark")
 
@@ -512,6 +578,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         "build-hdf5": cmd_build_hdf5,
         "bzsl-extract": cmd_bzsl_extract,
         "extract-single": cmd_extract_single,
+        "zeroshot": cmd_zeroshot,
         "flatten-csv": cmd_flatten_csv,
         "plot-embeddings": cmd_plot_embeddings,
         "configs": cmd_configs,

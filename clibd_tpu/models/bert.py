@@ -80,12 +80,13 @@ def bert_encode(
     """→ last hidden states [B, N, D]."""
     B, N = input_ids.shape
     emb = params["embeddings"]
-    x = emb["word"][input_ids]
-    x = x + emb["position"][:N][None, :, :]
+    x = jnp.asarray(emb["word"])[input_ids]
+    x = x + jnp.asarray(emb["position"])[:N][None, :, :]
+    token_type_table = jnp.asarray(emb["token_type"])
     if token_type_ids is None:
-        x = x + emb["token_type"][0][None, None, :]
+        x = x + token_type_table[0][None, None, :]
     else:
-        x = x + emb["token_type"][token_type_ids]
+        x = x + token_type_table[token_type_ids]
     x = layernorm(emb["ln"], x.astype(jnp.float32), cfg.layernorm_eps).astype(compute_dtype)
 
     mask_bias = None

@@ -126,8 +126,8 @@ def clip_text_apply(params: dict, token_ids: jnp.ndarray, cfg: CLIPTextConfig,
                     compute_dtype=jnp.bfloat16) -> jnp.ndarray:
     """token_ids: [B, 77] int (BPE, 0-padded, EOT = max id in each row)."""
     B, N = token_ids.shape
-    x = params["token_embedding"][token_ids].astype(compute_dtype)
-    x = x + params["pos_embed"][:N].astype(compute_dtype)[None]
+    x = jnp.asarray(params["token_embedding"])[token_ids].astype(compute_dtype)
+    x = x + jnp.asarray(params["pos_embed"])[:N].astype(compute_dtype)[None]
     x = transformer_stack(
         params["blocks"], x, num_heads=cfg.num_heads, pre_ln=True,
         ln_eps=cfg.layernorm_eps, mask_bias=causal_mask_bias(N),

@@ -1,0 +1,88 @@
+import gzip
+import json
+
+import h5py
+import numpy as np
+
+
+def test_subset_hdf5(tiny_hdf5, tmp_path):
+    from clibd_tpu.data.subset import subset_hdf5
+
+    dst = str(tmp_path / "small.hdf5")
+    subset_hdf5(tiny_hdf5, dst, {"no_split_and_seen_train": 5})
+    with h5py.File(dst) as f:
+        assert len(f["no_split_and_seen_train"]["image"]) == 5
+        assert len(f["no_split_and_seen_train"]["barcode"]) == 5
+        assert len(f["all_keys"]["image"]) == 12  # untouched
+
+
+def test_summarize_per_class_acc():
+    from clibd_tpu.analysis.tables import summarize_per_class_acc
+
+    per_class = {
+        "encoded_image_feature": {
+            "encoded_dna_feature": {
+                "seen": {1: {"species": {"a": 1.0, "b": 0.0, "c": 0.5}}},
+                "unseen": {1: {"species": {"d": 0.25}}},
+            }
+        }
+    }
+    out = summarize_per_class_acc(per_class)
+    key = "encoded_image_feature||encoded_dna_feature||seen"
+    assert out[key]["num_classes"] == 3
+    assert out[key]["perfect_classes"] == 1
+    assert out[key]["zero_classes"] == 1
+    assert out[key]["worst"][0] == ("b", 0.0)
+
+
+def test_cli_zeroshot(tiny_hdf5, tmp_path, monkeypatch):
+    """End-to-end zero-shot CLI with a tiny random CLIP checkpoint."""
+    import torch
+
+    import sys
+    sys.path.insert(0, "tests")
+    from test_clip import build_torch_clip
+
+    from clibd_tpu.cli import main
+    from clibd_tpu.models.clip import CLIPTextConfig, CLIPVisionConfig
+
+    vcfg = CLIPVisionConfig(image_size=224, patch_size=32, hidden_size=24,
+                            num_layers=1, num_heads=3, mlp_dim=48, embed_dim=16)
+    tcfg = CLIPTextConfig(vocab_size=49408, context_length=16, hidden_size=16,
+                          num_layers=1, num_heads=2, mlp_dim=32, embed_dim=16)
+    sd = build_torch_clip(vcfg, tcfg)
+    ckpt = tmp_path / "clip.pt"
+    torch.save(sd, str(ckpt))
+
+    merges = ["#version: 0.2", "d i", "di p", "dip t"]
+    bpe = tmp_path / "bpe.txt.gz"
+    with gzip.open(bpe, "wt", encoding="utf-8") as f:
+        f.write("\n".join(merges))
+
+    exp = tmp_path / "exp.yaml"
+    exp.write_text(f"""
+backbone: open_clip
+dataset: bioscan_1m
+batch_size: 6
+load_ckpt: false
+clip:
+  image_size: 224
+  patch_size: 32
+  vision_hidden: 24
+  vision_layers: 1
+  vision_heads: 3
+  vision_mlp: 48
+  context_length: 16
+  text_hidden: 16
+  text_layers: 1
+  text_heads: 2
+  text_mlp: 32
+  embed_dim: 16
+  checkpoint: {ckpt}
+  bpe_path: {bpe}
+""")
+    monkeypatch.chdir(tmp_path)
+    rc = main(["zeroshot", "-e", str(exp), "--hdf5", tiny_hdf5,
+               "--split", "test_seen", "--level", "order",
+               "pipeline.num_workers=0"])
+    assert rc == 0
