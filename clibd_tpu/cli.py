@@ -127,7 +127,13 @@ def cmd_train(args, overrides) -> int:
         eval_loader_factory=eval_loader_factory,
     )
     save_config(cfg, os.path.join(out_dir, "config.yaml"))
-    history = trainer.fit(progress=True)
+    start_epoch = 0
+    if args.resume:
+        resume_dir = args.resume if args.resume is not True else os.path.join(out_dir, "last")
+        if os.path.exists(os.path.join(str(resume_dir), "params.npz")):
+            start_epoch = trainer.resume(str(resume_dir))
+            print(f"Resumed from {resume_dir} at epoch {start_epoch}")
+    history = trainer.fit(progress=True, start_epoch=start_epoch)
     trainer.close()
     print(json.dumps({"best_epoch": history["best_epoch"], "final_loss": history["loss"][-1] if history["loss"] else None}))
     return 0
@@ -188,6 +194,29 @@ def cmd_eval(args, overrides) -> int:
         keys_dict, seen_dict, unseen_dict, k_list=k_list,
         query_chunk=cfg.inference_and_eval_setting.knn_query_chunk,
     )
+
+    if cfg.inference_and_eval_setting.retrieve_images:
+        from .engine.retrieval_grid import retrieve_images
+
+        rs = cfg.inference_and_eval_setting.retrieve_settings
+        retrieve_images(
+            os.path.join(folder, "retrieval"),
+            hdf5, f"{eval_on}_seen", "all_keys",
+            seen_dict["encoded_image_feature"], keys_dict["encoded_image_feature"],
+            seen_dict["label_list"], keys_dict["label_list"],
+            num_queries=rs.num_queries, max_k=rs.max_k, seed=rs.seed,
+        )
+    if cfg.inference_and_eval_setting.plot_embeddings:
+        from .analysis.plots import generate_embedding_plot
+
+        generate_embedding_plot(
+            os.path.join(folder, "plots"),
+            keys_dict.get("encoded_image_feature"),
+            keys_dict.get("encoded_dna_feature"),
+            keys_dict.get("encoded_language_feature"),
+            keys_dict["label_list"],
+            embeddings_filters=dict(cfg.inference_and_eval_setting.embeddings_filters),
+        )
     alignment = "I"
     if mc.dna.enable:
         alignment += ",D"
@@ -504,6 +533,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     common(p_train)
     p_train.add_argument("--output-dir", default=None)
     p_train.add_argument("--train-split", default="no_split_and_seen_train")
+    p_train.add_argument("--resume", nargs="?", const=True, default=None,
+                         help="resume from checkpoint dir (default: <output>/last)")
 
     p_eval = sub.add_parser("eval", help="extract + retrieval eval (inference_and_eval.py)")
     common(p_eval)

@@ -233,10 +233,23 @@ class Trainer:
         acc_dict, _, _ = inference_and_eval(keys_dict, seen_dict, unseen_dict)
         return acc_dict
 
-    def fit(self, progress: bool = False) -> dict:
+    def resume(self, directory: str) -> int:
+        """Restore params + optimizer state + step from a checkpoint dir
+        (true resume — the reference only reloads params, SURVEY.md §5.4).
+        Returns the epoch to continue from."""
+        from .checkpoint import load_train_state
+
+        donor = self.optimizer.init(jax.device_get(self.params))
+        params, opt_state, meta = load_train_state(directory, opt_state_like=donor)
+        self.params = replicate(self.mesh, params)
+        self.opt_state = replicate(self.mesh, opt_state if opt_state is not None else donor)
+        self.global_step = int(meta.get("step", 0))
+        return int(meta.get("epoch", -1)) + 1
+
+    def fit(self, progress: bool = False, start_epoch: int = 0) -> dict:
         cfg = self.cfg
         history = {"loss": [], "overall_acc": [], "best_epoch": None}
-        for epoch in range(cfg.epochs):
+        for epoch in range(start_epoch, cfg.epochs):
             if self.stop_flag:
                 break
             mean_loss = self.train_epoch(epoch, progress=progress)
