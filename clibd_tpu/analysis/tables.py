@@ -5,8 +5,7 @@ harmonic mean, and results.csv flattening."""
 from __future__ import annotations
 
 import csv
-import os
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Sequence
 
 from ..utils.metrics import LEVELS, harmonic_mean
 

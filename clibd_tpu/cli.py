@@ -460,7 +460,7 @@ def cmd_zeroshot(args, overrides) -> int:
         clip_text_apply,
         clip_vision_apply,
     )
-    from .models.convert import load_params_npz, load_torch_state_dict
+    from .models.convert import load_torch_state_dict
 
     mc = cfg.model_config
     vcfg, tcfg = _clip_configs(mc)

@@ -12,7 +12,7 @@ skipped with a warning (reference generate_hdf5_file_5m.py:79-86).
 from __future__ import annotations
 
 import os
-from typing import Dict, Iterable, List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence
 
 import h5py
 import numpy as np

@@ -7,7 +7,6 @@ from __future__ import annotations
 
 import gzip
 import html
-import os
 import re
 from functools import lru_cache
 from typing import Dict, Iterable, List

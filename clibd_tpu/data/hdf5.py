@@ -14,8 +14,7 @@ host needs to keep a TPU fed.
 
 from __future__ import annotations
 
-import io
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional
 
 import h5py
 import numpy as np

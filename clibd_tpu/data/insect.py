@@ -11,7 +11,6 @@ become 'not_classified', dataset.py:912-947).  Text input is
 
 from __future__ import annotations
 
-import io
 import json
 from typing import Dict, Iterator, List, Optional
 

@@ -20,13 +20,13 @@ import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass
-from typing import Dict, Iterator, List, Optional
+from typing import Iterator, List, Optional
 
 import numpy as np
 
 from .hdf5 import BioscanSplit
 from .tokenizers import tokenize_dna_batch
-from .transforms import decode_jpeg, eval_transform, train_transform
+from .transforms import eval_transform, train_transform
 
 
 @dataclass

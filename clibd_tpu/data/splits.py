@@ -11,7 +11,7 @@ to pretrain.  Overlap assertions reproduce the reference's validation.
 from __future__ import annotations
 
 from decimal import Decimal
-from typing import Dict, List, Optional, Sequence
+from typing import List, Optional, Sequence
 
 import numpy as np
 import pandas as pd

@@ -5,7 +5,7 @@ other splits intact — the `train_with_small_subset` input."""
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence
+from typing import Dict
 
 import h5py
 import numpy as np

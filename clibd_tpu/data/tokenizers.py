@@ -21,9 +21,8 @@ per sequence.
 
 from __future__ import annotations
 
-import os
 import unicodedata
-from typing import Iterable, List, Optional, Sequence
+from typing import Iterable, List, Sequence
 
 import numpy as np
 

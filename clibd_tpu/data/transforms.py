@@ -24,7 +24,7 @@ from __future__ import annotations
 import functools
 import io
 import math
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 

@@ -21,11 +21,9 @@ import numpy as np
 
 from ..models.convert import (
     clibd_params_from_reference_checkpoint,
-    flatten_pytree,
     load_params_npz,
     load_torch_state_dict,
     save_params_npz,
-    unflatten_pytree,
 )
 
 

@@ -15,7 +15,6 @@ from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
-from ..config.schema import GlobalConfig
 from ..ops.knn import knn_search
 from ..utils.metrics import (
     LEVELS,

@@ -12,21 +12,20 @@ bit-for-bit in schema (scripts/inference_and_eval.py:535-667).
 
 from __future__ import annotations
 
-import functools
 import json
 import os
 import time
-from typing import Dict, List, Optional
+from typing import Dict
 
 import h5py
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config.schema import ExperimentConfig, GlobalConfig
+from ..config.schema import ExperimentConfig
 from ..data.pipeline import BioscanLoader
 from ..models.clibd import clibd_apply
-from ..parallel.mesh import create_mesh, data_sharding, pad_to_multiple, replicate, shard_batch
+from ..parallel.mesh import create_mesh, pad_to_multiple, replicate, shard_batch
 
 ALL_TYPE_OF_FEATURES_OF_QUERY = [
     "encoded_image_feature",

@@ -5,7 +5,7 @@ encoder (image or DNA) with an extra linear classifier head, top-k eval.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, List, Optional, Sequence
+from typing import Dict, List, Sequence
 
 import jax
 import jax.numpy as jnp

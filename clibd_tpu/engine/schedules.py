@@ -8,8 +8,7 @@ is applied by the caller before building the schedule.
 
 from __future__ import annotations
 
-import math
-from typing import Callable, Optional
+from typing import Callable
 
 import jax.numpy as jnp
 

@@ -15,7 +15,6 @@ matching the reference's save scheme (simclr.py:16-23,157-164).
 from __future__ import annotations
 
 import os
-import time
 from typing import Callable, Optional
 
 import jax
@@ -28,7 +27,6 @@ from ..data.pipeline import BatchSpec, BioscanLoader
 from ..models.vit import init_vit_params, vit_apply
 from ..ops.color import simclr_augment
 from ..ops.loss import simclr_loss
-from ..parallel.mesh import create_mesh, pad_to_multiple, replicate, shard_batch
 from .checkpoint import save_train_state
 
 

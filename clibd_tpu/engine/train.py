@@ -15,9 +15,8 @@ broadcasts disappear (single-controller JAX).
 
 from __future__ import annotations
 
-import functools
 import time
-from typing import Callable, Dict, Optional
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

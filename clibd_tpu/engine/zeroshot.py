@@ -7,11 +7,9 @@ similarity to the class prototypes.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, List, Optional, Sequence
+from typing import Callable, List, Sequence
 
 import numpy as np
-
-from ..models.clibd import l2_normalize
 
 # The OpenAI CLIP ImageNet prompt-template ensemble used by the reference's
 # BioCLIP baseline (inference_and_eval_with_bioclip.py).
@@ -58,8 +56,6 @@ def build_class_prototypes(
 ) -> np.ndarray:
     """→ [num_classes, D] L2-normalized prototypes: mean over the template
     ensemble of normalized per-prompt embeddings."""
-    import jax.numpy as jnp
-
     protos = []
     for name in class_names:
         prompts = [t.format(name) for t in templates]

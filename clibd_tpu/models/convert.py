@@ -21,9 +21,7 @@ permutes to the (h,w,c)-flattened matmul layout used by vit.patchify.
 
 from __future__ import annotations
 
-import io
 import os
-import zipfile
 from typing import Dict, Optional
 
 import numpy as np

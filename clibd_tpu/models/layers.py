@@ -25,7 +25,6 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 # Attention implementation: "xla" (einsum chain) or "pallas" (fused VMEM
 # kernel, ops/pallas/attention.py — the faster path on real TPU hardware;

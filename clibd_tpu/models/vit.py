@@ -14,8 +14,6 @@ Input is NHWC float (normalized upstream).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

@@ -130,8 +130,6 @@ def simclr_augment(key, images, size: int = 224, jitter_strength: float = 1.0):
     """Device-side tail of the SimCLR view pipeline: the host supplies
     random-resized-crop'd [B, size, size, 3] images; this applies
     hflip → color jitter → grayscale → blur (reference order)."""
-    from .augment import random_flips
-
     k1, k2, k3, k4 = jax.random.split(key, 4)
     B = images.shape[0]
     do_h = jax.random.uniform(k1, (B, 1, 1, 1)) < 0.5

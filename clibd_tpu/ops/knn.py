@@ -15,7 +15,7 @@ one compiled program), and can additionally be sharded over the device mesh
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -28,7 +28,6 @@ local rows against the gathered columns — same optimum, less HBM).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Dict, Optional
 
 import jax

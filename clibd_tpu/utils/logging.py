@@ -8,8 +8,6 @@ from __future__ import annotations
 import json
 import os
 import time
-from typing import Optional
-
 
 class RunLogger:
     """wandb-like interface: init-once, .log(dict), .finish()."""
