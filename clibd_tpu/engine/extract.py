@@ -90,17 +90,28 @@ def extract_split(
     feats = {"image": [], "dna": [], "language": []}
     t0 = time.time()
     total = 0
+    pending = None  # one-step-delayed fetch: device computes batch i+1 while
+    # the host materializes batch i (async dispatch keeps the TPU busy)
+
+    def drain(item):
+        out, n = item
+        for k, v in out.items():
+            feats[k].append(np.asarray(v[:n], np.float32))
+
     for batch in loader.batches(epoch=0, shuffle=False):
         model_batch = {k: batch[k] for k in ("image", "dna", "language") if k in batch}
         padded, n = pad_to_multiple(model_batch, n_dev)
         padded = shard_batch(mesh, padded)
         out = step(params, padded)
         total += n
-        for k, v in out.items():
-            feats[k].append(np.asarray(v[:n], np.float32))
+        if pending is not None:
+            drain(pending)
+        pending = (out, n)
         if progress:
             dt = time.time() - t0
             print(f"\rencoded {total} samples ({total/max(dt,1e-9):.1f}/s)", end="")
+    if pending is not None:
+        drain(pending)
     if progress:
         print()
 
@@ -230,3 +241,47 @@ def save_embedding_export(path: str, split_dict: Dict, compress: bool = True) ->
         f.create_dataset(
             "file_name", data=np.array([s.encode() for s in split_dict["file_name_list"]]), **kw
         )
+
+
+class AppendableEmbeddingWriter:
+    """Batch-resizable gzip HDF5 embedding writer (reference
+    scripts/save_embedding/extract_embedding_for_backend.py): datasets are
+    created with unlimited maxshape and appended per batch, so 5M-scale
+    exports stream without holding everything in RAM."""
+
+    def __init__(self, path: str, feature_dim: int, compress: bool = True):
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        self.file = h5py.File(path, "w")
+        kw = {"compression": "gzip"} if compress else {}
+        self.kw = kw
+        self.feature_dim = feature_dim
+        self._n = 0
+        self._datasets: Dict[str, h5py.Dataset] = {}
+
+    def _ensure(self, name: str, shape_tail, dtype):
+        if name not in self._datasets:
+            self._datasets[name] = self.file.create_dataset(
+                name, shape=(0, *shape_tail), maxshape=(None, *shape_tail),
+                dtype=dtype, chunks=True, **self.kw,
+            )
+        return self._datasets[name]
+
+    def append(self, features: Dict[str, np.ndarray], label_dicts, file_names) -> None:
+        n = len(file_names)
+        for t, arr in features.items():
+            if arr is None:
+                continue
+            ds = self._ensure(t, (arr.shape[1],), np.float32)
+            ds.resize(ds.shape[0] + n, axis=0)
+            ds[-n:] = arr
+        for level in ("order", "family", "genus", "species"):
+            ds = self._ensure(f"{level}_list", (), h5py.string_dtype())
+            ds.resize(ds.shape[0] + n, axis=0)
+            ds[-n:] = [l[level] for l in label_dicts]
+        ds = self._ensure("file_name", (), h5py.string_dtype())
+        ds.resize(ds.shape[0] + n, axis=0)
+        ds[-n:] = list(file_names)
+        self._n += n
+
+    def close(self):
+        self.file.close()

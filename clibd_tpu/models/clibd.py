@@ -70,6 +70,11 @@ def init_clibd_params(rng, cfg: ExperimentConfig) -> dict:
             params["image_encoder"] = init_vit_params(
                 keys[0], cfg.image.vit, output_dim=cfg.output_dim, lora_rank=lora_rank
             )
+            if cfg.image.simclr_ckpt_path:
+                # SimCLR-pretrained backbone (reference simple_clip.py:157-166)
+                params["image_encoder"] = load_simclr_vit_backbone(
+                    cfg.image.simclr_ckpt_path, params["image_encoder"], cfg
+                )
         else:
             params["image_encoder"] = init_mlp_encoder_params(
                 keys[0], cfg.image.input_dim, cfg.image.hidden_dim, cfg.output_dim
@@ -91,6 +96,30 @@ def init_clibd_params(rng, cfg: ExperimentConfig) -> dict:
             keys[3], cfg.language.bert.hidden_size, cfg.output_dim
         )
     return params
+
+
+def load_simclr_vit_backbone(path: str, init_params: dict, cfg: ExperimentConfig) -> dict:
+    """Load SimCLR-pretrained ViT weights into the image encoder, keeping the
+    freshly-initialized head/LoRA (reference: load timm state_dict with
+    'module.' stripping, then reset_classifier — simple_clip.py:157-166)."""
+    import os
+
+    from .convert import load_params_npz, load_torch_state_dict, strip_module_prefix, vit_params_from_timm_state_dict
+
+    if os.path.isdir(path):
+        loaded = load_params_npz(os.path.join(path, "params.npz"))
+    elif path.endswith(".npz"):
+        loaded = load_params_npz(path)
+    else:
+        sd = load_torch_state_dict(path)
+        sd.pop("__meta__", None)
+        sd = strip_module_prefix(sd)
+        loaded = vit_params_from_timm_state_dict(sd, cfg.image.vit, output_dim=cfg.output_dim)
+    out = dict(init_params)
+    for key in ("patch_embed", "cls_token", "pos_embed", "blocks", "norm"):
+        if key in loaded:
+            out[key] = loaded[key]
+    return out
 
 
 def encode_image(params: dict, cfg: ExperimentConfig, image_input, compute_dtype=jnp.bfloat16, remat=False):

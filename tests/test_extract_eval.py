@@ -197,3 +197,51 @@ def test_self_retrieval_sanity(tiny_hdf5_module, tiny_cfg):
     loader.close()
     acc_dict, _, _ = inference_and_eval(d, d, d, k_list=[1])
     assert acc_dict["encoded_image_feature"]["encoded_image_feature"]["seen"]["micro_acc"][1]["species"] == 1.0
+
+
+def test_appendable_embedding_writer(tmp_path, rng):
+    import h5py
+
+    from clibd_tpu.engine.extract import AppendableEmbeddingWriter
+
+    path = str(tmp_path / "stream.hdf5")
+    w = AppendableEmbeddingWriter(path, feature_dim=8)
+    for i in range(3):
+        feats = {"encoded_image_feature": rng.standard_normal((4, 8)).astype(np.float32)}
+        labels = [{"order": "o", "family": "f", "genus": "g", "species": f"s{i}"}] * 4
+        w.append(feats, labels, [f"id{i}_{j}" for j in range(4)])
+    w.close()
+    with h5py.File(path) as f:
+        assert f["encoded_image_feature"].shape == (12, 8)
+        assert f["species_list"].shape == (12,)
+        assert f["file_name"][0].decode() == "id0_0"
+
+
+def test_simclr_backbone_loading(tmp_path, tiny_cfg):
+    from clibd_tpu.engine.checkpoint import save_train_state
+    from clibd_tpu.models import init_clibd_params
+    from clibd_tpu.models.vit import init_vit_params
+
+    # save a "pretrained" ViT as an npz train state
+    pre = init_vit_params(jax.random.PRNGKey(9), tiny_cfg.image.vit, output_dim=tiny_cfg.output_dim)
+    d = str(tmp_path / "simclr_best")
+    save_train_state(d, jax.tree.map(np.asarray, pre))
+
+    tiny_cfg.image.simclr_ckpt_path = d
+    params = init_clibd_params(jax.random.PRNGKey(0), tiny_cfg)
+    tiny_cfg.image.simclr_ckpt_path = None
+    fresh = init_clibd_params(jax.random.PRNGKey(0), tiny_cfg)
+    # backbone weights come from the pretrained ckpt...
+    np.testing.assert_array_equal(
+        np.asarray(params["image_encoder"]["blocks"]["qkv_w"]),
+        np.asarray(pre["blocks"]["qkv_w"]),
+    )
+    # ...but differ from the fresh init, while LoRA stays freshly initialized
+    assert np.abs(
+        np.asarray(params["image_encoder"]["blocks"]["qkv_w"])
+        - np.asarray(fresh["image_encoder"]["blocks"]["qkv_w"])
+    ).max() > 0
+    np.testing.assert_array_equal(
+        np.asarray(params["image_encoder"]["lora"]["a_q"]),
+        np.asarray(fresh["image_encoder"]["lora"]["a_q"]),
+    )
