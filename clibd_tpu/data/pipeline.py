@@ -43,6 +43,10 @@ class BatchSpec:
     long_edge_eval: bool = False  # `transform_with_resize` variant
     image_source: str = "image"  # "image" (jpeg) | "image_features"
     dna_source: str = "sequence"  # "sequence" | "dna_features"
+    # optional callable(texts)->[B, ctx] ids for CLIP-backbone text (BPE at
+    # batch time, reference SimpleCLIP open_clip path); None = the HDF5's
+    # pre-tokenized BERT language_tokens_*
+    clip_tokenizer: object = None
 
 
 class Batch(dict):
@@ -161,7 +165,11 @@ class BioscanLoader:
                 out["dna"] = self.split_reader.features("dna_features", indices)
 
         if spec.with_language:
-            out["language"] = self.split_reader.language_tokens(indices)
+            if spec.clip_tokenizer is not None:
+                texts = self.split_reader.taxonomy_strings(indices)
+                out["language"] = {"input_ids": np.asarray(spec.clip_tokenizer(texts), np.int32)}
+            else:
+                out["language"] = self.split_reader.language_tokens(indices)
         return out
 
     def batches(self, epoch: int = 0, shuffle: Optional[bool] = None) -> Iterator[Batch]:

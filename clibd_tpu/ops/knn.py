@@ -68,6 +68,20 @@ def knn_search(
     return np.asarray(sims), np.asarray(idx)
 
 
+def find_k_closest_records(
+    query_feature: np.ndarray,
+    keys_feature: np.ndarray,
+    key_file_names,
+    k: int = 5,
+    query_chunk: int = 4096,
+):
+    """File-name lookups for retrieval figures (reference util/util.py:224-234
+    find_k_closest_records): → (names [N,k] object array, similarities)."""
+    sims, indices = knn_search(query_feature, keys_feature, k=k, query_chunk=query_chunk)
+    names = np.asarray(key_file_names, dtype=object)[indices]
+    return names, sims
+
+
 def make_prediction(
     query_feature: np.ndarray,
     keys_feature: np.ndarray,

@@ -178,3 +178,15 @@ def test_step_timer():
     s = t.summary(batch_size=10)
     assert s["steps_timed"] == 3
     assert s["samples_per_sec_per_chip"] > 0
+
+
+def test_profile_trace_smoke(tmp_path):
+    import jax.numpy as jnp
+
+    from clibd_tpu.utils.profiling import device_memory_stats, profile_trace
+
+    with profile_trace(str(tmp_path / "trace")):
+        _ = jnp.ones((8, 8)) @ jnp.ones((8, 8))
+    assert (tmp_path / "trace").exists()
+    stats = device_memory_stats()
+    assert isinstance(stats, list)

@@ -98,3 +98,17 @@ def test_loader_custom_labels(tiny_hdf5):
     b = next(iter(loader.batches()))
     np.testing.assert_array_equal(b["label"], labels[b["index"]])
     loader.close()
+
+
+def test_loader_with_clip_tokenizer(tiny_hdf5):
+    import numpy as np
+
+    def fake_clip_tok(texts):
+        return np.full((len(texts), 7), 42, dtype=np.int32)
+
+    spec = BatchSpec(batch_size=4, train=False, clip_tokenizer=fake_clip_tok)
+    loader = BioscanLoader(tiny_hdf5, "all_keys", spec, num_workers=0)
+    b = next(iter(loader.batches()))
+    assert set(b["language"].keys()) == {"input_ids"}
+    assert b["language"]["input_ids"].shape == (4, 7)
+    loader.close()

@@ -41,3 +41,15 @@ def test_make_prediction_labels(rng):
         assert idx[i, 0] == i
         assert preds[i]["species"][0] == f"s{i}"
         assert sims[i, 0] > 0.999
+
+
+def test_find_k_closest_records(rng):
+    from clibd_tpu.ops.knn import find_k_closest_records
+
+    q = rng.standard_normal((3, 8)).astype(np.float32)
+    keys = np.concatenate([q, rng.standard_normal((10, 8)).astype(np.float32)])
+    names = [f"file{i}.jpg" for i in range(len(keys))]
+    got, sims = find_k_closest_records(q, keys, names, k=2)
+    assert got.shape == (3, 2)
+    for i in range(3):
+        assert got[i, 0] == f"file{i}.jpg"
