@@ -88,6 +88,18 @@ def cmd_train(args, overrides) -> int:
         "seen": "val_seen",
         "unseen": "val_unseen",
     }
+    logger = None
+    log_fn = print if cfg.debug_flag else None
+    if cfg.activate_wandb:
+        from .utils.logging import RunLogger
+
+        logger = RunLogger(
+            project=f"CLIBD-{cfg.model_config.dataset}",
+            name=cfg.model_config.model_output_name,
+            output_dir="logs",
+        )
+        log_fn = logger.log
+
     train_loader = None
     eval_loader_factory = None
     if cfg.model_config.dataset == "INSECT":
@@ -122,7 +134,7 @@ def cmd_train(args, overrides) -> int:
         output_dir=out_dir,
         train_split=args.train_split,
         eval_splits=eval_splits,
-        log_fn=print if cfg.debug_flag else None,
+        log_fn=log_fn,
         train_loader=train_loader,
         eval_loader_factory=eval_loader_factory,
     )
@@ -135,6 +147,8 @@ def cmd_train(args, overrides) -> int:
             print(f"Resumed from {resume_dir} at epoch {start_epoch}")
     history = trainer.fit(progress=True, start_epoch=start_epoch)
     trainer.close()
+    if logger is not None:
+        logger.finish()
     print(json.dumps({"best_epoch": history["best_epoch"], "final_loss": history["loss"][-1] if history["loss"] else None}))
     return 0
 

@@ -236,6 +236,10 @@ class ExperimentConfig:
     disable_lora: bool = False  # True = full fine-tune (final recipes)
     lora_rank: int = 4
     amp: bool = True  # bf16 compute
+    # rematerialize transformer blocks in the backward pass (jax.checkpoint)
+    # — trades ~30% step FLOPs for O(layers) activation memory; needed for
+    # the reference's batch-500 recipes on 16GB v5e HBM
+    remat: bool = True
     random_seed: bool = False
     default_seed: int = 42
     using_train_seen_for_pre_train: bool = True

@@ -72,6 +72,7 @@ def make_train_step(
             dna_input=batch.get("dna"),
             language_input=batch.get("language"),
             compute_dtype=compute_dtype,
+            remat=cfg.remat,
         )
         # fix_temperature → literal 1/0.07 (reference train_epoch.py:55-56)
         logit_scale = (1.0 / 0.07) if cfg.loss.fix_temperature else out["logit_scale"]
