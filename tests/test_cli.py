@@ -171,3 +171,21 @@ def test_cli_extract_single(tiny_hdf5, tiny_exp_yaml, tmp_path, rng, monkeypatch
         result = json.load(f)
     assert len(result["image_embedding"]) == 16
     assert len(result["dna_embedding"]) == 16
+
+
+def test_cli_eval_with_plots_and_retrieval(tiny_hdf5, tiny_exp_yaml, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    rc = main([
+        "eval", "-e", tiny_exp_yaml, "--hdf5", tiny_hdf5,
+        "project_root_path=" + str(tmp_path),
+        "pipeline.num_workers=0",
+        "inference_and_eval_setting.plot_embeddings=true",
+        "inference_and_eval_setting.retrieve_images=true",
+        "inference_and_eval_setting.retrieve_settings.num_queries=2",
+        "inference_and_eval_setting.embeddings_filters={}",
+    ])
+    assert rc == 0
+    folder = tmp_path / "extracted_embedding" / "bioscan_1m" / "tiny_test"
+    assert (folder / "retrieval" / "retrieval.png").exists()
+    assert (folder / "retrieval" / "retrieval.json").exists()
+    assert (folder / "plots" / "embedding_order.png").exists()
