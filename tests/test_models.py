@@ -332,3 +332,40 @@ def test_npz_roundtrip(tmp_path):
         for part in kp:
             node = node[part.key]
         np.testing.assert_array_equal(np.asarray(leaf), node)
+
+
+def test_load_barcode_bert_raw_checkpoint(tmp_path):
+    """Raw BarcodeBERT checkpoint ({'model': sd, 'bert_config': ...}) with
+    module. prefixes (reference load_pre_trained_bioscan_bert)."""
+    import torch
+    from transformers import BertForMaskedLM
+
+    from clibd_tpu.models.convert import load_barcode_bert_checkpoint
+
+    cfg = small_bert_cfg(with_mlm=True)
+    hfc = hf_config(cfg)
+    torch.manual_seed(5)
+    hf = BertForMaskedLM(hfc).eval()
+    sd = {"module." + k: v for k, v in hf.state_dict().items()}
+    ckpt = {
+        "model": sd,
+        "bert_config": {
+            "vocab_size": cfg.vocab_size, "hidden_size": cfg.hidden_size,
+            "num_hidden_layers": cfg.num_layers, "num_attention_heads": cfg.num_heads,
+            "intermediate_size": cfg.intermediate_size,
+            "max_position_embeddings": cfg.max_position_embeddings,
+        },
+    }
+    path = str(tmp_path / "barcode_bert.pth")
+    torch.save(ckpt, path)
+
+    params, loaded_cfg = load_barcode_bert_checkpoint(path)
+    assert loaded_cfg.vocab_size == cfg.vocab_size
+    assert loaded_cfg.num_layers == cfg.num_layers
+    assert params["blocks"]["qkv_w"].shape == (cfg.num_layers, cfg.hidden_size, 3 * cfg.hidden_size)
+    # forward parity through the converted params
+    ids = np.random.default_rng(8).integers(0, cfg.vocab_size, (2, 9))
+    with __import__("torch").no_grad():
+        ref = hf.bert(__import__("torch").tensor(ids)).last_hidden_state.numpy()
+    ours = np.asarray(bert_encode(params, jnp.asarray(ids), loaded_cfg, compute_dtype=F32))
+    np.testing.assert_allclose(ours, ref, atol=5e-5, rtol=1e-4)
