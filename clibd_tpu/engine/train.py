@@ -133,8 +133,13 @@ class Trainer:
         }
 
         cfg = self.cfg
+        # reference semantics: batch_size is PER-DEVICE (train_cl.py runs one
+        # process per GPU with batch_size each); the host loader therefore
+        # produces global batches of batch_size × mesh-size, which also keeps
+        # train batches exactly divisible across the mesh (no padding)
+        self.world_size = self.mesh.size
         spec = BatchSpec(
-            batch_size=cfg.batch_size,
+            batch_size=cfg.batch_size * self.world_size,
             train=True,
             with_image=cfg.image.enable,
             with_dna=cfg.dna.enable,
@@ -164,7 +169,10 @@ class Trainer:
 
         steps_per_epoch = len(self.train_loader)
         total_steps = max(steps_per_epoch * cfg.epochs, 1)
-        self.schedule = build_schedule(cfg.optim, total_steps, cfg.batch_size, world_size=1)
+        # LR × (batch × world)/500 (reference util/util.py:753-756)
+        self.schedule = build_schedule(
+            cfg.optim, total_steps, cfg.batch_size, world_size=self.world_size
+        )
         self.optimizer = build_optimizer(cfg, params, self.schedule)
         self.opt_state = replicate(self.mesh, self.optimizer.init(params))
         self.step_fn = make_train_step(cfg, self.optimizer, mesh=self.mesh)

@@ -25,7 +25,7 @@ def tiny_global_cfg():
     g = GlobalConfig()
     g.save_ckpt = True
     cfg = g.model_config
-    cfg.batch_size = 8
+    cfg.batch_size = 4  # per-device; ×mesh-size global
     cfg.epochs = 2
     cfg.evaluation_period = 1
     cfg.eval_skip_epoch = -1
