@@ -458,6 +458,60 @@ def cmd_plot_embeddings(args, overrides) -> int:
     return 0
 
 
+def cmd_method_nn(args, overrides) -> int:
+    """Seen/unseen threshold-fusion eval (reference scripts/method_nn.py):
+    image-query-vs-seen-keys similarity routes confident queries, DNA search
+    against unseen keys handles the rest; threshold maximizes the harmonic
+    mean of seen/unseen species top-1."""
+    cfg = _load_cfg(args, overrides)
+    import numpy as np
+
+    from .data.pipeline import BatchSpec, BioscanLoader
+    from .engine.extract import extract_split
+    from .engine.fusion import method_nn
+    from .utils.metrics import labels_to_level_arrays
+
+    mc = cfg.model_config
+    params = _resolve_params(cfg)
+    hdf5 = args.hdf5 or _dataset_hdf5_path(cfg)
+    eval_on = cfg.inference_and_eval_setting.eval_on
+    spec = BatchSpec(
+        batch_size=mc.batch_size, train=False,
+        with_image=True, with_dna=True, with_language=mc.language.enable,
+    )
+
+    def run(split):
+        loader = BioscanLoader(hdf5, split, spec, num_workers=cfg.pipeline.num_workers)
+        out = extract_split(params, mc, loader, progress=True)
+        loader.close()
+        return out
+
+    seen_q = run(f"{eval_on}_seen")
+    unseen_q = run(f"{eval_on}_unseen")
+    seen_keys = run("seen_keys")
+    unseen_keys = run(args.unseen_keys_split)
+
+    result = method_nn(
+        {"image": seen_q["encoded_image_feature"], "dna": seen_q["encoded_dna_feature"]},
+        {"image": unseen_q["encoded_image_feature"], "dna": unseen_q["encoded_dna_feature"]},
+        seen_keys["encoded_image_feature"],
+        labels_to_level_arrays(seen_keys["label_list"]),
+        unseen_keys["encoded_dna_feature"],
+        labels_to_level_arrays(unseen_keys["label_list"]),
+        labels_to_level_arrays(seen_q["label_list"]),
+        labels_to_level_arrays(unseen_q["label_list"]),
+        max_k=max(cfg.inference_and_eval_setting.k_list),
+        k_list=list(cfg.inference_and_eval_setting.k_list),
+    )
+    summary = {
+        "best_threshold": result["best_threshold"],
+        "seen_species_top1": result["seen"]["micro_acc"][1]["species"],
+        "unseen_species_top1": result["unseen"]["micro_acc"][1]["species"],
+    }
+    print(json.dumps(_stringify(summary)))
+    return 0
+
+
 def cmd_zeroshot(args, overrides) -> int:
     """CLIP/BioCLIP zero-shot taxonomic classification with prompt ensembles
     (reference scripts/bioclip/inference_and_eval_with_bioclip.py)."""
@@ -603,6 +657,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     p_plot.add_argument("--group", default="key", choices=["seen", "unseen", "key"])
     p_plot.add_argument("--out", default="plots")
 
+    p_mnn = sub.add_parser("method-nn", help="seen/unseen threshold fusion (scripts/method_nn.py)")
+    common(p_mnn)
+    p_mnn.add_argument("--unseen-keys-split", default="unseen_keys")
+
     p_zs = sub.add_parser("zeroshot", help="CLIP/BioCLIP zero-shot eval (scripts/bioclip/)")
     common(p_zs)
     p_zs.add_argument("--split", default="test_seen")
@@ -623,6 +681,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         "build-hdf5": cmd_build_hdf5,
         "bzsl-extract": cmd_bzsl_extract,
         "extract-single": cmd_extract_single,
+        "method-nn": cmd_method_nn,
         "zeroshot": cmd_zeroshot,
         "flatten-csv": cmd_flatten_csv,
         "plot-embeddings": cmd_plot_embeddings,
