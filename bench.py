@@ -17,9 +17,13 @@ batch 500, bf16 autocast) ≈ 1000 samples/s.  The v5e-8 "≥10×" north star
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))  # repo-root import safety
 
 A100_REF_SAMPLES_PER_S = 1000.0
 BATCH = 256

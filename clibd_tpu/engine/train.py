@@ -183,6 +183,9 @@ class Trainer:
 
     def train_epoch(self, epoch: int, progress: bool = False) -> float:
         cfg = self.cfg
+        from ..utils.profiling import StepTimer
+
+        timer = StepTimer(warmup_steps=1)
         rng = jax.random.PRNGKey((cfg.default_seed << 16) + epoch)
         epoch_loss, n_steps = 0.0, 0
         t0 = time.time()
@@ -197,6 +200,7 @@ class Trainer:
                 self.params, self.opt_state, padded, sub
             )
             loss_val = float(loss)
+            timer.tick()
             epoch_loss += loss_val
             self.global_step += 1
             n_steps += 1
@@ -210,6 +214,18 @@ class Trainer:
                 )
         if progress:
             print()
+        if timer.times:
+            self.log_fn(
+                {
+                    "epoch": epoch,
+                    **{
+                        f"throughput/{k}": v
+                        for k, v in timer.summary(
+                            cfg.batch_size * self.world_size, n_chips=self.world_size
+                        ).items()
+                    },
+                }
+            )
         return epoch_loss / max(n_steps, 1)
 
     def evaluate(self) -> dict:
