@@ -88,6 +88,10 @@ def cmd_train(args, overrides) -> int:
         "seen": "val_seen",
         "unseen": "val_unseen",
     }
+    train_split = args.train_split
+    if train_split == "no_split_and_seen_train" and not cfg.model_config.using_train_seen_for_pre_train:
+        train_split = "no_split"  # reference load_dataloader (dataset.py:699-727)
+
     logger = None
     log_fn = print if cfg.debug_flag else None
     if cfg.activate_wandb:
@@ -132,7 +136,7 @@ def cmd_train(args, overrides) -> int:
         cfg,
         hdf5,
         output_dir=out_dir,
-        train_split=args.train_split,
+        train_split=train_split,
         eval_splits=eval_splits,
         log_fn=log_fn,
         train_loader=train_loader,
