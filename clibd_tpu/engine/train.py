@@ -57,9 +57,13 @@ def make_train_step(
     mesh=None,
     donate: bool = True,
 ) -> Callable:
-    """→ step(params, opt_state, batch, rng) → (params, opt_state, loss)."""
+    """→ step(params, opt_state, batch, rng) → (params, opt_state, loss).
+
+    Sharding is carried by the inputs: callers place the batch with a
+    P('data') leading-axis sharding and params replicated (parallel/mesh.py);
+    jit propagates those layouts and XLA inserts the loss all-gathers over
+    ICI (mesh is accepted for signature symmetry/documentation)."""
     compute_dtype = jnp.bfloat16 if cfg.amp else jnp.float32
-    mask = None  # built lazily inside loss via stop_gradient on frozen params
 
     def loss_fn(params, batch, rng):
         image_in = batch.get("image")
@@ -85,16 +89,6 @@ def make_train_step(
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
-    if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        repl = NamedSharding(mesh, P())
-        data = NamedSharding(mesh, P("data"))
-
-        def batch_shardings(batch):
-            return jax.tree.map(lambda _: data, batch)
-
-        return jax.jit(step, donate_argnums=(0, 1) if donate else ())
     return jax.jit(step, donate_argnums=(0, 1) if donate else ())
 
 
