@@ -71,11 +71,18 @@ class BioscanSplit:
     # -- bulk readers ------------------------------------------------------
 
     def _sorted_read(self, dataset, indices: np.ndarray):
-        """h5py fancy indexing requires sorted unique indices; restore order."""
+        """Bulk read at arbitrary indices. Contiguous ranges (the sequential
+        eval case) become single slice reads; otherwise h5py point selection
+        (sorted unique, duplicates re-expanded, order restored)."""
         indices = np.asarray(indices)
+        if len(indices) > 0:
+            start, stop = int(indices.min()), int(indices.max()) + 1
+            if stop - start == len(indices) and np.array_equal(
+                indices, np.arange(start, stop)
+            ):
+                return dataset[start:stop]
         order = np.argsort(indices, kind="stable")
         sorted_idx = indices[order]
-        # h5py also rejects duplicate coordinates; read unique then expand
         uniq, inverse = np.unique(sorted_idx, return_inverse=True)
         data = dataset[uniq.tolist()] if len(uniq) < len(dataset) else dataset[:][uniq]
         data = data[inverse]
