@@ -462,6 +462,79 @@ def cmd_plot_embeddings(args, overrides) -> int:
     return 0
 
 
+def cmd_finetune(args, overrides) -> int:
+    """Supervised species-classification fine-tune of one encoder on INSECT
+    (reference scripts/BZSL/fine_tune_*.py + epoch/fine_tuning_epoch.py)."""
+    cfg = _load_cfg(args, overrides)
+    import jax
+    import numpy as np
+    import optax
+
+    from .data.insect import INSECTDataset, INSECTLoader
+    from .data.pipeline import BatchSpec
+    from .engine.checkpoint import save_train_state
+    from .engine.finetune import (
+        init_classifier_head,
+        make_finetune_step,
+        species_to_index,
+        topk_accuracy,
+    )
+
+    mc = cfg.model_config
+    params = _resolve_params(cfg)
+
+    def make_loader(split, train):
+        ds = INSECTDataset(
+            cfg.insect_data.path_to_att_splits_mat,
+            cfg.insect_data.path_to_res_101_mat,
+            cfg.insect_data.path_to_image_hdf5,
+            cfg.insect_data.species_to_other,
+            split=split,
+        )
+        spec = BatchSpec(batch_size=mc.batch_size, train=train,
+                         with_image=args.modality == "image",
+                         with_dna=args.modality == "dna", with_language=False)
+        return INSECTLoader(ds, spec, seed=mc.default_seed)
+
+    train_loader = make_loader("trainval_loc", True)
+    eval_loader = make_loader("test_seen_loc", False)
+
+    unique_species = sorted({l["species"] for l in train_loader.label_dicts()})
+    train_targets = species_to_index(train_loader.label_dicts(), unique_species)
+    eval_targets = species_to_index(eval_loader.label_dicts(), unique_species)
+
+    params["classifier"] = init_classifier_head(
+        jax.random.PRNGKey(mc.default_seed), mc.output_dim, len(unique_species)
+    )
+    optimizer = optax.adamw(args.lr)
+    opt_state = optimizer.init(params)
+    step, predict = make_finetune_step(mc, optimizer, modality=args.modality,
+                                       train_encoder=not args.freeze_encoder)
+
+    for epoch in range(args.epochs):
+        losses = []
+        for batch in train_loader.batches(epoch=epoch):
+            fb = {args.modality: batch[args.modality],
+                  "target": train_targets[batch["index"]]}
+            params, opt_state, loss = step(params, opt_state, fb)
+            losses.append(float(loss))
+        print(f"epoch {epoch}: loss {np.mean(losses):.4f}")
+
+    logits, targets = [], []
+    for batch in eval_loader.batches(shuffle=False):
+        fb = {args.modality: batch[args.modality]}
+        logits.append(np.asarray(predict(params, fb)))
+        targets.append(eval_targets[batch["index"]])
+    acc = topk_accuracy(np.concatenate(logits), np.concatenate(targets))
+    print(json.dumps({"top_k_acc": {str(k): v for k, v in acc.items()},
+                      "num_species": len(unique_species)}))
+    if args.output_dir:
+        save_train_state(args.output_dir, jax.device_get(params))
+    train_loader.close()
+    eval_loader.close()
+    return 0
+
+
 def cmd_method_nn(args, overrides) -> int:
     """Seen/unseen threshold-fusion eval (reference scripts/method_nn.py):
     image-query-vs-seen-keys similarity routes confident queries, DNA search
@@ -661,6 +734,14 @@ def main(argv: Optional[List[str]] = None) -> int:
     p_plot.add_argument("--group", default="key", choices=["seen", "unseen", "key"])
     p_plot.add_argument("--out", default="plots")
 
+    p_ft = sub.add_parser("finetune", help="supervised fine-tune on INSECT (scripts/BZSL/fine_tune_*.py)")
+    common(p_ft)
+    p_ft.add_argument("--modality", choices=["image", "dna"], default="image")
+    p_ft.add_argument("--epochs", type=int, default=15)
+    p_ft.add_argument("--lr", type=float, default=1e-4)
+    p_ft.add_argument("--freeze-encoder", action="store_true")
+    p_ft.add_argument("--output-dir", default=None)
+
     p_mnn = sub.add_parser("method-nn", help="seen/unseen threshold fusion (scripts/method_nn.py)")
     common(p_mnn)
     p_mnn.add_argument("--unseen-keys-split", default="unseen_keys")
@@ -685,6 +766,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         "build-hdf5": cmd_build_hdf5,
         "bzsl-extract": cmd_bzsl_extract,
         "extract-single": cmd_extract_single,
+        "finetune": cmd_finetune,
         "method-nn": cmd_method_nn,
         "zeroshot": cmd_zeroshot,
         "flatten-csv": cmd_flatten_csv,

@@ -86,3 +86,50 @@ clip:
                "--split", "test_seen", "--level", "order",
                "pipeline.num_workers=0"])
     assert rc == 0
+
+
+def test_cli_finetune_insect(tmp_path, rng, monkeypatch):
+    import scipy.io as sio
+
+    from clibd_tpu.cli import main
+    from tests.fixtures import random_jpeg_bytes
+
+    n = 16
+    sio.savemat(str(tmp_path / "res101.mat"), {
+        "ids": np.array([[f"im{i}"] for i in range(n)], dtype=object),
+        "nucleotides": np.array([["ACGT" * 40] for _ in range(n)], dtype=object),
+        "species": np.array([[f"sp{i % 4}"] for i in range(n)], dtype=object),
+        "labels": (np.arange(n) % 4 + 1).reshape(-1, 1),
+    })
+    sio.savemat(str(tmp_path / "att_splits.mat"), {
+        "trainval_loc": np.arange(1, 13).reshape(1, -1),
+        "test_seen_loc": np.arange(13, 17).reshape(1, -1),
+    })
+    with h5py.File(str(tmp_path / "images.hdf5"), "w") as f:
+        g = f.create_group("images")
+        for i in range(n):
+            g.create_dataset(f"im{i}", data=np.frombuffer(random_jpeg_bytes(rng), dtype=np.uint8))
+    with open(tmp_path / "s2o.json", "w") as f:
+        json.dump({f"sp{i}": {"order": "o", "family": "f", "genus": "g"} for i in range(4)}, f)
+
+    exp = tmp_path / "exp.yaml"
+    exp.write_text("""
+dataset: INSECT
+batch_size: 4
+output_dim: 8
+load_ckpt: false
+language: {enable: false}
+dna:
+  bert: {vocab_size: 1027, hidden_size: 32, num_layers: 1, num_heads: 4, intermediate_size: 64, max_position_embeddings: 140, with_mlm_head: true}
+image:
+  vit: {image_size: 224, patch_size: 56, hidden_size: 32, num_layers: 1, num_heads: 4, mlp_dim: 64}
+""")
+    monkeypatch.chdir(tmp_path)
+    rc = main([
+        "finetune", "-e", str(exp), "--modality", "dna", "--epochs", "1", "--lr", "1e-3",
+        f"insect_data.path_to_att_splits_mat={tmp_path}/att_splits.mat",
+        f"insect_data.path_to_res_101_mat={tmp_path}/res101.mat",
+        f"insect_data.path_to_image_hdf5={tmp_path}/images.hdf5",
+        f"insect_data.species_to_other={tmp_path}/s2o.json",
+    ])
+    assert rc == 0

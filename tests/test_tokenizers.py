@@ -138,3 +138,28 @@ def test_wordpiece_matches_hf_if_available(tmp_path):
         got = ours.encode(text, max_length=20)
         np.testing.assert_array_equal(got["input_ids"], np.asarray(ref["input_ids"][0]))
         np.testing.assert_array_equal(got["attention_mask"], np.asarray(ref["attention_mask"][0]))
+
+
+def test_dna_tokenizer_fuzz_vs_naive():
+    """Property test: vectorized tokenizer == naive per-string transcription
+    of the reference pipeline (pad->kmers->vocab with UNK, prepend 0)."""
+    from itertools import product
+
+    rng = np.random.default_rng(123)
+    vocab = {"".join(p): 3 + i for i, p in enumerate(product("ACGT", repeat=5))}
+
+    def naive(seq, max_bp=660, k=5):
+        s = seq[:max_bp] + "N" * max(0, max_bp - len(seq))
+        toks = [0]
+        for i in range(0, max_bp - k + 1, k):
+            toks.append(vocab.get(s[i : i + k], 2))
+        return np.asarray(toks, np.int32)
+
+    alphabet = list("ACGTNRYacgt-")
+    seqs = []
+    for _ in range(50):
+        length = int(rng.integers(0, 800))
+        seqs.append("".join(rng.choice(alphabet, size=length)))
+    batch = tokenize_dna_batch(seqs)
+    for i, s in enumerate(seqs):
+        np.testing.assert_array_equal(batch[i], naive(s), err_msg=s[:40])
