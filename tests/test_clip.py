@@ -228,3 +228,44 @@ def test_clibd_with_open_clip_backbone():
     mask = trainable_mask(params, cfg)
     assert mask["clip_vision"]["lora"]["a_q"] is True
     assert mask["clip_vision"]["blocks"]["qkv_w"] is False
+
+
+def test_clip_tokenizer_matches_hf_local(tmp_path):
+    """Independent-implementation parity: our CLIP BPE vs HF CLIPTokenizer
+    constructed from the same locally-generated vocab.json + merges.txt."""
+    import json as _json
+
+    import pytest
+
+    try:
+        from transformers import CLIPTokenizer as HFCLIPTokenizer
+    except ImportError:
+        pytest.skip("transformers unavailable")
+
+    from clibd_tpu.data.clip_tokenizer import CLIPTokenizer
+
+    merges = [
+        "#version: 0.2",
+        "h e", "he l", "hel l", "hell o</w>",
+        "w o", "wo r", "wor l", "worl d</w>",
+        "d i", "di p", "dip t", "dipt e", "dipte r", "dipter a</w>",
+        "s p</w>", "1 2</w>",
+    ]
+    merges_path = tmp_path / "merges.txt"
+    merges_path.write_text("\n".join(merges) + "\n")
+    ours = CLIPTokenizer(str(merges_path), context_length=16)
+    vocab_path = tmp_path / "vocab.json"
+    vocab_path.write_text(_json.dumps(ours.encoder))
+    hf = HFCLIPTokenizer(vocab_file=str(vocab_path), merges_file=str(merges_path))
+
+    texts = ["hello world", "Diptera sp. 12", "hello", "unknown-token 7!"]
+    for text in texts:
+        ref = hf([text], padding="max_length", max_length=16, truncation=True)
+        got = ours([text])
+        # HF pads with eot-ish pad token? CLIPTokenizer pads with its pad token
+        # (defaults to <|endoftext|>); openai/open_clip pad with 0 — compare
+        # the non-pad prefix up to and including the first EOT.
+        ref_ids = list(ref["input_ids"][0])
+        got_ids = list(got[0])
+        eot_pos = got_ids.index(ours.eot)
+        assert got_ids[: eot_pos + 1] == ref_ids[: eot_pos + 1], text

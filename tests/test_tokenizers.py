@@ -163,3 +163,44 @@ def test_dna_tokenizer_fuzz_vs_naive():
     batch = tokenize_dna_batch(seqs)
     for i, s in enumerate(seqs):
         np.testing.assert_array_equal(batch[i], naive(s), err_msg=s[:40])
+
+
+def test_wordpiece_matches_hf_local_vocab(tmp_path):
+    """True HF parity without network: BertTokenizer built from a local
+    vocab.txt vs our WordPiece, over varied taxonomy-like strings."""
+    import pytest
+
+    try:
+        from transformers import BertTokenizer
+    except ImportError:
+        pytest.skip("transformers unavailable")
+
+    vocab = [
+        "[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
+        "di", "##pter", "##a", "sci", "##ari", "##dae", "cory", "##nop", "##tera",
+        "species", "not", "##_", "classified", "sp", ".", "-", "_", "x",
+        "bra", "##con", "##idae", "1", "2", "##1", "##2",
+    ]
+    path = tmp_path / "vocab.txt"
+    path.write_text("\n".join(vocab) + "\n")
+    hf = BertTokenizer(vocab_file=str(path), do_lower_case=True)
+    ours = WordPieceTokenizer(str(path))
+
+    texts = [
+        "Diptera Sciaridae Corynoptera species",
+        "not_classified x sp.",
+        "Braconidae sp. 12",
+        "DIPTERA-X",
+        "",
+        "zzzz unknownword",
+        "species_12 x.x",
+    ]
+    for text in texts:
+        ref = hf([text], padding="max_length", max_length=20, truncation=True)
+        got = ours.encode(text, max_length=20)
+        np.testing.assert_array_equal(
+            got["input_ids"], np.asarray(ref["input_ids"][0]), err_msg=text
+        )
+        np.testing.assert_array_equal(
+            got["attention_mask"], np.asarray(ref["attention_mask"][0]), err_msg=text
+        )
