@@ -236,6 +236,11 @@ class ExperimentConfig:
     disable_lora: bool = False  # True = full fine-tune (final recipes)
     lora_rank: int = 4
     amp: bool = True  # bf16 compute
+    # fast-math under bf16 compute only: tanh-approx GELU + bf16 LN arithmetic
+    # (fp32 mean/var).  Added error is below bf16 rounding noise (validated in
+    # tests/test_models.py::test_fast_math_embedding_parity); −21% encoder wall
+    # time (docs/PERF.md).  fp32 runs are unaffected (exact erf/fp32 LN).
+    fast_math: bool = True
     # rematerialize transformer blocks in the backward pass (jax.checkpoint)
     # — trades ~30% step FLOPs for O(layers) activation memory; needed for
     # the reference's batch-500 recipes on 16GB v5e HBM

@@ -76,6 +76,7 @@ def bert_encode(
     attention_mask: Optional[jnp.ndarray] = None,
     compute_dtype=jnp.bfloat16,
     remat: bool = False,
+    fast_math: bool = True,
 ) -> jnp.ndarray:
     """→ last hidden states [B, N, D]."""
     B, N = input_ids.shape
@@ -87,7 +88,11 @@ def bert_encode(
         x = x + token_type_table[0][None, None, :]
     else:
         x = x + token_type_table[token_type_ids]
-    x = layernorm(emb["ln"], x.astype(jnp.float32), cfg.layernorm_eps).astype(compute_dtype)
+    fast = fast_math and compute_dtype != jnp.float32
+    if fast:
+        x = layernorm(emb["ln"], x.astype(compute_dtype), cfg.layernorm_eps, fast=True)
+    else:
+        x = layernorm(emb["ln"], x.astype(jnp.float32), cfg.layernorm_eps).astype(compute_dtype)
 
     mask_bias = None
     if attention_mask is not None:
@@ -97,14 +102,16 @@ def bert_encode(
         params["blocks"], x,
         num_heads=cfg.num_heads, pre_ln=False, ln_eps=cfg.layernorm_eps,
         mask_bias=mask_bias, lora=params.get("lora"),
-        compute_dtype=compute_dtype, remat=remat,
+        compute_dtype=compute_dtype, remat=remat, fast_math=fast_math,
     )
     return x
 
 
-def mlm_head_apply(params: dict, hidden: jnp.ndarray, cfg: BertConfig, compute_dtype=jnp.bfloat16) -> jnp.ndarray:
+def mlm_head_apply(params: dict, hidden: jnp.ndarray, cfg: BertConfig, compute_dtype=jnp.bfloat16,
+                   fast_math: bool = True) -> jnp.ndarray:
     """HF BertForMaskedLM cls.predictions: dense → GELU → LN → decoder."""
+    fast = fast_math and compute_dtype != jnp.float32
     h = linear(params["mlm_head"]["transform"], hidden, compute_dtype)
-    h = gelu(h)
-    h = layernorm(params["mlm_head"]["ln"], h, cfg.layernorm_eps)
+    h = gelu(h, fast=fast)
+    h = layernorm(params["mlm_head"]["ln"], h, cfg.layernorm_eps, fast=fast)
     return linear(params["mlm_head"]["decoder"], h, compute_dtype)

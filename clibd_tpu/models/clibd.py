@@ -125,7 +125,7 @@ def load_simclr_vit_backbone(path: str, init_params: dict, cfg: ExperimentConfig
 def encode_image(params: dict, cfg: ExperimentConfig, image_input, compute_dtype=jnp.bfloat16, remat=False):
     if cfg.image.input_type == "image":
         return vit_apply(params["image_encoder"], image_input, cfg.image.vit,
-                         compute_dtype=compute_dtype, remat=remat)
+                         compute_dtype=compute_dtype, remat=remat, fast_math=cfg.fast_math)
     return mlp_encoder_apply(params["image_encoder"], image_input, compute_dtype)
 
 
@@ -133,17 +133,19 @@ def encode_dna(params: dict, cfg: ExperimentConfig, dna_tokens, compute_dtype=jn
     if cfg.dna.input_type != "sequence":
         return mlp_encoder_apply(params["dna_encoder"], dna_tokens, compute_dtype)
     hidden = bert_encode(params["dna_encoder"], dna_tokens, cfg.dna.bert,
-                         compute_dtype=compute_dtype, remat=remat)
+                         compute_dtype=compute_dtype, remat=remat, fast_math=cfg.fast_math)
     if cfg.dna.readout == "softmax_mean":
         # Checkpoint-parity quirk (reference dna_encoder.py:131-137):
         # softmax over the 768-dim decoder output, then mean over sequence.
-        logits = mlm_head_apply(params["dna_encoder"], hidden, cfg.dna.bert, compute_dtype)
+        logits = mlm_head_apply(params["dna_encoder"], hidden, cfg.dna.bert, compute_dtype,
+                                fast_math=cfg.fast_math)
         probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
         return probs.mean(axis=1)
     # "hidden_mean": the clean readout the reference authors said they would
     # switch to (dna_encoder.py:132-134) — mean of final hidden states through
     # the decoder head for dimensional consistency.
-    logits = mlm_head_apply(params["dna_encoder"], hidden, cfg.dna.bert, compute_dtype)
+    logits = mlm_head_apply(params["dna_encoder"], hidden, cfg.dna.bert, compute_dtype,
+                            fast_math=cfg.fast_math)
     return logits.astype(jnp.float32).mean(axis=1)
 
 
@@ -157,6 +159,7 @@ def encode_language(params: dict, cfg: ExperimentConfig, language_input: dict,
         attention_mask=language_input.get("attention_mask"),
         compute_dtype=compute_dtype,
         remat=remat,
+        fast_math=cfg.fast_math,
     )
     # mean over ALL positions incl. padding — parity with reference
     # language_encoder.py:87-89 (`last_hidden_state.mean(dim=1)`).

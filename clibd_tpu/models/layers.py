@@ -19,6 +19,7 @@ from torch's [out, in] at conversion time).
 
 from __future__ import annotations
 
+import functools
 import math
 import os
 from typing import Optional
@@ -49,8 +50,20 @@ def linear(params: dict, x: jnp.ndarray, compute_dtype=jnp.bfloat16) -> jnp.ndar
     return y
 
 
-def layernorm(params: dict, x: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
-    """LayerNorm in fp32 (stability under bf16 compute)."""
+def layernorm(params: dict, x: jnp.ndarray, eps: float = 1e-12, fast: bool = False) -> jnp.ndarray:
+    """LayerNorm. Default: full fp32 compute (stability + fp32 parity).
+
+    fast=True (bf16 inputs only): mean/var still accumulate in fp32, but the
+    normalize/scale arithmetic stays in bf16 — one fewer fp32 materialization
+    of the [B, N, D] tensor per LN.  Additional error is below bf16 rounding
+    noise; measured −7 ms on the 12-layer ViT-B stack (docs/PERF.md).
+    """
+    if fast and x.dtype != jnp.float32:
+        mean = jnp.mean(x, axis=-1, keepdims=True, dtype=jnp.float32).astype(x.dtype)
+        xc = x - mean
+        var = jnp.mean(jax.lax.square(xc.astype(jnp.float32)), axis=-1, keepdims=True)
+        inv = jax.lax.rsqrt(var + eps).astype(x.dtype)
+        return xc * inv * params["scale"].astype(x.dtype) + params["bias"].astype(x.dtype)
     x32 = x.astype(jnp.float32)
     mean = x32.mean(axis=-1, keepdims=True)
     var = ((x32 - mean) ** 2).mean(axis=-1, keepdims=True)
@@ -58,9 +71,13 @@ def layernorm(params: dict, x: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
     return (y * params["scale"] + params["bias"]).astype(x.dtype)
 
 
-def gelu(x: jnp.ndarray) -> jnp.ndarray:
-    """Exact (erf) GELU — torch nn.GELU default used by both timm ViT and HF BERT."""
-    return jax.nn.gelu(x, approximate=False)
+def gelu(x: jnp.ndarray, fast: bool = False) -> jnp.ndarray:
+    """GELU. Default: exact (erf) — torch nn.GELU default used by both timm
+    ViT and HF BERT.  fast=True: tanh approximation — max abs deviation from
+    erf-GELU ~3e-4, below bf16 quantization of unit-scale activations; the
+    erf chain is the single largest VPU cost in the encoder (−25 ms on the
+    12-layer ViT-B stack, docs/PERF.md)."""
+    return jax.nn.gelu(x, approximate=fast)
 
 
 def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
@@ -155,6 +172,7 @@ def transformer_stack(
     compute_dtype=jnp.bfloat16,
     remat: bool = False,
     activation: str = "gelu",
+    fast_math: bool = True,
 ) -> jnp.ndarray:
     """Scan a transformer block over stacked per-layer params.
 
@@ -164,7 +182,10 @@ def transformer_stack(
       ln1_scale/ln1_bias [L,D], ln2_scale/ln2_bias [L,D]
     pre_ln: True = ViT/timm ordering; False = BERT post-LN ordering.
     lora: dict of stacked arrays a_q [L,D,r], b_q [L,r,D], a_v, b_v (or None).
+    fast_math: tanh GELU + bf16 LN arithmetic; only takes effect under bf16
+    compute (fp32 runs stay exact-erf/fp32-LN for checkpoint-parity tests).
     """
+    fast = fast_math and compute_dtype != jnp.float32
 
     def block(h, layer):
         p, lo = layer
@@ -176,7 +197,10 @@ def transformer_stack(
                 compute_dtype=compute_dtype,
             )
 
-        act = _ACTIVATIONS[activation]
+        if activation == "gelu":
+            act = functools.partial(gelu, fast=fast)
+        else:
+            act = _ACTIVATIONS[activation]
 
         def mlp(inp):
             hmid = act(linear({"w": p["fc1_w"], "b": p["fc1_b"]}, inp, compute_dtype))
@@ -185,11 +209,11 @@ def transformer_stack(
         ln1 = {"scale": p["ln1_scale"], "bias": p["ln1_bias"]}
         ln2 = {"scale": p["ln2_scale"], "bias": p["ln2_bias"]}
         if pre_ln:
-            h = h + attn(layernorm(ln1, h, ln_eps))
-            h = h + mlp(layernorm(ln2, h, ln_eps))
+            h = h + attn(layernorm(ln1, h, ln_eps, fast=fast))
+            h = h + mlp(layernorm(ln2, h, ln_eps, fast=fast))
         else:
-            h = layernorm(ln1, h + attn(h), ln_eps)
-            h = layernorm(ln2, h + mlp(h), ln_eps)
+            h = layernorm(ln1, h + attn(h), ln_eps, fast=fast)
+            h = layernorm(ln2, h + mlp(h), ln_eps, fast=fast)
         return h, None
 
     if remat:

@@ -67,6 +67,7 @@ def vit_apply(
     compute_dtype=jnp.bfloat16,
     return_tokens: bool = False,
     remat: bool = False,
+    fast_math: bool = True,
 ) -> jnp.ndarray:
     """images: [B, 224, 224, 3] float32 (ImageNet-normalized). → [B, output_dim]."""
     B = images.shape[0]
@@ -80,8 +81,10 @@ def vit_apply(
         params["blocks"], x,
         num_heads=cfg.num_heads, pre_ln=True, ln_eps=cfg.layernorm_eps,
         lora=params.get("lora"), compute_dtype=compute_dtype, remat=remat,
+        fast_math=fast_math,
     )
-    x = layernorm(params["norm"], x, cfg.layernorm_eps)
+    x = layernorm(params["norm"], x, cfg.layernorm_eps,
+                  fast=fast_math and compute_dtype != jnp.float32)
     if return_tokens:
         return x
     cls_out = x[:, 0]

@@ -369,3 +369,38 @@ def test_load_barcode_bert_raw_checkpoint(tmp_path):
         ref = hf.bert(__import__("torch").tensor(ids)).last_hidden_state.numpy()
     ours = np.asarray(bert_encode(params, jnp.asarray(ids), loaded_cfg, compute_dtype=F32))
     np.testing.assert_allclose(ours, ref, atol=5e-5, rtol=1e-4)
+
+
+def test_fast_math_embedding_parity():
+    """fast_math (tanh GELU + bf16 LN) must add error of the same order as
+    plain bf16 rounding: cosine(fp32, bf16_fast) within a hair of
+    cosine(fp32, bf16_exact) on full-depth encoders."""
+    from clibd_tpu.config.schema import ExperimentConfig
+    from clibd_tpu.models import init_clibd_params
+    from clibd_tpu.models.clibd import clibd_apply
+
+    cfg = ExperimentConfig()
+    cfg.image.vit.num_layers = 4
+    cfg.dna.bert.num_layers = 4
+    cfg.language.enable = False
+    params = init_clibd_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.standard_normal((4, 224, 224, 3), dtype=np.float32))
+    dna = jnp.asarray(rng.integers(0, cfg.dna.bert.vocab_size, (4, 133)).astype(np.int32))
+
+    ref = clibd_apply(params, cfg, img, dna, compute_dtype=F32)
+    fast = clibd_apply(params, cfg, img, dna, compute_dtype=jnp.bfloat16)
+    cfg.fast_math = False
+    exact = clibd_apply(params, cfg, img, dna, compute_dtype=jnp.bfloat16)
+
+    for mod in ("image", "dna"):
+        r = np.asarray(ref[mod], np.float64)
+        f = np.asarray(fast[mod], np.float64)
+        e = np.asarray(exact[mod], np.float64)
+        cos_fast = (r * f).sum(-1) / (np.linalg.norm(r, axis=-1) * np.linalg.norm(f, axis=-1))
+        cos_exact = (r * e).sum(-1) / (np.linalg.norm(r, axis=-1) * np.linalg.norm(e, axis=-1))
+        assert cos_fast.min() > 0.999, f"{mod}: fast-math cosine {cos_fast.min()}"
+        # fast-math may not add more than ~the bf16 noise floor itself
+        assert cos_fast.min() > cos_exact.min() - 2e-4, (
+            f"{mod}: fast {cos_fast.min()} vs exact {cos_exact.min()}"
+        )
