@@ -41,6 +41,11 @@ def main() -> None:
 
     cfg = ExperimentConfig()  # flagship ViT-B/16 + BarcodeBERT, 768-d
     cfg.language.enable = False  # headline metric is image+DNA extraction
+    # The reference's final released recipes are FULL fine-tune
+    # (disable_lora: true — for_bioscan_1m/final_experiments/
+    # image_dna_text_seed_42.yaml:1-41), so the extraction model carries no
+    # LoRA adapters.
+    cfg.disable_lora = True
     params = init_clibd_params(jax.random.PRNGKey(0), cfg)
 
     @jax.jit

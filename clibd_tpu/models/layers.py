@@ -114,19 +114,22 @@ def fused_qkv_attention(
     q, k, v = jnp.split(qkv, 3, axis=-1)
 
     if lora is not None:
-        # LoRA adapters run in fp32 (they are trained from zero-init B).
-        hp = jax.lax.Precision.HIGHEST
-        x32 = x.astype(jnp.float32)
-        dq = jnp.dot(jnp.dot(x32, lora["a_q"].astype(jnp.float32), precision=hp),
-                     lora["b_q"].astype(jnp.float32), precision=hp)
-        dv = jnp.dot(jnp.dot(x32, lora["a_v"].astype(jnp.float32), precision=hp),
-                     lora["b_v"].astype(jnp.float32), precision=hp)
-        q = q + dq.astype(compute_dtype)
-        v = v + dv.astype(compute_dtype)
+        # LoRA adapters run in compute_dtype — under bf16 this matches the
+        # reference's autocast semantics (the LoRA linears sit inside the
+        # autocast region, train_epoch.py:42-46); fp32 runs keep HIGHEST for
+        # parity tests.  Avoids four fp32 [B,N,D] materializations per layer.
+        hp = _precision(compute_dtype)
+        xl = x.astype(compute_dtype)
+        dq = jnp.dot(jnp.dot(xl, lora["a_q"].astype(compute_dtype), precision=hp),
+                     lora["b_q"].astype(compute_dtype), precision=hp)
+        dv = jnp.dot(jnp.dot(xl, lora["a_v"].astype(compute_dtype), precision=hp),
+                     lora["b_v"].astype(compute_dtype), precision=hp)
+        q = q + dq
+        v = v + dv
         if "a_k" in lora:  # q/k/v variant (reference add_lora_layer_to_open_clip)
-            dk = jnp.dot(jnp.dot(x32, lora["a_k"].astype(jnp.float32), precision=hp),
-                         lora["b_k"].astype(jnp.float32), precision=hp)
-            k = k + dk.astype(compute_dtype)
+            dk = jnp.dot(jnp.dot(xl, lora["a_k"].astype(compute_dtype), precision=hp),
+                         lora["b_k"].astype(compute_dtype), precision=hp)
+            k = k + dk
 
     def split_heads(t):
         return t.reshape(B, N, num_heads, head_dim).transpose(0, 2, 1, 3)
