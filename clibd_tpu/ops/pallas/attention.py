@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import functools
 import math
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -64,6 +65,168 @@ def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, valid_len: int, scale: floa
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+# ---------------------------------------------------------------------------
+# flash_attention_qkv — round-2 kernel (the one that wins on this chip)
+# ---------------------------------------------------------------------------
+#
+# Takes the FUSED qkv tensor [B, N, 3D] straight from the qkv projection (no
+# head-split transposes ever touch HBM) and writes ctx [B, N, D] ready for the
+# out-projection.  One grid program handles `block_b` batch elements; per
+# (batch, head) it runs two 2D MXU dots with an fp32 softmax entirely in VMEM,
+# so the [B, H, N, N] score tensor never exists in HBM — that tensor's 3-4
+# HBM passes are ~2.9 ms/layer of the XLA path at ViT-B shapes (docs/PERF.md).
+#
+# Numerics: scores accumulate fp32 (MORE precise than the XLA path's bf16
+# scores), softmax fp32, probs bf16 for the PV dot.
+#
+# Gradients: jax.custom_vjp whose backward RECOMPUTES the attention with
+# plain XLA ops and differentiates that (flash-style recompute; the score
+# tensor only ever materializes inside the backward pass, which the XLA
+# training path pays anyway).
+
+
+def _flash_kernel(*refs, num_heads: int, head_dim: int,
+                  valid_len: int, block_b: int, scale: float, has_mask: bool):
+    if has_mask:
+        qkv_ref, mask_ref, o_ref = refs
+    else:
+        qkv_ref, o_ref = refs
+    D = num_heads * head_dim
+    for b in range(block_b):
+        if has_mask:
+            mrow = mask_ref[b]  # [1, Npad] additive bias
+        for h in range(num_heads):
+            q = qkv_ref[b, :, h * head_dim:(h + 1) * head_dim]
+            k = qkv_ref[b, :, D + h * head_dim: D + (h + 1) * head_dim]
+            v = qkv_ref[b, :, 2 * D + h * head_dim: 2 * D + (h + 1) * head_dim]
+            s = jax.lax.dot_general(
+                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale  # [Npad, Npad] fp32
+            if has_mask:
+                s = s + mrow
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < valid_len, s, -1e30)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m)
+            p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(jnp.bfloat16)
+            ctx = jax.lax.dot_general(
+                p, v.astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            o_ref[b, :, h * head_dim:(h + 1) * head_dim] = ctx.astype(o_ref.dtype)
+
+
+def _xla_attention_from_qkv(qkv, mask_row, num_heads: int, valid_len: int):
+    """Reference math on the padded [B, Npad, 3D] tensor (backward recompute)."""
+    B, Npad, threeD = qkv.shape
+    D = threeD // 3
+    hd = D // num_heads
+    scale = 1.0 / math.sqrt(hd)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def heads(t):
+        return t.reshape(B, Npad, num_heads, hd).transpose(0, 2, 1, 3)
+
+    q, k, v = heads(q), heads(k), heads(v)
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    if mask_row is not None:
+        s = s + mask_row[:, None, None, :].astype(jnp.float32)
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 3)
+    s = jnp.where(col < valid_len, s, -1e30)
+    p = jax.nn.softmax(s, axis=-1).astype(jnp.bfloat16)
+    ctx = jnp.einsum("bhqk,bhkd->bhqd", p, v.astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
+    return ctx.transpose(0, 2, 1, 3).reshape(B, Npad, D).astype(qkv.dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_flash(num_heads: int, valid_len: int, npad: int, block_b: int,
+                has_mask: bool, interpret: bool):
+    hd_scale = None  # computed per call from shapes
+
+    @jax.custom_vjp
+    def flash(qkv, mask_row):
+        return _fwd(qkv, mask_row)
+
+    def _fwd(qkv, mask_row):
+        Bp, Np, threeD = qkv.shape
+        D = threeD // 3
+        hd = D // num_heads
+        kernel = functools.partial(
+            _flash_kernel, num_heads=num_heads, head_dim=hd,
+            valid_len=valid_len, block_b=block_b,
+            scale=1.0 / math.sqrt(hd), has_mask=has_mask,
+        )
+        qkv_spec = pl.BlockSpec((block_b, Np, threeD), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_spec = pl.BlockSpec((block_b, Np, D), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+        in_specs = [qkv_spec]
+        operands = [qkv]
+        if has_mask:
+            # [B, 1, Np] so the trailing block dims equal the array dims
+            # (Mosaic's block-shape divisibility rule)
+            in_specs.append(pl.BlockSpec((block_b, 1, Np), lambda i: (i, 0, 0),
+                                         memory_space=pltpu.VMEM))
+            operands.append(mask_row.reshape(Bp, 1, Np))
+        return pl.pallas_call(
+            kernel,
+            grid=(Bp // block_b,),
+            in_specs=in_specs,
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((Bp, Np, D), qkv.dtype),
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=4 * Bp * num_heads * Np * Np * hd,
+                bytes_accessed=qkv.size * 2 + Bp * Np * D * 2,
+                transcendentals=Bp * num_heads * Np * Np,
+            ),
+        )(*operands)
+
+    def fwd(qkv, mask_row):
+        return _fwd(qkv, mask_row), (qkv, mask_row)
+
+    def bwd(res, g):
+        qkv, mask_row = res
+        _, vjp = jax.vjp(
+            lambda t: _xla_attention_from_qkv(t, mask_row, num_heads, valid_len), qkv
+        )
+        (dqkv,) = vjp(g)
+        return dqkv, None
+
+    flash.defvjp(fwd, bwd)
+    return flash
+
+
+def flash_attention_qkv(qkv: jnp.ndarray, num_heads: int,
+                        mask_row: Optional[jnp.ndarray] = None,
+                        block_b: int = 4, interpret: Optional[bool] = None) -> jnp.ndarray:
+    """Fused attention from the fused qkv tensor.
+
+    qkv: [B, N, 3D] (bias and any LoRA deltas already added).
+    mask_row: optional [B, N] additive fp32 bias (0 / -inf) — the HF-style
+    attention mask collapsed to its key axis.
+    → ctx [B, N, D] in qkv.dtype, ready for the out-projection.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    B, N, threeD = qkv.shape
+    npad = _round_up(N, 16)
+    bpad = _round_up(B, block_b)
+    qkvp = jnp.pad(qkv, ((0, bpad - B), (0, npad - N), (0, 0)))
+    has_mask = mask_row is not None
+    maskp = None
+    if has_mask:
+        maskp = jnp.pad(mask_row.astype(jnp.float32),
+                        ((0, bpad - B), (0, npad - N)))
+    fn = _make_flash(num_heads, N, npad, block_b, has_mask, interpret)
+    ctx = fn(qkvp, maskp)
+    return ctx[:B, :N, :]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -36,3 +36,90 @@ def test_fused_mha_padding_mask(rng):
     ref = _reference(q, k, v)
     out = np.asarray(fused_mha(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), interpret=True))
     np.testing.assert_allclose(out, ref, atol=2e-2, rtol=2e-2)
+
+
+# ---------------------------------------------------------------------------
+# flash_attention_qkv (round-2 kernel: fused-qkv input, custom VJP)
+# ---------------------------------------------------------------------------
+
+from clibd_tpu.ops.pallas.attention import _xla_attention_from_qkv, flash_attention_qkv
+
+
+def _reference_qkv(qkv, num_heads, mask_row=None):
+    B, N, threeD = qkv.shape
+    D = threeD // 3
+    hd = D // num_heads
+    q, k, v = np.split(qkv, 3, -1)
+
+    def heads(t):
+        return t.reshape(B, N, num_heads, hd).transpose(0, 2, 1, 3)
+
+    s = np.einsum("bhqd,bhkd->bhqk", heads(q), heads(k)) / math.sqrt(hd)
+    if mask_row is not None:
+        s = s + mask_row[:, None, None, :]
+    p = np.exp(s - s.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    o = np.einsum("bhqk,bhkd->bhqd", p, heads(v))
+    return o.transpose(0, 2, 1, 3).reshape(B, N, D)
+
+
+@pytest.mark.parametrize("shape", [(3, 37, 4, 16), (2, 133, 2, 32), (5, 20, 2, 8)])
+def test_flash_attention_qkv_matches_reference(rng, shape):
+    B, N, H, hd = shape
+    qkv = rng.standard_normal((B, N, 3 * H * hd)).astype(np.float32)
+    out = np.asarray(flash_attention_qkv(jnp.asarray(qkv), H, interpret=True))
+    np.testing.assert_allclose(out, _reference_qkv(qkv, H), atol=2e-2, rtol=2e-2)
+
+
+def test_flash_attention_qkv_mask(rng):
+    B, N, H, hd = 2, 21, 2, 16
+    qkv = rng.standard_normal((B, N, 3 * H * hd)).astype(np.float32)
+    mask = np.zeros((B, N), np.float32)
+    mask[:, 15:] = np.finfo(np.float32).min
+    out = np.asarray(flash_attention_qkv(jnp.asarray(qkv), H, mask_row=jnp.asarray(mask), interpret=True))
+    np.testing.assert_allclose(out, _reference_qkv(qkv, H, mask), atol=2e-2, rtol=2e-2)
+
+
+def test_flash_attention_qkv_grads_match_xla_recompute(rng):
+    """custom_vjp backward == grads of the XLA recompute reference."""
+    B, N, H, hd = 2, 19, 2, 8
+    qkv = jnp.asarray(rng.standard_normal((B, N, 3 * H * hd)).astype(np.float32))
+
+    def loss_flash(t):
+        return (flash_attention_qkv(t, H, interpret=True) ** 2).sum()
+
+    def loss_xla(t):
+        return (_xla_attention_from_qkv(
+            jnp.pad(t, ((0, 0), (0, 13), (0, 0))), None, H, N)[:, :N] ** 2).sum()
+
+    g1 = jax.grad(loss_flash)(qkv)
+    g2 = jax.grad(loss_xla)(qkv)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4, rtol=1e-3)
+
+
+def test_fused_qkv_attention_flash_integration(rng, monkeypatch):
+    """layers.fused_qkv_attention with CLIBD_ATTN_IMPL=pallas (interpret on CPU)
+    matches the XLA path, including LoRA deltas and a mask."""
+    from clibd_tpu.models import layers
+
+    B, N, H, D, r = 2, 23, 2, 32, 4
+    x = jnp.asarray(rng.standard_normal((B, N, D)).astype(np.float32))
+    qkv_w = jnp.asarray(rng.standard_normal((D, 3 * D)).astype(np.float32) * 0.1)
+    qkv_b = jnp.asarray(rng.standard_normal((3 * D,)).astype(np.float32) * 0.1)
+    out_w = jnp.asarray(rng.standard_normal((D, D)).astype(np.float32) * 0.1)
+    out_b = jnp.zeros((D,), jnp.float32)
+    lora = {
+        "a_q": jnp.asarray(rng.standard_normal((D, r)).astype(np.float32) * 0.1),
+        "b_q": jnp.asarray(rng.standard_normal((r, D)).astype(np.float32) * 0.1),
+        "a_v": jnp.asarray(rng.standard_normal((D, r)).astype(np.float32) * 0.1),
+        "b_v": jnp.asarray(rng.standard_normal((r, D)).astype(np.float32) * 0.1),
+    }
+    mask = jnp.asarray((rng.random((B, N)) > 0.2).astype(np.float32))
+    bias = layers.attention_mask_bias(mask)
+
+    kwargs = dict(num_heads=H, mask_bias=bias, lora=lora, compute_dtype=jnp.float32)
+    monkeypatch.setattr(layers, "ATTENTION_IMPL", "xla")
+    ref = layers.fused_qkv_attention(x, qkv_w, qkv_b, out_w, out_b, **kwargs)
+    monkeypatch.setattr(layers, "ATTENTION_IMPL", "pallas")
+    out = layers.fused_qkv_attention(x, qkv_w, qkv_b, out_w, out_b, **kwargs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-2, rtol=2e-2)
