@@ -126,10 +126,12 @@ def tokenize_dna_batch_overlapping(
     ids = 2 + (windows * powers).sum(axis=-1)
     ids = np.where(invalid, 1, ids).astype(np.int32)
 
+    # Reference quirk kept intentionally: the mask has max_bp//stride entries
+    # (660) while ids has (max_bp-k)//stride+1 (657) — NewKmerTokenizer
+    # (util/util.py:110-112) computes the mask against the padded sequence
+    # length, not the token count.  Valid positions = len(x)//stride.
     mask_len = max_bp // stride
     att = (np.arange(mask_len)[None, :] < (lengths[:, None] // stride)).astype(np.int32)
-    # reference masks from len(x)//stride onward AFTER padding x to max_len
-    att = (np.arange(mask_len)[None, :] < np.maximum(lengths[:, None] // stride, 0)).astype(np.int32)
     return ids, att
 
 

@@ -138,14 +138,15 @@ def extract_split(
     }
 
     all_key_features = all_key_features_label = None
-    if (
-        for_key_set
-        and enc["image"] is not None
-        and enc["dna"] is not None
-        and enc["language"] is not None
-    ):
-        all_key_features = np.concatenate([enc["image"], enc["dna"], enc["language"]], axis=0)
-        all_key_features_label = label_list + label_list + label_list
+    if for_key_set:
+        # Stack whichever modality galleries exist (reference
+        # get_features_and_label, util/util.py:709-742 — its guard demands all
+        # three modalities; we relax to >=2 so an image+DNA model still gets
+        # the All-keys eval column instead of silently losing it).
+        present = [enc[m] for m in ("image", "dna", "language") if enc[m] is not None]
+        if len(present) >= 2:
+            all_key_features = np.concatenate(present, axis=0)
+            all_key_features_label = label_list * len(present)
     out_dict["all_key_features"] = all_key_features
     out_dict["all_key_features_label"] = all_key_features_label
     return out_dict
