@@ -665,6 +665,11 @@ def cmd_bench(args, overrides) -> int:
 
 
 def main(argv: Optional[List[str]] = None) -> int:
+    # Multi-host slice entry: rendezvous before any backend touch (reference
+    # ddp_setup, train_cl.py:44-48). No-op on single-host/CPU (env-gated).
+    from .parallel.mesh import maybe_initialize_distributed
+
+    maybe_initialize_distributed()
     parser = argparse.ArgumentParser(prog="clibd", description=__doc__)
     sub = parser.add_subparsers(dest="command", required=True)
 

@@ -34,13 +34,15 @@ class TwoViewLoader:
     """Wraps BioscanLoader to produce two independently-cropped views
     (reference DatasetForSimCLRStyleTraining, dataset.py:328-367)."""
 
-    def __init__(self, path: str, split: str, batch_size: int, num_workers: int = 2, seed: int = 0):
+    def __init__(self, path: str, split: str, batch_size: int, num_workers: int = 2, seed: int = 0,
+                 host_id: int = 0, num_hosts: int = 1):
         spec = BatchSpec(batch_size=batch_size, train=True, with_dna=False, with_language=False)
         # SAME sampling seed (identical epoch permutation → the two streams
         # are views of the same images), DIFFERENT augmentation seeds
-        self.a = BioscanLoader(path, split, spec, num_workers=num_workers, seed=seed)
+        shard = dict(host_id=host_id, num_hosts=num_hosts)
+        self.a = BioscanLoader(path, split, spec, num_workers=num_workers, seed=seed, **shard)
         self.b = BioscanLoader(
-            path, split, spec, num_workers=num_workers, seed=seed, aug_seed=seed + 104729
+            path, split, spec, num_workers=num_workers, seed=seed, aug_seed=seed + 104729, **shard
         )
 
     def __len__(self):
@@ -97,9 +99,12 @@ class SimCLRTrainer:
         self.cfg = global_cfg.model_config
         self.output_dir = output_dir
         self.log_fn = log_fn or (lambda d: None)
+        from ..parallel.mesh import host_id, num_hosts
+
         self.loader = TwoViewLoader(
             hdf5_path, split, self.cfg.batch_size, num_workers=num_workers,
             seed=self.cfg.default_seed,
+            host_id=host_id(), num_hosts=num_hosts(),
         )
         if params is None:
             # full-trainable ViT, no LoRA, classifier head kept (feature dim =

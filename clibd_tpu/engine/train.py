@@ -28,7 +28,15 @@ from ..data.pipeline import BatchSpec, BioscanLoader
 from ..models.clibd import clibd_apply, init_clibd_params, trainable_mask
 from ..ops.augment import train_augment
 from ..ops.loss import clip_loss
-from ..parallel.mesh import create_mesh, pad_to_multiple, replicate, shard_batch
+from ..parallel.mesh import (
+    create_mesh,
+    host_id,
+    is_main_process,
+    num_hosts,
+    pad_to_multiple,
+    replicate,
+    shard_batch,
+)
 from .checkpoint import BestLastCheckpointer
 from .evaluate import compute_overall_acc, inference_and_eval
 from .extract import extract_split
@@ -132,8 +140,12 @@ class Trainer:
         # produces global batches of batch_size × mesh-size, which also keeps
         # train batches exactly divisible across the mesh (no padding)
         self.world_size = self.mesh.size
+        # multi-host: the loader yields this process's shard of the global
+        # batch (shard_batch assembles the global array across processes);
+        # single host: the full global batch
+        local_share = self.world_size // num_hosts()
         spec = BatchSpec(
-            batch_size=cfg.batch_size * self.world_size,
+            batch_size=cfg.batch_size * local_share,
             train=True,
             with_image=cfg.image.enable,
             with_dna=cfg.dna.enable,
@@ -155,6 +167,10 @@ class Trainer:
                 prefetch=global_cfg.pipeline.prefetch_batches,
                 seed=cfg.default_seed,
                 use_native=global_cfg.pipeline.use_native_decoder,
+                # DistributedSampler semantics (reference dataset.py:44-51):
+                # disjoint per-host index shards, drop_last, equal batch counts
+                host_id=host_id(),
+                num_hosts=num_hosts(),
             )
 
         if params is None:
@@ -277,7 +293,12 @@ class Trainer:
                 epoch % cfg.evaluation_period == 0 or epoch == cfg.epochs - 1
             ) and epoch > cfg.eval_skip_epoch
             if do_eval:
-                if self.gcfg.save_ckpt:
+                # multi-host: every process runs the (deterministic) eval so
+                # the early-stop decision agrees everywhere without an
+                # explicit broadcast (replaces the reference's stop_flag
+                # dist.broadcast, train_cl.py:280-331); only process 0 writes
+                # checkpoints.
+                if self.gcfg.save_ckpt and is_main_process():
                     self.checkpointer.save_last(
                         self.params, self.opt_state, self.global_step, epoch
                     )
@@ -286,7 +307,7 @@ class Trainer:
                 history["overall_acc"].append((epoch, overall))
                 improved = self.checkpointer.maybe_save_best(
                     overall, self.params, self.opt_state, self.global_step, epoch,
-                    save=self.gcfg.save_ckpt,
+                    save=self.gcfg.save_ckpt and is_main_process(),
                 )
                 if improved:
                     history["best_epoch"] = epoch

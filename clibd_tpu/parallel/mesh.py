@@ -19,20 +19,52 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 
 
-def maybe_initialize_distributed() -> None:
-    """Multi-host init (single-controller JAX): call once per process before
-    any backend use when running on a multi-host TPU slice.  Uses the TPU
-    coordinator autodetection; no-ops when unconfigured or already
-    initialized (replaces the reference's MASTER_ADDR/port NCCL rendezvous,
-    train_cl.py:44-48)."""
+_MULTIHOST_ENV_HINTS = (
+    "CLIBD_MULTIHOST",              # explicit opt-in
+    "COORDINATOR_ADDRESS",
+    "JAX_COORDINATOR_ADDRESS",
+    "MEGASCALE_COORDINATOR_ADDRESS",
+    "TPU_WORKER_HOSTNAMES",         # Cloud TPU pod slices
+)
+
+
+def maybe_initialize_distributed() -> bool:
+    """Multi-host init (single-controller JAX): call once per process, before
+    any backend use, when running on a multi-host TPU slice.  Replaces the
+    reference's MASTER_ADDR/port NCCL rendezvous (train_cl.py:44-48).
+
+    Only attempts `jax.distributed.initialize()` when the environment carries
+    a multi-host hint (coordinator address / pod-slice vars / CLIBD_MULTIHOST)
+    so single-chip and CPU runs never block on autodetection.  Returns True
+    if distributed mode is active after the call."""
     import os
 
     if os.environ.get("CLIBD_DISABLE_DISTRIBUTED"):
-        return
+        return False
+    if jax.process_count() > 1:
+        return True  # already initialized
+    if not any(os.environ.get(k) for k in _MULTIHOST_ENV_HINTS):
+        return False
     try:
         jax.distributed.initialize()
     except Exception:
-        pass  # single-process run or already initialized
+        return False  # single-process run or already initialized
+    return jax.process_count() > 1
+
+
+def host_id() -> int:
+    """This process's rank in the multi-host job (0 on single host)."""
+    return jax.process_index()
+
+
+def num_hosts() -> int:
+    return jax.process_count()
+
+
+def is_main_process() -> bool:
+    """Gate for checkpoint saves / logging — the reference's rank-0 checks
+    (train_cl.py:264-331)."""
+    return jax.process_index() == 0
 
 
 def create_mesh(devices: Optional[Sequence] = None, axis_name: str = DATA_AXIS) -> Mesh:
@@ -52,8 +84,16 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 def shard_batch(mesh: Mesh, batch, axis_name: str = DATA_AXIS):
     """Place a host batch (pytree of np arrays) onto the mesh, batch axis
-    sharded over 'data'."""
+    sharded over 'data'.
+
+    Multi-host: each process passes its LOCAL shard (global_batch/num_hosts
+    rows, produced by its host-sharded loader) and the global array is
+    assembled across processes; single-host keeps the plain device_put path."""
     sh = data_sharding(mesh, axis_name)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)), batch
+        )
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 
 
