@@ -47,6 +47,10 @@ class BatchSpec:
     # batch time, reference SimpleCLIP open_clip path); None = the HDF5's
     # pre-tokenized BERT language_tokens_*
     clip_tokenizer: object = None
+    # ship images host→device as uint8 (x255) instead of fp32 — 4× less
+    # transfer; the model divides by 255 on device.  Pixel quantization
+    # ≤0.5/255 (the decoder's own output grid), below bf16 compute noise.
+    transport_uint8: bool = False
 
 
 class Batch(dict):
@@ -117,6 +121,18 @@ class BioscanLoader:
             decoder = load_native_decoder()
         self.decoder = decoder  # optional native C++ decode pool
         self._pool = ThreadPoolExecutor(max_workers=max(num_workers, 1)) if num_workers > 0 else None
+        # Batch-level parallelism: whole batches (HDF5 slab read → decode →
+        # tokenize → stack) assemble concurrently on this second pool, so DNA
+        # tokenization and stacking of batch b+1 overlap the decode of batch b
+        # (round-1 bottleneck: one producer thread serialized everything but
+        # JPEG decode).  Separate pool from the per-image one — batch tasks
+        # block on image tasks, sharing a pool would deadlock.
+        self._batch_pool = (
+            ThreadPoolExecutor(max_workers=min(max(num_workers, 1), max(prefetch, 1) + 1))
+            if num_workers > 0 else None
+        )
+        # h5py file handles are not safe for concurrent reads — serialize them
+        self._h5_lock = threading.Lock()
 
     def __len__(self) -> int:
         per_host = self.n // self.num_hosts if self.drop_last else -(-self.n // self.num_hosts)
@@ -132,7 +148,8 @@ class BioscanLoader:
 
         if spec.with_image:
             if spec.image_source == "image":
-                jpegs = self.split_reader.jpeg_bytes(indices)
+                with self._h5_lock:
+                    jpegs = self.split_reader.jpeg_bytes(indices)
                 rng = np.random.default_rng((self.aug_seed, epoch, batch_idx))
                 if self.decoder is not None:
                     imgs = self.decoder.decode_transform_batch(
@@ -153,23 +170,32 @@ class BioscanLoader:
                         imgs = list(self._pool.map(one, enumerate(jpegs)))
                     else:
                         imgs = [one(x) for x in enumerate(jpegs)]
-                out["image"] = np.stack(imgs).astype(np.float32)
+                stacked = np.stack(imgs)
+                if spec.transport_uint8:
+                    out["image"] = np.clip(np.round(stacked * 255.0), 0, 255).astype(np.uint8)
+                else:
+                    out["image"] = stacked.astype(np.float32)
             else:
-                out["image"] = self.split_reader.features("image_features", indices)
+                with self._h5_lock:
+                    out["image"] = self.split_reader.features("image_features", indices)
 
         if spec.with_dna:
             if spec.dna_source == "sequence":
-                barcodes = self.split_reader.barcodes(indices)
+                with self._h5_lock:
+                    barcodes = self.split_reader.barcodes(indices)
                 out["dna"] = tokenize_dna_batch(barcodes, k=spec.dna_kmer, max_bp=spec.dna_max_bp)
             else:
-                out["dna"] = self.split_reader.features("dna_features", indices)
+                with self._h5_lock:
+                    out["dna"] = self.split_reader.features("dna_features", indices)
 
         if spec.with_language:
             if spec.clip_tokenizer is not None:
-                texts = self.split_reader.taxonomy_strings(indices)
+                with self._h5_lock:
+                    texts = self.split_reader.taxonomy_strings(indices)
                 out["language"] = {"input_ids": np.asarray(spec.clip_tokenizer(texts), np.int32)}
             else:
-                out["language"] = self.split_reader.language_tokens(indices)
+                with self._h5_lock:
+                    out["language"] = self.split_reader.language_tokens(indices)
         return out
 
     def batches(self, epoch: int = 0, shuffle: Optional[bool] = None) -> Iterator[Batch]:
@@ -184,33 +210,37 @@ class BioscanLoader:
         if nb == 0:
             return
 
-        q: "queue.Queue" = queue.Queue(maxsize=max(self.prefetch, 1))
-        stop = threading.Event()
+        def build(b: int) -> Batch:
+            lo = b * self.spec.batch_size
+            hi = min(lo + self.spec.batch_size, len(idx))
+            return self._make_batch(idx[lo:hi], epoch, b)
 
-        def producer():
-            try:
-                for b in range(nb):
-                    if stop.is_set():
-                        break
-                    lo = b * self.spec.batch_size
-                    hi = min(lo + self.spec.batch_size, len(idx))
-                    q.put(("ok", self._make_batch(idx[lo:hi], epoch, b)))
-                q.put(("done", None))
-            except BaseException as e:  # surface worker errors to consumer
-                q.put(("err", e))
+        if self._batch_pool is None:
+            for b in range(nb):
+                yield build(b)
+            return
 
-        t = threading.Thread(target=producer, daemon=True)
-        t.start()
+        # ordered pipeline: keep `prefetch+1` whole batches building
+        # concurrently, yield strictly in order
+        from collections import deque
+
+        depth = max(self.prefetch, 1) + 1
+        inflight: deque = deque()
+        nxt = 0
         try:
-            while True:
-                kind, item = q.get()
-                if kind == "done":
-                    break
-                if kind == "err":
-                    raise item
+            while nxt < min(depth, nb):
+                inflight.append(self._batch_pool.submit(build, nxt))
+                nxt += 1
+            while inflight:
+                fut = inflight.popleft()
+                item = fut.result()  # re-raises worker errors
+                if nxt < nb:
+                    inflight.append(self._batch_pool.submit(build, nxt))
+                    nxt += 1
                 yield item
         finally:
-            stop.set()
+            for fut in inflight:
+                fut.cancel()
 
     # reference returns the eval-style taxon dicts for non-training loaders
     def label_dicts(self) -> List[dict]:
@@ -223,3 +253,5 @@ class BioscanLoader:
         self.split_reader.close()
         if self._pool is not None:
             self._pool.shutdown(wait=False)
+        if self._batch_pool is not None:
+            self._batch_pool.shutdown(wait=False)

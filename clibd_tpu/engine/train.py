@@ -76,6 +76,8 @@ def make_train_step(
     def loss_fn(params, batch, rng):
         image_in = batch.get("image")
         if image_in is not None and cfg.image.input_type == "image":
+            if image_in.dtype == jnp.uint8:  # uint8 transport → floats on device
+                image_in = image_in.astype(jnp.float32) / 255.0
             image_in = train_augment(rng, image_in)
         out = clibd_apply(
             params,
@@ -147,6 +149,7 @@ class Trainer:
         spec = BatchSpec(
             batch_size=cfg.batch_size * local_share,
             train=True,
+            transport_uint8=cfg.amp,
             with_image=cfg.image.enable,
             with_dna=cfg.dna.enable,
             with_language=cfg.language.enable,
@@ -243,6 +246,7 @@ class Trainer:
         spec = BatchSpec(
             batch_size=cfg.batch_size,
             train=False,
+            transport_uint8=cfg.amp,
             with_image=cfg.image.enable,
             with_dna=cfg.dna.enable,
             with_language=cfg.language.enable,

@@ -124,6 +124,10 @@ def load_simclr_vit_backbone(path: str, init_params: dict, cfg: ExperimentConfig
 
 def encode_image(params: dict, cfg: ExperimentConfig, image_input, compute_dtype=jnp.bfloat16, remat=False):
     if cfg.image.input_type == "image":
+        if image_input.dtype == jnp.uint8:
+            # uint8 transport (BatchSpec.transport_uint8): rescale on device —
+            # XLA fuses the divide into the patch-embed matmul's operand read
+            image_input = image_input.astype(jnp.float32) / 255.0
         return vit_apply(params["image_encoder"], image_input, cfg.image.vit,
                          compute_dtype=compute_dtype, remat=remat, fast_math=cfg.fast_math)
     return mlp_encoder_apply(params["image_encoder"], image_input, compute_dtype)
@@ -185,6 +189,8 @@ def clibd_apply(
     if image_input is not None and "clip_vision" in params:
         from .clip import clip_normalize, clip_vision_apply
 
+        if image_input.dtype == jnp.uint8:
+            image_input = image_input.astype(jnp.float32) / 255.0
         vcfg, _ = _clip_configs(cfg)
         feats = clip_vision_apply(params["clip_vision"], clip_normalize(image_input), vcfg, compute_dtype)
         out["image"] = l2_normalize(feats)

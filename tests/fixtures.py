@@ -47,12 +47,16 @@ def make_tiny_bioscan_hdf5(
     seed: int = 0,
     splits=SPLITS,
     text_max_len: int = 20,
+    image_hw=None,  # (h, w) fixed size; None = random 48-96 per image
 ) -> str:
     rng = np.random.default_rng(seed)
     with h5py.File(path, "w") as f:
         for split in splits:
             g = f.create_group(split)
-            jpegs = [random_jpeg_bytes(rng, h=int(rng.integers(48, 96)), w=int(rng.integers(48, 96))) for _ in range(n_per_split)]
+            if image_hw is not None:
+                jpegs = [random_jpeg_bytes(rng, h=image_hw[0], w=image_hw[1]) for _ in range(n_per_split)]
+            else:
+                jpegs = [random_jpeg_bytes(rng, h=int(rng.integers(48, 96)), w=int(rng.integers(48, 96))) for _ in range(n_per_split)]
             max_len = max(len(j) for j in jpegs)
             img = np.zeros((n_per_split, max_len), dtype=np.uint8)
             mask = np.zeros(n_per_split, dtype=np.int64)
