@@ -188,9 +188,14 @@ def cmd_eval(args, overrides) -> int:
         spec = BatchSpec(
             batch_size=mc.batch_size,
             train=False,
+            transport_uint8=mc.amp,
             with_image=mc.image.enable,
             with_dna=mc.dna.enable,
             with_language=mc.language.enable,
+            dna_kmer=mc.dna.kmer,
+            dna_tokenizer=mc.dna.tokenizer,
+            dna_stride=mc.dna.stride,
+            dna_max_bp=mc.dna.max_bp,
             long_edge_eval=mc.transform_with_resize,
         )
 
@@ -285,8 +290,10 @@ def cmd_extract(args, overrides) -> int:
     params = _resolve_params(cfg)
     hdf5 = args.hdf5 or _dataset_hdf5_path(cfg)
     spec = BatchSpec(
-        batch_size=mc.batch_size, train=False,
+        batch_size=mc.batch_size, train=False, transport_uint8=mc.amp,
         with_image=mc.image.enable, with_dna=mc.dna.enable, with_language=mc.language.enable,
+        dna_kmer=mc.dna.kmer, dna_tokenizer=mc.dna.tokenizer,
+        dna_stride=mc.dna.stride, dna_max_bp=mc.dna.max_bp,
     )
     loader = BioscanLoader(hdf5, args.split, spec, num_workers=cfg.pipeline.num_workers)
     out = extract_split(params, mc, loader, progress=True)

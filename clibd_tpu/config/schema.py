@@ -120,6 +120,13 @@ class DNAModalityConfig:
     # which pretrained BarcodeBERT checkpoint family (reference
     # `pre_train_for_barcode_bert`): "" | "BIOSCAN-5M" | "CANADA-1-5M"
     pretrained_variant: str = ""
+    # DNA tokenizer: "kmer" = non-overlapping 5-mers + prepended id 0
+    # (dna_encoder.py:53-63); "overlap" = the new-BarcodeBERT k-mer stride-1
+    # tokenizer with attention mask (reference NewKmerTokenizer,
+    # util/util.py:101-126 / the AutoTokenizer("bioscan-ml/BarcodeBERT")
+    # batch-time path, epoch/train_epoch.py:33-40)
+    tokenizer: str = "kmer"
+    stride: int = 1  # overlap tokenizer stride
     # checkpoint-parity readout: softmax over head outputs then mean over
     # sequence (reference dna_encoder.py:131-137). "clean" = mean of final
     # hidden states (the fix the reference authors said they would make).
@@ -128,6 +135,8 @@ class DNAModalityConfig:
 
     @property
     def seq_len(self) -> int:
+        if self.tokenizer == "overlap":
+            return (self.max_bp - self.kmer) // self.stride + 1
         # prepended token id 0 + non-overlapping k-mers (dna_encoder.py:53-63)
         return 1 + self.max_bp // self.kmer
 
@@ -176,6 +185,9 @@ class LRConfig:
     # exponential / step
     gamma: float = 0.95
     step_size: int = 10
+    # cosine floor (reference train_cl.py:242-246: lr_config.min_lr, default
+    # 1e-9, scaled by batch like lr)
+    min_lr: float = 1e-9
 
 
 @dataclass

@@ -36,6 +36,8 @@ class BatchSpec:
     resize_to: int = 256
     dna_kmer: int = 5
     dna_max_bp: int = 660
+    dna_tokenizer: str = "kmer"  # "kmer" | "overlap" (new-BarcodeBERT path)
+    dna_stride: int = 1  # overlap tokenizer stride
     with_image: bool = True
     with_dna: bool = True
     with_language: bool = True
@@ -183,7 +185,20 @@ class BioscanLoader:
             if spec.dna_source == "sequence":
                 with self._h5_lock:
                     barcodes = self.split_reader.barcodes(indices)
-                out["dna"] = tokenize_dna_batch(barcodes, k=spec.dna_kmer, max_bp=spec.dna_max_bp)
+                if spec.dna_tokenizer == "overlap":
+                    from .tokenizers import tokenize_dna_batch_overlapping
+
+                    ids, att = tokenize_dna_batch_overlapping(
+                        barcodes, k=spec.dna_kmer, stride=spec.dna_stride,
+                        max_bp=spec.dna_max_bp,
+                    )
+                    # the mask carries the reference's max_bp//stride length
+                    # quirk — the model needs it aligned to the ids width
+                    out["dna"] = {"input_ids": ids,
+                                  "attention_mask": att[:, : ids.shape[1]]}
+                else:
+                    out["dna"] = tokenize_dna_batch(barcodes, k=spec.dna_kmer,
+                                                    max_bp=spec.dna_max_bp)
             else:
                 with self._h5_lock:
                     out["dna"] = self.split_reader.features("dna_features", indices)

@@ -87,7 +87,7 @@ def build_schedule(cfg: OptimConfig, total_steps: int, batch_size: int, world_si
     if name == "step":
         return step_lr(scaled(lrc.lr), lrc.step_size, 0.5)
     if name == "cosine":
-        return cosine_lr(scaled(lrc.lr), total_steps, scaled(1e-9))
+        return cosine_lr(scaled(lrc.lr), total_steps, scaled(lrc.min_lr))
     if name in ("none", "", None):
         lr = scaled(lrc.lr)
         return lambda step: jnp.asarray(lr, jnp.float32)

@@ -154,6 +154,8 @@ class Trainer:
             with_dna=cfg.dna.enable,
             with_language=cfg.language.enable,
             dna_kmer=cfg.dna.kmer,
+            dna_tokenizer=cfg.dna.tokenizer,
+            dna_stride=cfg.dna.stride,
             dna_max_bp=cfg.dna.max_bp,
             image_source="image" if cfg.image.input_type == "image" else "image_features",
             dna_source="sequence" if cfg.dna.input_type == "sequence" else "dna_features",
@@ -251,6 +253,8 @@ class Trainer:
             with_dna=cfg.dna.enable,
             with_language=cfg.language.enable,
             dna_kmer=cfg.dna.kmer,
+            dna_tokenizer=cfg.dna.tokenizer,
+            dna_stride=cfg.dna.stride,
             dna_max_bp=cfg.dna.max_bp,
             image_source="image" if cfg.image.input_type == "image" else "image_features",
             dna_source="sequence" if cfg.dna.input_type == "sequence" else "dna_features",

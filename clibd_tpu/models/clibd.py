@@ -136,7 +136,15 @@ def encode_image(params: dict, cfg: ExperimentConfig, image_input, compute_dtype
 def encode_dna(params: dict, cfg: ExperimentConfig, dna_tokens, compute_dtype=jnp.bfloat16, remat=False):
     if cfg.dna.input_type != "sequence":
         return mlp_encoder_apply(params["dna_encoder"], dna_tokens, compute_dtype)
+    # new-BarcodeBERT path (cfg.dna.tokenizer == "overlap"): the pipeline
+    # yields {input_ids, attention_mask} like the reference's batch-time HF
+    # tokenizer (epoch/train_epoch.py:33-40)
+    attention_mask = None
+    if isinstance(dna_tokens, dict):
+        attention_mask = dna_tokens.get("attention_mask")
+        dna_tokens = dna_tokens["input_ids"]
     hidden = bert_encode(params["dna_encoder"], dna_tokens, cfg.dna.bert,
+                         attention_mask=attention_mask,
                          compute_dtype=compute_dtype, remat=remat, fast_math=cfg.fast_math)
     if cfg.dna.readout == "softmax_mean":
         # Checkpoint-parity quirk (reference dna_encoder.py:131-137):

@@ -56,3 +56,39 @@ def test_bundled_configs_load():
     for name in available_configs():
         cfg = load_config(experiment=name)
         assert cfg.model_config.output_dim > 0
+
+
+def test_every_preset_builds_a_model():
+    """Every bundled experiment YAML must load AND build a model through the
+    factory (towers shrunk to 1 layer so 40+ presets stay fast; the preset's
+    flags — modalities, backbone, LoRA, loss setup — are exercised as-is)."""
+    import jax
+
+    from clibd_tpu.config import available_configs
+    from clibd_tpu.models import init_clibd_params
+    from clibd_tpu.models.clibd import trainable_mask
+
+    names = available_configs()
+    assert len(names) >= 20, f"preset matrix shrank: {len(names)}"
+    for name in names:
+        cfg = load_config(experiment=name).model_config
+        cfg.image.vit.num_layers = 1
+        cfg.image.vit.hidden_size = 32
+        cfg.image.vit.num_heads = 4
+        cfg.image.vit.mlp_dim = 64
+        cfg.dna.bert.num_layers = 1
+        cfg.dna.bert.hidden_size = 32
+        cfg.dna.bert.num_heads = 4
+        cfg.dna.bert.intermediate_size = 64
+        cfg.language.bert.num_layers = 1
+        cfg.language.bert.hidden_size = 32
+        cfg.language.bert.num_heads = 4
+        cfg.language.bert.intermediate_size = 64
+        cfg.clip.vision_layers = 1
+        cfg.clip.text_layers = 1
+        cfg.image.simclr_ckpt_path = ""  # no ckpt files in CI
+        params = init_clibd_params(jax.random.PRNGKey(0), cfg)
+        assert "logit_scale" in params, name
+        mask = trainable_mask(params, cfg)
+        assert isinstance(mask, dict), name
+        assert cfg.dna.seq_len > 0, name
