@@ -353,6 +353,20 @@ def cmd_build_hdf5(args, overrides) -> int:
         splits = pd.read_csv(args.splits, sep="\t")[["sampleid", "split"]]
         metadata = metadata.merge(splits, on="sampleid", how="inner")
     tokenizer = WordPieceTokenizer(args.vocab) if args.vocab else None
+    if args.parallel:
+        # 5M-scale path (reference generate_hdf5_file_5m.py): multiprocessing
+        # image ingestion, chunked resizable writes, resume support
+        from .data.builders_5m import build_split_hdf5_parallel
+
+        stats = build_split_hdf5_parallel(
+            args.out, metadata, args.image_dir,
+            tokenizer=tokenizer, split_name_map=REFERENCE_SPLIT_NAME_MAP,
+            compression="gzip" if args.compress else None,
+            chunk_size=args.chunk_size, num_processes=args.processes,
+            resume=args.resume,
+        )
+        print(f"Wrote {args.out}: {stats}")
+        return 0
     build_split_hdf5(
         args.out, metadata, args.image_dir,
         tokenizer=tokenizer, split_name_map=REFERENCE_SPLIT_NAME_MAP,
@@ -722,6 +736,12 @@ def main(argv: Optional[List[str]] = None) -> int:
     p_build.add_argument("--out", required=True)
     p_build.add_argument("--vocab", default=None, help="vocab.txt for language token pre-tokenization")
     p_build.add_argument("--compress", action="store_true")
+    p_build.add_argument("--parallel", action="store_true",
+                         help="5M-scale builder: multiprocessing ingestion, chunked resumable writes")
+    p_build.add_argument("--chunk-size", type=int, default=4096)
+    p_build.add_argument("--processes", type=int, default=None)
+    p_build.add_argument("--resume", action="store_true",
+                         help="continue an interrupted --parallel build")
     p_build.set_defaults(overrides=[])
 
     p_bzsl = sub.add_parser("bzsl-extract", help="INSECT feature → BZSL CSVs (scripts/BZSL/)")

@@ -51,6 +51,7 @@ def make_learnable_hdf5(path, n_per_split=32, n_species=6, seed=0):
     return path
 
 
+@pytest.mark.slow
 def test_contrastive_training_learns_alignment(tmp_path):
     from clibd_tpu.config.schema import BertConfig, GlobalConfig, ViTConfig
     from clibd_tpu.engine.train import Trainer

@@ -40,6 +40,7 @@ def test_encoder_with_extra_layer(rng):
     assert feats.shape == (3, 16)
 
 
+@pytest.mark.slow
 def test_trainer_with_insect_loaders(tmp_path, rng):
     """Contrastive fine-tune on INSECT via the generic Trainer (reference
     train_cl.py:166-169 INSECT branch)."""

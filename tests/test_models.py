@@ -371,6 +371,7 @@ def test_load_barcode_bert_raw_checkpoint(tmp_path):
     np.testing.assert_allclose(ours, ref, atol=5e-5, rtol=1e-4)
 
 
+@pytest.mark.slow
 def test_fast_math_embedding_parity():
     """fast_math (tanh GELU + bf16 LN) must add error of the same order as
     plain bf16 rounding: cosine(fp32, bf16_fast) within a hair of

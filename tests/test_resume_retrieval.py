@@ -3,10 +3,12 @@
 import os
 
 import numpy as np
+import pytest
 
 import jax
 
 
+@pytest.mark.slow
 def test_trainer_resume(tiny_hdf5, tmp_path):
     from tests.test_train import tiny_global_cfg
 

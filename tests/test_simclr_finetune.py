@@ -96,6 +96,7 @@ def test_simclr_trainer(tiny_hdf5, tmp_path):
     assert os.path.exists(tmp_path / "simclr" / "checkpoint_0000" / "params.npz")
 
 
+@pytest.mark.slow
 def test_finetune_learns(rng):
     import optax
 

@@ -42,6 +42,7 @@ def tiny_global_cfg():
     return g
 
 
+@pytest.mark.slow
 def test_train_step_decreases_loss_and_freezes_backbone(tiny_hdf5):
     g = tiny_global_cfg()
     cfg = g.model_config
@@ -90,6 +91,7 @@ def test_train_step_decreases_loss_and_freezes_backbone(tiny_hdf5):
     assert float(after["logit_scale"]) != logit_scale_before
 
 
+@pytest.mark.slow
 def test_trainer_fit_end_to_end(tiny_hdf5, tmp_path):
     g = tiny_global_cfg()
     trainer = Trainer(
