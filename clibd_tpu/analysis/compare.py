@@ -1,0 +1,139 @@
+"""Multi-experiment comparison plots (reference scripts/result/
+comparing_multi_experiment_results_in_same_plot[_all_in_one].py): accuracy vs
+taxonomy level, one line per experiment, micro/macro × seen/unseen panels;
+plus the harmonic-mean column the reference adds before plotting."""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional, Sequence
+
+LEVELS = ("order", "family", "genus", "species")
+
+
+def harmonic_mean(a: float, b: float) -> float:
+    return 0.0 if (a + b) == 0 else 2.0 * a * b / (a + b)
+
+
+def add_harmonic_mean_acc(acc_dict: Dict) -> Dict:
+    """Add a 'harmonic_mean' pseudo-split combining seen/unseen accuracies per
+    (query_type, key_type, metric, k, level) — reference
+    add_harmonic_mean_acc_to_dict (comparing_multi_experiment_results...py:100-118).
+    acc_dict nesting: [query_type][key_type][seen|unseen][metric][k][level]."""
+    for qtype in acc_dict.values():
+        for splits in qtype.values():
+            seen = splits.get("seen")
+            unseen = splits.get("unseen")
+            if not (isinstance(seen, dict) and isinstance(unseen, dict)):
+                continue
+            hm: Dict = {}
+            for metric, ks in seen.items():
+                if metric not in unseen or not isinstance(ks, dict):
+                    continue
+                hm[metric] = {}
+                for k, levels in ks.items():
+                    if k not in unseen[metric]:
+                        continue
+                    hm[metric][k] = {
+                        lvl: harmonic_mean(levels[lvl], unseen[metric][k][lvl])
+                        for lvl in levels
+                        if lvl in unseen[metric][k]
+                    }
+            splits["harmonic_mean"] = hm
+    return acc_dict
+
+
+def _series(acc_dict: Dict, query_type: str, key_type: str, split: str,
+            metric: str, k) -> Optional[List[float]]:
+    try:
+        node = acc_dict[query_type][key_type][split][metric]
+        node = node[k] if k in node else node[str(k)]
+        return [node[lvl] for lvl in LEVELS]
+    except KeyError:
+        return None
+
+
+def plot_multi_experiment_comparison(
+    experiments: Dict[str, Dict],
+    output_dir: str,
+    query_type: str = "encoded_image_feature",
+    key_type: str = "encoded_image_feature",
+    k=1,
+    metrics: Sequence[str] = ("micro_acc", "macro_acc"),
+    splits: Sequence[str] = ("seen", "unseen", "harmonic_mean"),
+) -> List[str]:
+    """experiments: {name: acc_dict}.  One figure per (metric, split) with a
+    line per experiment over the 4 taxonomy levels (reference plot_acc)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    os.makedirs(output_dir, exist_ok=True)
+    paths = []
+    for metric in metrics:
+        for split in splits:
+            fig, ax = plt.subplots(figsize=(7, 4.5))
+            plotted = False
+            for name, acc in experiments.items():
+                ys = _series(acc, query_type, key_type, split, metric, k)
+                if ys is None:
+                    continue
+                ax.plot(LEVELS, ys, marker="o", label=name)
+                plotted = True
+            if not plotted:
+                plt.close(fig)
+                continue
+            ax.set_ylim(0, 1)
+            ax.set_ylabel(f"{split} {metric} (top-{k})")
+            ax.set_title(f"{query_type} → {key_type}")
+            ax.legend(fontsize=8)
+            fig.tight_layout()
+            p = os.path.join(output_dir, f"compare_{metric}_{split}_top{k}.png")
+            fig.savefig(p, dpi=150)
+            plt.close(fig)
+            paths.append(p)
+    return paths
+
+
+def plot_multi_experiment_all_in_one(
+    experiments: Dict[str, Dict],
+    output_path: str,
+    query_type: str = "encoded_image_feature",
+    key_type: str = "encoded_image_feature",
+    k=1,
+) -> str:
+    """2×2 grid (micro/macro × seen/unseen) in one figure (reference
+    comparing_multi_experiment_results_in_same_plot_all_in_one.py)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, axes = plt.subplots(2, 2, figsize=(11, 8))
+    for col, metric in enumerate(("micro_acc", "macro_acc")):
+        for row, split in enumerate(("seen", "unseen")):
+            ax = axes[row][col]
+            for name, acc in experiments.items():
+                ys = _series(acc, query_type, key_type, split, metric, k)
+                if ys is not None:
+                    ax.plot(LEVELS, ys, marker="o", label=name)
+            ax.set_ylim(0, 1)
+            ax.set_title(f"{split} {metric}", fontsize=10)
+    axes[0][0].legend(fontsize=8)
+    fig.suptitle(f"{query_type} → {key_type} (top-{k})")
+    fig.tight_layout()
+    os.makedirs(os.path.dirname(os.path.abspath(output_path)), exist_ok=True)
+    fig.savefig(output_path, dpi=150)
+    plt.close(fig)
+    return output_path
+
+
+def load_experiment_acc_dicts(paths: Dict[str, str]) -> Dict[str, Dict]:
+    """{name: accuracy.json path} → {name: acc_dict}."""
+    out = {}
+    for name, p in paths.items():
+        with open(p) as f:
+            out[name] = json.load(f)
+    return out

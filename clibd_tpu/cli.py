@@ -219,16 +219,33 @@ def cmd_eval(args, overrides) -> int:
     )
 
     if cfg.inference_and_eval_setting.retrieve_images:
-        from .engine.retrieval_grid import retrieve_images
+        from .engine.retrieval_grid import retrieve_images_multi
 
         rs = cfg.inference_and_eval_setting.retrieve_settings
-        retrieve_images(
+        pairs = [(q, k) for q in ("encoded_image_feature", "encoded_dna_feature")
+                 for k in ("encoded_image_feature", "encoded_dna_feature")
+                 if seen_dict.get(q) is not None and keys_dict.get(k) is not None]
+        retrieve_images_multi(
             os.path.join(folder, "retrieval"),
             hdf5, f"{eval_on}_seen", "all_keys",
-            seen_dict["encoded_image_feature"], keys_dict["encoded_image_feature"],
-            seen_dict["label_list"], keys_dict["label_list"],
+            seen_dict, keys_dict, query_keys=pairs or [
+                ("encoded_image_feature", "encoded_image_feature")],
             num_queries=rs.num_queries, max_k=rs.max_k, seed=rs.seed,
+            independent=rs.independent,
+            load_cached_results=rs.load_cached_results,
+            only_failures=rs.only_failures,
         )
+    if cfg.inference_and_eval_setting.similarity_distributions:
+        from .analysis.distributions import (
+            plot_similarity_distributions,
+            similarity_distribution_rows,
+            write_distance_csv,
+        )
+
+        rows = similarity_distribution_rows(keys_dict, seen_dict, unseen_dict)
+        write_distance_csv(rows, os.path.join(folder, "similarity_distances.csv"))
+        plot_similarity_distributions(
+            rows, os.path.join(folder, "similarity_distributions.png"))
     if cfg.inference_and_eval_setting.plot_embeddings:
         from .analysis.plots import generate_embedding_plot
 
@@ -678,6 +695,44 @@ def cmd_configs(args, overrides) -> int:
     return 0
 
 
+def cmd_stats_summary(args, overrides) -> int:
+    """Dataset statistics summaries (reference create_statistics_summaries.py)."""
+    from .analysis.statistics import write_statistics_csvs
+
+    paths = write_statistics_csvs(args.hdf5, args.out,
+                                  splits=args.splits_list or None)
+    for name, p in paths.items():
+        print(f"{name}: {p}")
+    return 0
+
+
+def cmd_compare_experiments(args, overrides) -> int:
+    """Multi-experiment comparison plots (reference scripts/result/
+    comparing_multi_experiment_results_in_same_plot[_all_in_one].py)."""
+    from .analysis.compare import (
+        add_harmonic_mean_acc,
+        load_experiment_acc_dicts,
+        plot_multi_experiment_all_in_one,
+        plot_multi_experiment_comparison,
+    )
+
+    spec = {}
+    for item in args.experiments:
+        name, _, path = item.partition("=")
+        spec[name] = path or name
+    experiments = {n: add_harmonic_mean_acc(a)
+                   for n, a in load_experiment_acc_dicts(spec).items()}
+    paths = plot_multi_experiment_comparison(
+        experiments, args.out, query_type=args.query_type,
+        key_type=args.key_type, k=args.k)
+    paths.append(plot_multi_experiment_all_in_one(
+        experiments, os.path.join(args.out, "compare_all_in_one.png"),
+        query_type=args.query_type, key_type=args.key_type, k=args.k))
+    for p in paths:
+        print(p)
+    return 0
+
+
 def cmd_bench(args, overrides) -> int:
     import runpy
 
@@ -784,6 +839,20 @@ def main(argv: Optional[List[str]] = None) -> int:
     p_zs.add_argument("--level", default="species")
     p_zs.add_argument("--batch-size", type=int, default=64)
 
+    p_stats = sub.add_parser("stats-summary", help="dataset statistics summaries (create_statistics_summaries.py)")
+    p_stats.add_argument("--hdf5", required=True)
+    p_stats.add_argument("--out", required=True)
+    p_stats.add_argument("--splits-list", nargs="*", default=None)
+    p_stats.set_defaults(overrides=[])
+
+    p_cmp = sub.add_parser("compare-experiments", help="multi-experiment comparison plots (scripts/result/)")
+    p_cmp.add_argument("experiments", nargs="+", help="name=accuracy.json pairs")
+    p_cmp.add_argument("--out", required=True)
+    p_cmp.add_argument("--query-type", default="encoded_image_feature")
+    p_cmp.add_argument("--key-type", default="encoded_image_feature")
+    p_cmp.add_argument("--k", type=int, default=1)
+    p_cmp.set_defaults(overrides=[])
+
     sub.add_parser("configs", help="list bundled experiment configs")
     sub.add_parser("bench", help="run the throughput microbenchmark")
 
@@ -803,6 +872,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         "zeroshot": cmd_zeroshot,
         "flatten-csv": cmd_flatten_csv,
         "plot-embeddings": cmd_plot_embeddings,
+        "stats-summary": cmd_stats_summary,
+        "compare-experiments": cmd_compare_experiments,
         "configs": cmd_configs,
         "bench": cmd_bench,
     }[args.command](args, overrides)

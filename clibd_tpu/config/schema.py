@@ -306,12 +306,17 @@ class RetrieveSettings:
     seed: int = 413
     independent: bool = False
     load_cached_results: bool = False
+    # sample only mispredicted queries (reference scripts/result/check_failure_cases.py)
+    only_failures: bool = False
 
 
 @dataclass
 class EvalConfig:
     plot_embeddings: bool = False
     retrieve_images: bool = False
+    # nearest same-species distance CSV + histogram per modality pair
+    # (reference scripts/result/distribution_of_similarities.py)
+    similarity_distributions: bool = False
     k_list: Sequence[int] = (1, 3, 5)
     levels: Sequence[str] = LEVELS
     eval_on: str = "test"  # val | test
