@@ -186,8 +186,11 @@ def test_cli_eval_with_plots_and_retrieval(tiny_hdf5, tiny_exp_yaml, tmp_path, m
     ])
     assert rc == 0
     folder = tmp_path / "extracted_embedding" / "bioscan_1m" / "tiny_test"
-    assert (folder / "retrieval" / "retrieval.png").exists()
-    assert (folder / "retrieval" / "retrieval.json").exists()
+    import glob as _glob
+
+    pngs = _glob.glob(str(folder / "retrieval" / "retrieved_images_*.png"))
+    assert pngs, "no retrieval grid figures written"
+    assert (folder / "retrieval" / "retrieved_images.json").exists()
     assert (folder / "plots" / "embedding_order.png").exists()
 
 
