@@ -695,6 +695,24 @@ def cmd_configs(args, overrides) -> int:
     return 0
 
 
+def cmd_fetch_taxonomy(args, overrides) -> int:
+    """NCBI-Entrez species -> order/family/genus JSON (reference
+    data/INSECT/get_all_species_taxo_labels_dict_and_save_to_json.py).
+    Needs outbound HTTPS; resumable via the output JSON."""
+    from .data.ncbi import fetch_species_taxonomy_json, species_from_insect_mats
+
+    if args.species:
+        species = args.species
+    elif args.res101_mat:
+        species = species_from_insect_mats(args.res101_mat)
+    else:
+        print("pass --species ... or --res101-mat", file=sys.stderr)
+        return 2
+    fetch_species_taxonomy_json(species, args.out, email=args.email)
+    print(f"Wrote {args.out}")
+    return 0
+
+
 def cmd_stats_summary(args, overrides) -> int:
     """Dataset statistics summaries (reference create_statistics_summaries.py)."""
     from .analysis.statistics import write_statistics_csvs
@@ -839,6 +857,13 @@ def main(argv: Optional[List[str]] = None) -> int:
     p_zs.add_argument("--level", default="species")
     p_zs.add_argument("--batch-size", type=int, default=64)
 
+    p_tax = sub.add_parser("fetch-taxonomy", help="NCBI-Entrez species taxonomy fetch (data/INSECT/)")
+    p_tax.add_argument("--out", required=True)
+    p_tax.add_argument("--email", required=True, help="NCBI requires a contact email")
+    p_tax.add_argument("--species", nargs="*", default=None)
+    p_tax.add_argument("--res101-mat", default=None, help="INSECT res101.mat to read species from")
+    p_tax.set_defaults(overrides=[])
+
     p_stats = sub.add_parser("stats-summary", help="dataset statistics summaries (create_statistics_summaries.py)")
     p_stats.add_argument("--hdf5", required=True)
     p_stats.add_argument("--out", required=True)
@@ -872,6 +897,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         "zeroshot": cmd_zeroshot,
         "flatten-csv": cmd_flatten_csv,
         "plot-embeddings": cmd_plot_embeddings,
+        "fetch-taxonomy": cmd_fetch_taxonomy,
         "stats-summary": cmd_stats_summary,
         "compare-experiments": cmd_compare_experiments,
         "configs": cmd_configs,
