@@ -264,7 +264,13 @@ class Trainer:
             if self.eval_loader_factory is not None:
                 loader = self.eval_loader_factory(split, False)
             else:
-                loader = BioscanLoader(self.hdf5_path, split, spec, num_workers=0)
+                # same decode parallelism as training — at 1M scale all_keys
+                # is 21k records × 3 splits per eval (VERDICT r1 weak #7)
+                loader = BioscanLoader(
+                    self.hdf5_path, split, spec,
+                    num_workers=self.gcfg.pipeline.num_workers,
+                    use_native=self.gcfg.pipeline.use_native_decoder,
+                )
             out = extract_split(self.params, cfg, loader, for_key_set=for_key, mesh=self.mesh)
             loader.close()
             return out
