@@ -284,6 +284,14 @@ def cmd_eval(args, overrides) -> int:
         ):
             with open(os.path.join(folder, name), "w") as f:
                 json.dump(_stringify(payload), f, indent=4)
+        # self-contained HTML report (the reference's html_plots/ artifacts)
+        from .analysis.report import eval_report_sections, write_html_report
+
+        sections = eval_report_sections(folder, acc_table_rows=csv_rows or None)
+        write_html_report(
+            os.path.join(folder, "report.html"),
+            f"{mc.model_output_name} — {mc.dataset} ({eval_on})", sections,
+        )
     return 0
 
 

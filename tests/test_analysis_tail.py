@@ -207,3 +207,27 @@ def test_retrieve_images_multi_modes(tiny_hdf5, tmp_path):
     for r in out4["record"]:
         top1 = r["results"][0]["predictions"][0]["taxonomy"]["species"]
         assert top1 != r["query"]["taxonomy"]["species"]
+
+
+def test_html_report(tmp_path):
+    from clibd_tpu.analysis.report import eval_report_sections, write_html_report
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    folder = tmp_path / "run"
+    (folder / "plots").mkdir(parents=True)
+    fig, ax = plt.subplots()
+    ax.plot([0, 1], [0, 1])
+    fig.savefig(folder / "plots" / "embedding_order.png")
+    plt.close(fig)
+
+    sections = eval_report_sections(str(folder),
+                                    acc_table_rows=[["q", "k", "acc"], ["img", "img", 0.9]])
+    out = write_html_report(str(folder / "report.html"), "tiny run", sections)
+    text = open(out).read()
+    assert "data:image/png;base64," in text
+    assert "<table>" in text and "img" in text
+    assert text.startswith("<!doctype html>")
