@@ -37,8 +37,15 @@ ALL_TYPE_OF_FEATURES_OF_QUERY = [
 ALL_TYPE_OF_FEATURES_OF_KEY = ALL_TYPE_OF_FEATURES_OF_QUERY + ["all_key_features"]
 
 
-def make_encode_step(cfg: ExperimentConfig, mesh=None, compute_dtype=jnp.bfloat16):
-    """Build the jitted embedding step: batch → {image, dna, language} [B, D]."""
+def make_encode_step(cfg: ExperimentConfig, mesh=None, compute_dtype=jnp.bfloat16,
+                     use_shard_map: Optional[bool] = None):
+    """Build the jitted embedding step: batch → {image, dna, language} [B, D].
+
+    Multi-device meshes run the encoders under `shard_map` (per-device local
+    shapes) rather than global-math jit: encoding is purely data-parallel, so
+    the results are identical, and local shapes let the flash Pallas attention
+    kernel (which does not auto-partition under jit) run per device on a
+    v5e-8 the same way it runs single-chip."""
 
     def step(params, batch):
         out = clibd_apply(
@@ -53,6 +60,27 @@ def make_encode_step(cfg: ExperimentConfig, mesh=None, compute_dtype=jnp.bfloat1
 
     if mesh is None:
         return jax.jit(step)
+    if use_shard_map is None:
+        use_shard_map = mesh.size > 1
+    if use_shard_map:
+        from jax.sharding import PartitionSpec as P
+
+        from ..models.layers import flash_context
+
+        def local_step(params, batch):
+            # local shapes per device → the flash kernel is safe on any mesh
+            with flash_context(True):
+                return step(params, batch)
+
+        sharded = jax.shard_map(
+            local_step, mesh=mesh,
+            in_specs=(P(), P("data")),  # prefix specs: params replicated, batch leaves data-sharded
+            out_specs=P("data"),
+            # pallas_call out_shapes carry no varying-mesh-axes info — skip
+            # the vma check (encoding has no cross-device collectives anyway)
+            check_vma=False,
+        )
+        return jax.jit(sharded)
     in_shard = (replicate_spec(mesh), batch_spec(mesh))
     return jax.jit(step, in_shardings=in_shard, out_shardings=None)
 

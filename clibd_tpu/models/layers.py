@@ -38,12 +38,37 @@ import jax.numpy as jnp
 # the [B,H,N,N] score tensor never touches HBM (docs/PERF.md).
 ATTENTION_IMPL = os.environ.get("CLIBD_ATTN_IMPL", "auto")
 
+_FLASH_CTX = __import__("threading").local()
+
+
+def flash_context(enabled: bool):
+    """Trace-time override for the 'auto' policy: code that guarantees
+    per-device local shapes (the shard_map extraction path) wraps its trace
+    in `with flash_context(True):` so the kernel engages on multi-chip TPU
+    meshes too (plain multi-device jit keeps XLA — pallas_call does not
+    auto-partition)."""
+    import contextlib
+
+    @contextlib.contextmanager
+    def _ctx():
+        prev = getattr(_FLASH_CTX, "on", None)
+        _FLASH_CTX.on = enabled
+        try:
+            yield
+        finally:
+            _FLASH_CTX.on = prev
+
+    return _ctx()
+
 
 def _flash_enabled() -> bool:
     if ATTENTION_IMPL == "pallas":
         return True
     if ATTENTION_IMPL == "xla":
         return False
+    ctx = getattr(_FLASH_CTX, "on", None)
+    if ctx is not None:
+        return ctx and jax.default_backend() == "tpu"
     return jax.default_backend() == "tpu" and jax.device_count() == 1
 
 

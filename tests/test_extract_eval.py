@@ -268,3 +268,52 @@ def test_all_key_features_image_dna_only(tiny_hdf5_module, tiny_cfg):
         out["all_key_features"][:12], out["encoded_image_feature"], atol=1e-6)
     np.testing.assert_allclose(
         out["all_key_features"][12:], out["encoded_dna_feature"], atol=1e-6)
+
+
+def test_shard_map_encode_matches_jit_global(tiny_hdf5_module, tiny_cfg):
+    """Multi-device extraction now runs the encoders under shard_map (local
+    shapes per device, flash-kernel compatible) — must equal the global-math
+    jit path bit-for-bit-ish."""
+    from clibd_tpu.engine.extract import make_encode_step
+    from clibd_tpu.parallel.mesh import replicate, shard_batch
+
+    params = init_clibd_params(jax.random.PRNGKey(0), tiny_cfg)
+    mesh = create_mesh(jax.devices()[:4])
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": rng.random((8, 224, 224, 3), dtype=np.float32),
+        "dna": rng.integers(0, 1027, (8, 133)).astype(np.int32),
+    }
+    p = replicate(mesh, params)
+    b = shard_batch(mesh, batch)
+    out_sm = make_encode_step(tiny_cfg, mesh=mesh, use_shard_map=True)(p, b)
+    out_gl = make_encode_step(tiny_cfg, mesh=mesh, use_shard_map=False)(p, b)
+    for k in out_gl:
+        np.testing.assert_allclose(np.asarray(out_sm[k]), np.asarray(out_gl[k]),
+                                   atol=2e-2, rtol=2e-2)
+
+
+def test_shard_map_encode_with_flash_kernel(tiny_hdf5_module, tiny_cfg, monkeypatch):
+    """The flash Pallas kernel must run inside shard_map on the CPU mesh
+    (interpret mode) and agree with the XLA path — the v5e-8 extraction
+    configuration."""
+    from clibd_tpu.engine.extract import make_encode_step
+    from clibd_tpu.models import layers
+    from clibd_tpu.parallel.mesh import replicate, shard_batch
+
+    params = init_clibd_params(jax.random.PRNGKey(0), tiny_cfg)
+    mesh = create_mesh(jax.devices()[:2])
+    rng = np.random.default_rng(1)
+    batch = {
+        "image": rng.random((4, 224, 224, 3), dtype=np.float32),
+        "dna": rng.integers(0, 1027, (4, 133)).astype(np.int32),
+    }
+    p = replicate(mesh, params)
+    b = shard_batch(mesh, batch)
+    monkeypatch.setattr(layers, "ATTENTION_IMPL", "xla")
+    ref = make_encode_step(tiny_cfg, mesh=mesh, use_shard_map=True)(p, b)
+    monkeypatch.setattr(layers, "ATTENTION_IMPL", "pallas")
+    out = make_encode_step(tiny_cfg, mesh=mesh, use_shard_map=True)(p, b)
+    for k in ref:
+        np.testing.assert_allclose(np.asarray(out[k]), np.asarray(ref[k]),
+                                   atol=3e-2, rtol=3e-2)
