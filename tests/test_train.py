@@ -193,3 +193,63 @@ def test_load_reference_torch_checkpoint(tmp_path):
         params["image_encoder"]["blocks"]["qkv_w"][0],
         sd["module.image_encoder.lora_vit.blocks.0.attn.qkv.qkv.weight"].numpy().T,
     )
+
+
+def test_shard_map_train_step_matches_global(tiny_hdf5, monkeypatch):
+    """make_train_step_shard_map (explicit all_gather loss + psum grads) must
+    produce the same loss and parameter update as the global-math jit step
+    (augmentation disabled for determinism — its PRNG streams differ by
+    construction)."""
+    import jax.numpy as jnp
+
+    from clibd_tpu.config.schema import BertConfig, ExperimentConfig, ViTConfig
+    from clibd_tpu.engine import train as train_mod
+    from clibd_tpu.engine.schedules import build_schedule
+    from clibd_tpu.models import init_clibd_params
+    from clibd_tpu.parallel.mesh import create_mesh, replicate, shard_batch
+
+    monkeypatch.setattr(train_mod, "train_augment", lambda rng, x: x)
+
+    cfg = ExperimentConfig()
+    cfg.batch_size = 2
+    cfg.output_dim = 16
+    cfg.remat = False
+    cfg.image.vit = ViTConfig(image_size=64, patch_size=16, hidden_size=32,
+                              num_layers=2, num_heads=4, mlp_dim=64)
+    cfg.dna.bert = BertConfig(vocab_size=1027, hidden_size=32, num_layers=2,
+                              num_heads=4, intermediate_size=64,
+                              max_position_embeddings=140, with_mlm_head=True)
+    cfg.language.enable = False
+
+    mesh = create_mesh(jax.devices()[:4])
+    params = init_clibd_params(jax.random.PRNGKey(0), cfg)
+    schedule = build_schedule(cfg.optim, total_steps=4, batch_size=cfg.batch_size)
+    optimizer = train_mod.build_optimizer(cfg, params, schedule)
+    opt_state = optimizer.init(params)
+
+    rng = np.random.default_rng(0)
+    B = cfg.batch_size * mesh.size
+    batch = {
+        "image": rng.random((B, 64, 64, 3), dtype=np.float32),
+        "dna": rng.integers(0, 1027, (B, 133)).astype(np.int32),
+        "label": np.arange(B, dtype=np.int32),
+    }
+    key = jax.random.PRNGKey(7)
+
+    p_g = replicate(mesh, params)
+    o_g = replicate(mesh, opt_state)
+    b_g = shard_batch(mesh, batch)
+    step_g = train_mod.make_train_step(cfg, optimizer, mesh=mesh, donate=False)
+    pg, og, loss_g = step_g(p_g, o_g, b_g, key)
+
+    p_s = replicate(mesh, params)
+    o_s = replicate(mesh, opt_state)
+    step_s = train_mod.make_train_step_shard_map(cfg, optimizer, mesh, donate=False)
+    ps, os_, loss_s = step_s(p_s, o_s, shard_batch(mesh, batch), key)
+
+    np.testing.assert_allclose(float(loss_s), float(loss_g), rtol=2e-5)
+    flat_g = jax.tree.leaves(jax.device_get(pg))
+    flat_s = jax.tree.leaves(jax.device_get(ps))
+    for a, b in zip(flat_s, flat_g):
+        np.testing.assert_allclose(np.asarray(a, np.float32), np.asarray(b, np.float32),
+                                   atol=5e-5, rtol=1e-3)
