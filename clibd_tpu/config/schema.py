@@ -248,6 +248,11 @@ class ExperimentConfig:
     disable_lora: bool = False  # True = full fine-tune (final recipes)
     lora_rank: int = 4
     amp: bool = True  # bf16 compute
+    # train-step parallelism implementation: "global" = global-math jit (XLA
+    # partitioner inserts collectives); "shard_map" = explicit lax.all_gather
+    # loss + psum grads with per-device local shapes (flash-attention
+    # compatible on multi-chip meshes).  Numerically equivalent (tested).
+    step_impl: str = "global"
     # fast-math under bf16 compute only: tanh-approx GELU + bf16 LN arithmetic
     # (fp32 mean/var).  Added error is below bf16 rounding noise (validated in
     # tests/test_models.py::test_fast_math_embedding_parity); −21% encoder wall

@@ -252,7 +252,10 @@ class Trainer:
         )
         self.optimizer = build_optimizer(cfg, params, self.schedule)
         self.opt_state = replicate(self.mesh, self.optimizer.init(params))
-        self.step_fn = make_train_step(cfg, self.optimizer, mesh=self.mesh)
+        if cfg.step_impl == "shard_map":
+            self.step_fn = make_train_step_shard_map(cfg, self.optimizer, self.mesh)
+        else:
+            self.step_fn = make_train_step(cfg, self.optimizer, mesh=self.mesh)
         self.global_step = 0
         self.stop_flag = False
 
