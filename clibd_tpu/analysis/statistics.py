@@ -79,8 +79,12 @@ def average_records_per_class(counts: Counter) -> float:
     return (sum(counts.values()) / len(counts)) if counts else 0.0
 
 
-def print_table(rows: List[Sequence], title: str, output: TextIO = sys.stdout) -> None:
-    """ASCII table (reference print_table, create_statistics_summaries.py:459)."""
+def print_table(rows: List[Sequence], title: str, output: Optional[TextIO] = None) -> None:
+    """ASCII table (reference print_table, create_statistics_summaries.py:459).
+    output resolves to sys.stdout at CALL time (an import-time default would
+    escape pytest's capture and any later stream redirection)."""
+    if output is None:
+        output = sys.stdout
     if not rows:
         return
     widths = [max(len(str(r[i])) for r in rows) for i in range(len(rows[0]))]
