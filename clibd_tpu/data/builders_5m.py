@@ -74,6 +74,14 @@ class ChunkedSplitWriter:
     def rows_written(self) -> int:
         return int(self.g.attrs.get("rows_written", 0))
 
+    def truncate(self, n_rows: int) -> None:
+        """Roll back to the first n_rows (crash-recovery: a chunk appended
+        whose bookkeeping never landed must be dropped, not duplicated)."""
+        g = self.g
+        for name, ds in g.items():
+            ds.resize((n_rows,) + ds.shape[1:])
+        g.attrs["rows_written"] = n_rows
+
     def append(self, records: Dict[str, Sequence], jpeg_bytes: List[bytes]) -> None:
         n = len(jpeg_bytes)
         if n == 0:
@@ -170,6 +178,16 @@ def build_split_hdf5_parallel(
             # ingested chunk contributed (skips make counts differ), so a
             # restarted build continues at the first missing chunk
             written_per_chunk = list(writer.g.attrs.get("written_per_chunk", []))
+            if resume:
+                # a crash during/after append() but before the bookkeeping
+                # write leaves rows (possibly with unevenly-resized columns)
+                # that no chunk entry accounts for — trim back to consistency
+                consistent = int(sum(written_per_chunk))
+                actual = max(int(ds.shape[0]) for ds in writer.g.values())
+                if actual > consistent:
+                    print(f"[{group_name}] trimming {actual - consistent} "
+                          f"rows from an unbookkept chunk before resuming", flush=True)
+                    writer.truncate(consistent)
             for c in range(n_chunks):
                 if resume and c < len(written_per_chunk):
                     continue  # already ingested

@@ -79,10 +79,15 @@ def shard_indices(
     if drop_last:
         per_host = n // num_hosts
         per_host -= per_host % batch_size
-    else:
-        per_host = -(-n // num_hosts)
-    local = order[host_id::num_hosts][:per_host]
-    return local
+        return order[host_id::num_hosts][:per_host]
+    # DistributedSampler pads to EQUAL per-host length by wrapping (later
+    # hosts' strided slice is one short when num_hosts does not divide n) —
+    # unequal counts would deadlock lockstep multi-host collectives
+    per_host = -(-n // num_hosts)
+    local = order[host_id::num_hosts]
+    if len(local) < per_host and len(local) > 0:
+        local = np.concatenate([local, local[: per_host - len(local)]])
+    return local[:per_host]
 
 
 class BioscanLoader:
@@ -265,8 +270,11 @@ class BioscanLoader:
         return self.split_reader.ids(field=field)
 
     def close(self):
-        self.split_reader.close()
-        if self._pool is not None:
-            self._pool.shutdown(wait=False)
+        # drain in-flight batch builds BEFORE closing the HDF5 reader — a
+        # running build reading a closed h5py file raises (or worse) from a
+        # background thread; cancel() cannot stop already-running futures
         if self._batch_pool is not None:
-            self._batch_pool.shutdown(wait=False)
+            self._batch_pool.shutdown(wait=True, cancel_futures=True)
+        if self._pool is not None:
+            self._pool.shutdown(wait=True, cancel_futures=True)
+        self.split_reader.close()

@@ -117,17 +117,32 @@ def retrieve_images_multi(
     k_labels = keys_dict["label_list"]
     q_ids_all = query_dict.get("processed_id_list", query_dict.get("file_name_list"))
 
+    query_keys = list(query_keys)
     cached = None
     if load_cached_results and os.path.exists(json_path):
         with open(json_path) as f:
-            cached = json.load(f)
-        indices = [r["query"]["index"] for r in cached]
-    else:
+            payload = json.load(f)
+        # validate the cache was built with the SAME pair list — replaying a
+        # stale cache against a different pair order would silently mislabel
+        # figures (or IndexError on a longer list)
+        if (isinstance(payload, dict)
+                and [tuple(p) for p in payload.get("query_keys", [])] == [tuple(p) for p in query_keys]):
+            cached = payload["results"]
+            indices = [r["query"]["index"] for r in cached]
+        else:
+            print(f"{json_path} was written with different query_keys — recomputing")
+    if cached is None:
         rng = random.Random(seed)
         n_q = len(q_labels)
         pool = range(n_q)
         if only_failures:
-            qf, kf = query_keys[0]
+            # first pair whose features exist on both sides defines "failure"
+            usable = [(qf, kf) for qf, kf in query_keys
+                      if query_dict.get(qf) is not None and keys_dict.get(kf) is not None
+                      and query_dict[qf].shape[-1] == keys_dict[kf].shape[-1]]
+            if not usable:
+                return {"figures": [], "record": [], "note": "no usable feature pair"}
+            qf, kf = usable[0]
             _s, nn1 = knn_search(np.asarray(query_dict[qf]), np.asarray(keys_dict[kf]), k=1)
             pool = [i for i in range(n_q)
                     if k_labels[int(nn1[i][0])][level] != q_labels[i][level]]
@@ -163,7 +178,8 @@ def retrieve_images_multi(
                     ],
                 })
         with open(json_path, "w") as f:
-            json.dump(results, f, indent=2)
+            json.dump({"query_keys": [list(p) for p in query_keys],
+                       "results": results}, f, indent=2)
     else:
         results = cached
 

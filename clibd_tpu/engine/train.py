@@ -25,7 +25,7 @@ import optax
 
 from ..config.schema import ExperimentConfig, GlobalConfig
 from ..data.pipeline import BatchSpec, BioscanLoader
-from ..models.clibd import clibd_apply, init_clibd_params, trainable_mask
+from ..models.clibd import clibd_apply, dequantize_image, init_clibd_params, trainable_mask
 from ..ops.augment import train_augment
 from ..ops.loss import clip_loss
 from ..parallel.mesh import (
@@ -76,9 +76,7 @@ def make_train_step(
     def loss_fn(params, batch, rng):
         image_in = batch.get("image")
         if image_in is not None and cfg.image.input_type == "image":
-            if image_in.dtype == jnp.uint8:  # uint8 transport → floats on device
-                image_in = image_in.astype(jnp.float32) / 255.0
-            image_in = train_augment(rng, image_in)
+            image_in = train_augment(rng, dequantize_image(image_in))
         out = clibd_apply(
             params,
             cfg,
@@ -127,12 +125,10 @@ def make_train_step_shard_map(
     def local_loss_fn(params, batch, rng):
         image_in = batch.get("image")
         if image_in is not None and cfg.image.input_type == "image":
-            if image_in.dtype == jnp.uint8:
-                image_in = image_in.astype(jnp.float32) / 255.0
             # decorrelate augmentation streams across shards (the replicated
             # key would otherwise draw identical crops on every device)
             rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
-            image_in = train_augment(rng, image_in)
+            image_in = train_augment(rng, dequantize_image(image_in))
         with flash_context(True):
             out = clibd_apply(
                 params, cfg,
@@ -274,7 +270,10 @@ class Trainer:
             model_batch = {
                 k: batch[k] for k in ("image", "dna", "language", "label") if k in batch
             }
-            padded, _ = pad_to_multiple(model_batch, self.mesh.size)
+            # pad the LOCAL batch to this process's device share (a global-
+            # count multiple would inject duplicated rows into the loss on
+            # multi-host runs); drop_last makes this a no-op in practice
+            padded, _ = pad_to_multiple(model_batch, self.mesh.size // num_hosts())
             padded = shard_batch(self.mesh, padded)
             self.params, self.opt_state, loss = self.step_fn(
                 self.params, self.opt_state, padded, sub
@@ -325,6 +324,16 @@ class Trainer:
             dna_source="sequence" if cfg.dna.input_type == "sequence" else "dna_features",
         )
 
+        # multi-host: every process evaluates the FULL splits on its own
+        # local-device mesh (eval loaders are not host-sharded); the global
+        # mesh would mis-assemble full batches as per-process shards
+        from ..parallel.mesh import local_mesh, mesh_is_multiprocess
+
+        eval_mesh = local_mesh() if mesh_is_multiprocess(self.mesh) else self.mesh
+        eval_params = (
+            jax.device_get(self.params) if mesh_is_multiprocess(self.mesh) else self.params
+        )
+
         def run(split, for_key=False):
             if self.eval_loader_factory is not None:
                 loader = self.eval_loader_factory(split, False)
@@ -336,7 +345,7 @@ class Trainer:
                     num_workers=self.gcfg.pipeline.num_workers,
                     use_native=self.gcfg.pipeline.use_native_decoder,
                 )
-            out = extract_split(self.params, cfg, loader, for_key_set=for_key, mesh=self.mesh)
+            out = extract_split(eval_params, cfg, loader, for_key_set=for_key, mesh=eval_mesh)
             loader.close()
             return out
 

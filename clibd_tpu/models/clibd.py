@@ -29,6 +29,15 @@ def l2_normalize(x: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
     return x / jnp.maximum(norm, eps)
 
 
+def dequantize_image(x: jnp.ndarray) -> jnp.ndarray:
+    """Undo BatchSpec.transport_uint8 on device: uint8 → float [0,1] (XLA
+    fuses the divide into the consumer); float inputs pass through.  The ONE
+    place the transport contract is decoded — keep all call sites on it."""
+    if x is not None and x.dtype == jnp.uint8:
+        return x.astype(jnp.float32) / 255.0
+    return x
+
+
 def _clip_configs(cfg: ExperimentConfig):
     from .clip import CLIPTextConfig, CLIPVisionConfig
 
@@ -124,10 +133,7 @@ def load_simclr_vit_backbone(path: str, init_params: dict, cfg: ExperimentConfig
 
 def encode_image(params: dict, cfg: ExperimentConfig, image_input, compute_dtype=jnp.bfloat16, remat=False):
     if cfg.image.input_type == "image":
-        if image_input.dtype == jnp.uint8:
-            # uint8 transport (BatchSpec.transport_uint8): rescale on device —
-            # XLA fuses the divide into the patch-embed matmul's operand read
-            image_input = image_input.astype(jnp.float32) / 255.0
+        image_input = dequantize_image(image_input)
         return vit_apply(params["image_encoder"], image_input, cfg.image.vit,
                          compute_dtype=compute_dtype, remat=remat, fast_math=cfg.fast_math)
     return mlp_encoder_apply(params["image_encoder"], image_input, compute_dtype)
@@ -197,8 +203,7 @@ def clibd_apply(
     if image_input is not None and "clip_vision" in params:
         from .clip import clip_normalize, clip_vision_apply
 
-        if image_input.dtype == jnp.uint8:
-            image_input = image_input.astype(jnp.float32) / 255.0
+        image_input = dequantize_image(image_input)
         vcfg, _ = _clip_configs(cfg)
         feats = clip_vision_apply(params["clip_vision"], clip_normalize(image_input), vcfg, compute_dtype)
         out["image"] = l2_normalize(feats)

@@ -107,8 +107,12 @@ def _flash_kernel(*refs, num_heads: int, head_dim: int,
             ) * scale  # [Npad, Npad] fp32
             if has_mask:
                 s = s + mrow
+            # padded key columns must rank strictly below even fully-masked
+            # real columns (HF mask bias = float32 finfo.min): -inf makes an
+            # all-masked row fall back to a uniform softmax over the REAL
+            # keys, matching the XLA path
             col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-            s = jnp.where(col < valid_len, s, -1e30)
+            s = jnp.where(col < valid_len, s, -jnp.inf)
             m = jnp.max(s, axis=-1, keepdims=True)
             e = jnp.exp(s - m)
             p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(jnp.bfloat16)
@@ -137,7 +141,7 @@ def _xla_attention_from_qkv(qkv, mask_row, num_heads: int, valid_len: int):
     if mask_row is not None:
         s = s + mask_row[:, None, None, :].astype(jnp.float32)
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 3)
-    s = jnp.where(col < valid_len, s, -1e30)
+    s = jnp.where(col < valid_len, s, -jnp.inf)
     p = jax.nn.softmax(s, axis=-1).astype(jnp.bfloat16)
     ctx = jnp.einsum("bhqk,bhkd->bhqd", p, v.astype(jnp.bfloat16),
                      preferred_element_type=jnp.float32)

@@ -82,15 +82,28 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def mesh_is_multiprocess(mesh: Mesh) -> bool:
+    """True when the mesh spans devices owned by more than one process."""
+    return len({d.process_index for d in np.asarray(mesh.devices).flat}) > 1
+
+
+def local_mesh(axis_name: str = DATA_AXIS) -> Mesh:
+    """Mesh over THIS process's devices only — for per-host work (e.g. eval,
+    where every host runs the full computation on the full data)."""
+    return Mesh(np.asarray(jax.local_devices()), (axis_name,))
+
+
 def shard_batch(mesh: Mesh, batch, axis_name: str = DATA_AXIS):
     """Place a host batch (pytree of np arrays) onto the mesh, batch axis
     sharded over 'data'.
 
-    Multi-host: each process passes its LOCAL shard (global_batch/num_hosts
-    rows, produced by its host-sharded loader) and the global array is
-    assembled across processes; single-host keeps the plain device_put path."""
+    When the mesh spans processes, each process passes its LOCAL shard
+    (global_batch/num_hosts rows, produced by its host-sharded loader) and
+    the global array is assembled across processes; single-process meshes
+    (incl. a per-host `local_mesh()` inside a multi-host job) keep the plain
+    device_put path."""
     sh = data_sharding(mesh, axis_name)
-    if jax.process_count() > 1:
+    if mesh_is_multiprocess(mesh):
         return jax.tree.map(
             lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)), batch
         )

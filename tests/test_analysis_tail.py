@@ -231,3 +231,36 @@ def test_html_report(tmp_path):
     assert "data:image/png;base64," in text
     assert "<table>" in text and "img" in text
     assert text.startswith("<!doctype html>")
+
+
+def test_retrieve_cache_invalidated_on_pair_change(tiny_hdf5, tmp_path):
+    """A cached retrieved_images.json written with different query_keys must
+    be recomputed, not replayed (code-review finding)."""
+    from clibd_tpu.engine.retrieval_grid import retrieve_images_multi
+
+    rng = np.random.default_rng(5)
+    n = 12
+
+    def feats():
+        x = rng.standard_normal((n, 8)).astype(np.float32)
+        return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+    labels = [{"order": "o", "family": "f", "genus": "g", "species": f"s{i%3}"}
+              for i in range(n)]
+    keys_dict = {"processed_id_list": [f"k{i}" for i in range(n)],
+                 "label_list": labels,
+                 "encoded_image_feature": feats(),
+                 "encoded_dna_feature": feats()}
+    query_dict = dict(keys_dict)
+
+    one_pair = [("encoded_image_feature", "encoded_image_feature")]
+    two_pairs = one_pair + [("encoded_dna_feature", "encoded_dna_feature")]
+    out1 = retrieve_images_multi(str(tmp_path / "r"), tiny_hdf5, "all_keys",
+                                 "all_keys", query_dict, keys_dict,
+                                 query_keys=one_pair, num_queries=2, max_k=2)
+    assert len(out1["record"][0]["results"]) == 1
+    out2 = retrieve_images_multi(str(tmp_path / "r"), tiny_hdf5, "all_keys",
+                                 "all_keys", query_dict, keys_dict,
+                                 query_keys=two_pairs, num_queries=2, max_k=2,
+                                 load_cached_results=True)
+    assert len(out2["record"][0]["results"]) == 2  # recomputed, not replayed

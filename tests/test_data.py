@@ -213,3 +213,16 @@ def test_overlap_tokenizer_config_path(tiny_hdf5):
                      compute_dtype=jnp.float32)
     assert emb.shape == (4, 8)
     assert np.isfinite(np.asarray(emb)).all()
+
+
+def test_shard_indices_no_drop_last_equal_lengths():
+    """drop_last=False must pad hosts to EQUAL length by wrapping (the
+    DistributedSampler contract) — unequal counts deadlock lockstep
+    multi-host collectives (code-review finding)."""
+    from clibd_tpu.data.pipeline import shard_indices
+
+    shards = [shard_indices(103, epoch=0, host_id=h, num_hosts=4, batch_size=5,
+                            shuffle=False, drop_last=False) for h in range(4)]
+    assert {len(s) for s in shards} == {26}
+    # union covers everything; only wrap-padding repeats
+    assert set(np.concatenate(shards).tolist()) == set(range(103))

@@ -123,3 +123,28 @@ def test_fused_qkv_attention_flash_integration(rng, monkeypatch):
     monkeypatch.setattr(layers, "ATTENTION_IMPL", "pallas")
     out = layers.fused_qkv_attention(x, qkv_w, qkv_b, out_w, out_b, **kwargs)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-2, rtol=2e-2)
+
+
+def test_flash_attention_all_masked_row_matches_xla(rng):
+    """A fully-masked attention row (e.g. an empty barcode under the overlap
+    tokenizer) must behave like the XLA path: uniform softmax over the REAL
+    keys, never attention onto padded columns (code-review finding)."""
+    from clibd_tpu.models import layers
+
+    B, N, H, D = 2, 21, 2, 32
+    x = jnp.asarray(rng.standard_normal((B, N, D)).astype(np.float32))
+    qkv_w = jnp.asarray(rng.standard_normal((D, 3 * D)).astype(np.float32) * 0.1)
+    qkv_b = jnp.zeros((3 * D,), jnp.float32)
+    out_w = jnp.asarray(rng.standard_normal((D, D)).astype(np.float32) * 0.1)
+    out_b = jnp.zeros((D,), jnp.float32)
+    mask = jnp.asarray(np.stack([np.zeros(N), np.ones(N)]).astype(np.float32))  # row 0 all-masked
+    bias = layers.attention_mask_bias(mask)
+
+    kwargs = dict(num_heads=H, mask_bias=bias, lora=None, compute_dtype=jnp.float32)
+    ref = layers.fused_qkv_attention(x, qkv_w, qkv_b, out_w, out_b, **kwargs)
+    import unittest.mock as um
+
+    with um.patch.object(layers, "ATTENTION_IMPL", "pallas"):
+        out = layers.fused_qkv_attention(x, qkv_w, qkv_b, out_w, out_b, **kwargs)
+    assert np.isfinite(np.asarray(out)).all()
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-2, rtol=2e-2)
