@@ -169,6 +169,10 @@ def fused_qkv_attention(
             # into the qkv matmul epilogue — no extra HBM pass)
             qkv = qkv + jnp.concatenate([dq, dk, dv], axis=-1)
         mask_row = None if mask_bias is None else mask_bias[:, 0, 0, :]
+        # block_b=2 measured best IN-MODEL at both ViT (N=197) and BarcodeBERT
+        # (N=133) shapes; standalone per-layer sweeps preferred larger blocks
+        # for short sequences but regressed the full encoder (less DMA/compute
+        # overlap with neighboring XLA ops) — trust end-to-end numbers only
         ctx = flash_attention_qkv(qkv, num_heads, mask_row=mask_row, block_b=2)
         out = jnp.dot(ctx, out_w.astype(compute_dtype), preferred_element_type=compute_dtype,
                       precision=_precision(compute_dtype))
