@@ -393,6 +393,11 @@ class Trainer:
                 acc_dict = self.evaluate()
                 overall = compute_overall_acc(acc_dict)
                 history["overall_acc"].append((epoch, overall))
+                # flattened eval grid to the run logger (reference
+                # convert_acc_dict_to_wandb_dict, train_cl.py:110-121)
+                from .evaluate import convert_acc_dict_to_wandb_dict
+
+                self.log_fn(convert_acc_dict_to_wandb_dict(acc_dict))
                 improved = self.checkpointer.maybe_save_best(
                     overall, self.params, self.opt_state, self.global_step, epoch,
                     save=self.gcfg.save_ckpt and is_main_process(),
