@@ -226,3 +226,16 @@ def test_shard_indices_no_drop_last_equal_lengths():
     assert {len(s) for s in shards} == {26}
     # union covers everything; only wrap-padding repeats
     assert set(np.concatenate(shards).tolist()) == set(range(103))
+
+
+def test_mesh_multiprocess_helpers():
+    """local_mesh/mesh_is_multiprocess drive the multi-host eval routing."""
+    import jax
+
+    from clibd_tpu.parallel.mesh import create_mesh, local_mesh, mesh_is_multiprocess
+
+    m = create_mesh(jax.devices()[:2])
+    assert not mesh_is_multiprocess(m)  # single-process CPU mesh
+    lm = local_mesh()
+    assert lm.size == len(jax.local_devices())
+    assert not mesh_is_multiprocess(lm)
