@@ -83,9 +83,10 @@ def vit_apply(
         lora=params.get("lora"), compute_dtype=compute_dtype, remat=remat,
         fast_math=fast_math,
     )
-    x = layernorm(params["norm"], x, cfg.layernorm_eps,
-                  fast=fast_math and compute_dtype != jnp.float32)
+    fast = fast_math and compute_dtype != jnp.float32
     if return_tokens:
-        return x
-    cls_out = x[:, 0]
+        return layernorm(params["norm"], x, cfg.layernorm_eps, fast=fast)
+    # LN is per-token: normalizing only the CLS row == timm's norm-then-select
+    # (exact), skipping a full [B, N, D] pass
+    cls_out = layernorm(params["norm"], x[:, 0], cfg.layernorm_eps, fast=fast)
     return linear(params["head"], cls_out, compute_dtype).astype(jnp.float32)
