@@ -157,10 +157,14 @@ def build_split_hdf5_parallel(
             with PoolCls(max_workers=num_processes) as pool:
                 return list(pool.map(fn, args))
     else:
-        from multiprocessing import Pool
+        # forkserver: plain fork() from a multi-threaded parent (e.g. under a
+        # prefetching loader or pytest) risks deadlocks in the child
+        from multiprocessing import get_context
+
+        ctx = get_context("forkserver")
 
         def run_pool(fn, args):
-            with Pool(processes=num_processes) as pool:
+            with ctx.Pool(processes=num_processes) as pool:
                 return pool.map(fn, args, chunksize=64)
 
     mode = "a" if (resume and os.path.exists(output_path)) else "w"

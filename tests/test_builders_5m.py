@@ -156,3 +156,18 @@ def test_parallel_builder_50k_throughput(tmp_path):
     print(f"50k build: {stats}")
     assert stats["records"] == 50_000
     assert stats["records_per_s"] > 200
+
+
+def test_parallel_builder_multiprocessing_path(tmp_path):
+    """The fork-Pool path (use_threads=False) must work — _read_one and its
+    args must be picklable across processes."""
+    image_dir, files = _make_image_dir(tmp_path, 12)
+    md = _metadata(files)
+    md["split"] = "all_keys"
+    out = str(tmp_path / "mp.hdf5")
+    stats = build_split_hdf5_parallel(out, md, image_dir, chunk_size=6,
+                                      num_processes=2, use_threads=False,
+                                      log_every=0)
+    assert stats["records"] == 12
+    with h5py.File(out) as f:
+        assert f["all_keys"]["image"].shape[0] == 12
