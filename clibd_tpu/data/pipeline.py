@@ -218,8 +218,13 @@ class BioscanLoader:
                     out["language"] = self.split_reader.language_tokens(indices)
         return out
 
-    def batches(self, epoch: int = 0, shuffle: Optional[bool] = None) -> Iterator[Batch]:
-        """Yield batches with background prefetch (pipeline depth `prefetch`)."""
+    def batches(self, epoch: int = 0, shuffle: Optional[bool] = None,
+                start_batch: int = 0) -> Iterator[Batch]:
+        """Yield batches with background prefetch (pipeline depth `prefetch`).
+
+        start_batch: skip the first batches of the (deterministic, seeded)
+        epoch stream — mid-epoch resume; batch indices (and therefore the
+        per-batch augmentation streams) keep their absolute numbering."""
         shuffle = self.spec.train if shuffle is None else shuffle
         idx = shard_indices(
             self.n, epoch, self.host_id, self.num_hosts,
@@ -227,7 +232,7 @@ class BioscanLoader:
             seed=self.seed,
         )
         nb = len(idx) // self.spec.batch_size if self.drop_last else -(-len(idx) // self.spec.batch_size)
-        if nb == 0:
+        if nb == 0 or start_batch >= nb:
             return
 
         def build(b: int) -> Batch:
@@ -236,7 +241,7 @@ class BioscanLoader:
             return self._make_batch(idx[lo:hi], epoch, b)
 
         if self._batch_pool is None:
-            for b in range(nb):
+            for b in range(start_batch, nb):
                 yield build(b)
             return
 
@@ -246,9 +251,9 @@ class BioscanLoader:
 
         depth = max(self.prefetch, 1) + 1
         inflight: deque = deque()
-        nxt = 0
+        nxt = start_batch
         try:
-            while nxt < min(depth, nb):
+            while nxt < min(start_batch + depth, nb):
                 inflight.append(self._batch_pool.submit(build, nxt))
                 nxt += 1
             while inflight:

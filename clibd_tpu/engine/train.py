@@ -257,15 +257,19 @@ class Trainer:
 
     # -- epoch loops --------------------------------------------------------
 
-    def train_epoch(self, epoch: int, progress: bool = False) -> float:
+    def train_epoch(self, epoch: int, progress: bool = False, start_batch: int = 0) -> float:
         cfg = self.cfg
         from ..utils.profiling import StepTimer
 
         timer = StepTimer(warmup_steps=1)
         rng = jax.random.PRNGKey((cfg.default_seed << 16) + epoch)
+        # keep the per-step PRNG stream aligned with a fresh run when resuming
+        # mid-epoch (each skipped batch consumed one split)
+        for _ in range(start_batch):
+            rng, _unused = jax.random.split(rng)
         epoch_loss, n_steps = 0.0, 0
         t0 = time.time()
-        for batch in self.train_loader.batches(epoch=epoch):
+        for batch in self.train_loader.batches(epoch=epoch, start_batch=start_batch):
             rng, sub = jax.random.split(rng)
             model_batch = {
                 k: batch[k] for k in ("image", "dna", "language", "label") if k in batch
@@ -366,7 +370,17 @@ class Trainer:
         self.params = replicate(self.mesh, params)
         self.opt_state = replicate(self.mesh, opt_state if opt_state is not None else donor)
         self.global_step = int(meta.get("step", 0))
-        return int(meta.get("epoch", -1)) + 1
+        # mid-epoch resume (beyond the reference, which restarts from params
+        # only): the deterministic epoch streams make the step count resolve
+        # to an exact (epoch, batch) position
+        spe = max(len(self.train_loader), 1)
+        ckpt_epoch = int(meta.get("epoch", -1))
+        if self.global_step > (ckpt_epoch + 1) * spe:
+            # checkpoint taken mid-epoch (e.g. external save): continue inside it
+            self._resume_start_batch = self.global_step - (ckpt_epoch + 1) * spe
+            return ckpt_epoch + 1
+        self._resume_start_batch = 0
+        return ckpt_epoch + 1
 
     def fit(self, progress: bool = False, start_epoch: int = 0) -> dict:
         cfg = self.cfg
@@ -374,7 +388,8 @@ class Trainer:
         for epoch in range(start_epoch, cfg.epochs):
             if self.stop_flag:
                 break
-            mean_loss = self.train_epoch(epoch, progress=progress)
+            start_batch = getattr(self, "_resume_start_batch", 0) if epoch == start_epoch else 0
+            mean_loss = self.train_epoch(epoch, progress=progress, start_batch=start_batch)
             history["loss"].append(mean_loss)
 
             do_eval = (

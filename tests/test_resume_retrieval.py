@@ -57,3 +57,21 @@ def test_retrieve_images_grid_from_hdf5(tiny_hdf5, tmp_path, rng):
     assert len(out["record"]) == 3
     first = next(iter(out["record"].values()))
     assert len(first["retrieved"]) == 2
+
+
+def test_loader_start_batch_resume(tiny_hdf5):
+    """batches(epoch, start_batch=k) must reproduce the tail of the epoch
+    stream exactly (indices AND augmentation randomness, which is keyed by
+    absolute batch index)."""
+    from clibd_tpu.data.pipeline import BatchSpec, BioscanLoader
+
+    spec = BatchSpec(batch_size=3, train=True, with_language=False)
+    loader = BioscanLoader(tiny_hdf5, "all_keys", spec, num_workers=2, seed=4)
+    full = list(loader.batches(epoch=1, shuffle=True))
+    tail = list(loader.batches(epoch=1, shuffle=True, start_batch=2))
+    loader.close()
+    assert len(tail) == len(full) - 2
+    for a, b in zip(full[2:], tail):
+        np.testing.assert_array_equal(a["index"], b["index"])
+        np.testing.assert_array_equal(a["image"], b["image"])
+        np.testing.assert_array_equal(a["dna"], b["dna"])
