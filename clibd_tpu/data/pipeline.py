@@ -140,6 +140,11 @@ class BioscanLoader:
         )
         # h5py file handles are not safe for concurrent reads — serialize them
         self._h5_lock = threading.Lock()
+        # the native decoder spawns its own ncpu-thread pool per call —
+        # concurrent batch builds calling it oversubscribe catastrophically
+        # (measured 62 → 14 img/s on this host); one batch decodes at a time,
+        # batch-level parallelism still overlaps the OTHER stages
+        self._decoder_lock = threading.Lock()
 
     def __len__(self) -> int:
         per_host = self.n // self.num_hosts if self.drop_last else -(-self.n // self.num_hosts)
@@ -159,11 +164,12 @@ class BioscanLoader:
                     jpegs = self.split_reader.jpeg_bytes(indices)
                 rng = np.random.default_rng((self.aug_seed, epoch, batch_idx))
                 if self.decoder is not None:
-                    imgs = self.decoder.decode_transform_batch(
-                        jpegs, rng, train=spec.train,
-                        size=spec.image_size, resize_to=spec.resize_to,
-                        long_edge=spec.long_edge_eval,
-                    )
+                    with self._decoder_lock:
+                        imgs = self.decoder.decode_transform_batch(
+                            jpegs, rng, train=spec.train,
+                            size=spec.image_size, resize_to=spec.resize_to,
+                            long_edge=spec.long_edge_eval,
+                        )
                 else:
                     def one(args):
                         i, data = args

@@ -35,6 +35,7 @@ def main() -> None:
         ("python+PIL, 0 workers", None, 0),
         ("python+PIL, 4 workers", None, 4),
         ("native C++ pool", load_native_decoder(), 0),
+        ("native C++ pool, 4 workers", load_native_decoder(), 4),
     ):
         if name.startswith("native") and decoder is None:
             print("native decoder unavailable")
