@@ -38,6 +38,16 @@ import jax.numpy as jnp
 # the [B,H,N,N] score tensor never touches HBM (docs/PERF.md).
 ATTENTION_IMPL = os.environ.get("CLIBD_ATTN_IMPL", "auto")
 
+# Fold the attention out-projection into the flash kernel (the per-head
+# context tensor then never exists in HBM — saves a [B,N,D] write + read per
+# layer).  Measured on THIS chip (axon tunnel, Pallas DMA 170 GB/s): a wash —
+# 1704 vs 1711 samples/s headline (block_b=2; 1696 at 4) — the saved HBM
+# round-trip is cancelled by the out-proj running at Mosaic's lower GEMM
+# rate.  Default OFF; re-measure on directly-attached v5e (819 GB/s DMA)
+# where the DMA saving is projected to dominate.
+ATTN_FUSE_OUTPROJ = os.environ.get("CLIBD_ATTN_FUSE_OUTPROJ", "0") == "1"
+_ATTN_BLOCK_B = int(os.environ.get("CLIBD_ATTN_BLOCK_B", "2"))
+
 _FLASH_CTX = __import__("threading").local()
 
 
@@ -173,7 +183,13 @@ def fused_qkv_attention(
         # (N=133) shapes; standalone per-layer sweeps preferred larger blocks
         # for short sequences but regressed the full encoder (less DMA/compute
         # overlap with neighboring XLA ops) — trust end-to-end numbers only
-        ctx = flash_attention_qkv(qkv, num_heads, mask_row=mask_row, block_b=2)
+        if ATTN_FUSE_OUTPROJ:
+            from ..ops.pallas.attention import flash_attention_qkv_outproj
+
+            return flash_attention_qkv_outproj(
+                qkv, out_w.astype(compute_dtype), out_b.astype(compute_dtype),
+                num_heads, mask_row=mask_row, block_b=_ATTN_BLOCK_B)
+        ctx = flash_attention_qkv(qkv, num_heads, mask_row=mask_row, block_b=_ATTN_BLOCK_B)
         out = jnp.dot(ctx, out_w.astype(compute_dtype), preferred_element_type=compute_dtype,
                       precision=_precision(compute_dtype))
         return out + out_b.astype(compute_dtype)

@@ -124,6 +124,52 @@ def _flash_kernel(*refs, num_heads: int, head_dim: int,
             o_ref[b, :, h * head_dim:(h + 1) * head_dim] = ctx.astype(o_ref.dtype)
 
 
+def _flash_outproj_kernel(*refs, num_heads: int, head_dim: int,
+                          valid_len: int, block_b: int, scale: float,
+                          has_mask: bool):
+    """flash attention + out-projection in one program.
+
+    ctx never touches HBM: per (batch, head) attention writes its [Npad, hd]
+    slice into a VMEM scratch, then one [Npad, D] @ [D, D] MXU dot produces
+    the projected output.  out_w/out_b use constant index maps so Mosaic
+    fetches them once and keeps them VMEM-resident across programs.
+    """
+    if has_mask:
+        qkv_ref, mask_ref, ow_ref, ob_ref, o_ref, ctx_scratch = refs
+    else:
+        qkv_ref, ow_ref, ob_ref, o_ref, ctx_scratch = refs
+    D = num_heads * head_dim
+    for b in range(block_b):
+        if has_mask:
+            mrow = mask_ref[b]  # [1, Npad] additive bias
+        for h in range(num_heads):
+            q = qkv_ref[b, :, h * head_dim:(h + 1) * head_dim]
+            k = qkv_ref[b, :, D + h * head_dim: D + (h + 1) * head_dim]
+            v = qkv_ref[b, :, 2 * D + h * head_dim: 2 * D + (h + 1) * head_dim]
+            s = jax.lax.dot_general(
+                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            if has_mask:
+                s = s + mrow
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < valid_len, s, -jnp.inf)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m)
+            p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(jnp.bfloat16)
+            ctx_scratch[b, :, h * head_dim:(h + 1) * head_dim] = jax.lax.dot_general(
+                p, v.astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(jnp.bfloat16)
+        proj = jax.lax.dot_general(
+            ctx_scratch[b], ow_ref[:].astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + ob_ref[:].astype(jnp.float32)
+        o_ref[b] = proj.astype(o_ref.dtype)
+
+
 def _xla_attention_from_qkv(qkv, mask_row, num_heads: int, valid_len: int):
     """Reference math on the padded [B, Npad, 3D] tensor (backward recompute)."""
     B, Npad, threeD = qkv.shape
@@ -205,6 +251,101 @@ def _make_flash(num_heads: int, valid_len: int, npad: int, block_b: int,
 
     flash.defvjp(fwd, bwd)
     return flash
+
+
+@functools.lru_cache(maxsize=None)
+def _make_flash_outproj(num_heads: int, valid_len: int, npad: int, block_b: int,
+                        has_mask: bool, interpret: bool):
+    @jax.custom_vjp
+    def flash(qkv, mask_row, out_w, out_b):
+        return _fwd(qkv, mask_row, out_w, out_b)
+
+    def _fwd(qkv, mask_row, out_w, out_b):
+        Bp, Np, threeD = qkv.shape
+        D = threeD // 3
+        hd = D // num_heads
+        kernel = functools.partial(
+            _flash_outproj_kernel, num_heads=num_heads, head_dim=hd,
+            valid_len=valid_len, block_b=block_b,
+            scale=1.0 / math.sqrt(hd), has_mask=has_mask,
+        )
+        qkv_spec = pl.BlockSpec((block_b, Np, threeD), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_spec = pl.BlockSpec((block_b, Np, D), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+        # constant index maps → Mosaic's revisiting rule: fetched once,
+        # VMEM-resident for every subsequent program
+        ow_spec = pl.BlockSpec((D, D), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        ob_spec = pl.BlockSpec((1, D), lambda i: (0, 0), memory_space=pltpu.VMEM)
+        in_specs = [qkv_spec]
+        operands = [qkv]
+        if has_mask:
+            in_specs.append(pl.BlockSpec((block_b, 1, Np), lambda i: (i, 0, 0),
+                                         memory_space=pltpu.VMEM))
+            operands.append(mask_row.reshape(Bp, 1, Np))
+        in_specs += [ow_spec, ob_spec]
+        operands += [out_w, out_b.reshape(1, D)]
+        return pl.pallas_call(
+            kernel,
+            grid=(Bp // block_b,),
+            in_specs=in_specs,
+            out_specs=out_spec,
+            out_shape=jax.ShapeDtypeStruct((Bp, Np, D), qkv.dtype),
+            scratch_shapes=[pltpu.VMEM((block_b, Np, D), jnp.bfloat16)],
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=4 * Bp * num_heads * Np * Np * hd + 2 * Bp * Np * D * D,
+                bytes_accessed=qkv.size * 2 + Bp * Np * D * 2 + D * D * 2,
+                transcendentals=Bp * num_heads * Np * Np,
+            ),
+        )(*operands)
+
+    def fwd(qkv, mask_row, out_w, out_b):
+        return _fwd(qkv, mask_row, out_w, out_b), (qkv, mask_row, out_w, out_b)
+
+    def bwd(res, g):
+        qkv, mask_row, out_w, out_b = res
+
+        def ref_fn(t, w, bvec):
+            ctx = _xla_attention_from_qkv(t, mask_row, num_heads, valid_len)
+            y = jnp.dot(ctx.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32)
+            return (y + bvec.astype(jnp.float32)).astype(t.dtype)
+
+        _, vjp = jax.vjp(ref_fn, qkv, out_w, out_b)
+        dqkv, dw, db = vjp(g)
+        return dqkv, None, dw, db
+
+    flash.defvjp(fwd, bwd)
+    return flash
+
+
+def flash_attention_qkv_outproj(qkv: jnp.ndarray, out_w: jnp.ndarray,
+                                out_b: jnp.ndarray, num_heads: int,
+                                mask_row: Optional[jnp.ndarray] = None,
+                                block_b: int = 2,
+                                interpret: Optional[bool] = None) -> jnp.ndarray:
+    """Fused attention + out-projection from the fused qkv tensor.
+
+    qkv: [B, N, 3D]; out_w: [D, D] ([in, out] layout); out_b: [D].
+    → attention_output @ out_w + out_b, [B, N, D] in qkv.dtype.  The per-head
+    context tensor never exists in HBM (saves a [B,N,D] write + read per
+    layer over flash_attention_qkv followed by an XLA out-projection).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    B, N, threeD = qkv.shape
+    npad = _round_up(N, 16)
+    bpad = _round_up(B, block_b)
+    qkvp = jnp.pad(qkv, ((0, bpad - B), (0, npad - N), (0, 0)))
+    has_mask = mask_row is not None
+    maskp = None
+    if has_mask:
+        maskp = jnp.pad(mask_row.astype(jnp.float32),
+                        ((0, bpad - B), (0, npad - N)))
+    fn = _make_flash_outproj(num_heads, N, npad, block_b, has_mask, interpret)
+    out = fn(qkvp, maskp, out_w, out_b)
+    return out[:B, :N, :]
 
 
 def flash_attention_qkv(qkv: jnp.ndarray, num_heads: int,

@@ -125,6 +125,57 @@ def test_fused_qkv_attention_flash_integration(rng, monkeypatch):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-2, rtol=2e-2)
 
 
+def test_flash_attention_qkv_outproj_matches_unfused(rng):
+    """flash_attention_qkv_outproj == flash_attention_qkv → @out_w + out_b,
+    values and grads (incl. out_w/out_b grads), with and without mask."""
+    from clibd_tpu.ops.pallas.attention import flash_attention_qkv_outproj
+
+    B, N, H, hd = 3, 19, 4, 24
+    D = H * hd
+    qkv = jnp.asarray(rng.standard_normal((B, N, 3 * D)).astype(np.float32) * 0.3)
+    ow = jnp.asarray(rng.standard_normal((D, D)).astype(np.float32) * 0.1)
+    ob = jnp.asarray(rng.standard_normal((D,)).astype(np.float32) * 0.1)
+    maskv = np.zeros((B, N), np.float32)
+    maskv[:, 14:] = np.finfo(np.float32).min
+    for mrow in (None, jnp.asarray(maskv)):
+        ref = jnp.dot(flash_attention_qkv(qkv, H, mask_row=mrow, interpret=True), ow) + ob
+        got = flash_attention_qkv_outproj(qkv, ow, ob, H, mask_row=mrow, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-2, rtol=2e-2)
+
+    def loss_fused(t, w, b):
+        return (flash_attention_qkv_outproj(t, w, b, H, interpret=True) ** 2).sum()
+
+    def loss_ref(t, w, b):
+        return ((jnp.dot(flash_attention_qkv(t, H, interpret=True), w) + b) ** 2).sum()
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1, 2))(qkv, ow, ob)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(qkv, ow, ob)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-2, rtol=5e-2)
+
+
+def test_fused_qkv_attention_outproj_integration(rng, monkeypatch):
+    """layers.fused_qkv_attention with ATTN_FUSE_OUTPROJ matches the XLA path."""
+    from clibd_tpu.models import layers
+
+    B, N, H, D = 2, 23, 2, 32
+    x = jnp.asarray(rng.standard_normal((B, N, D)).astype(np.float32))
+    qkv_w = jnp.asarray(rng.standard_normal((D, 3 * D)).astype(np.float32) * 0.1)
+    qkv_b = jnp.asarray(rng.standard_normal((3 * D,)).astype(np.float32) * 0.1)
+    out_w = jnp.asarray(rng.standard_normal((D, D)).astype(np.float32) * 0.1)
+    out_b = jnp.asarray(rng.standard_normal((D,)).astype(np.float32) * 0.1)
+    mask = jnp.asarray((rng.random((B, N)) > 0.2).astype(np.float32))
+    bias = layers.attention_mask_bias(mask)
+
+    kwargs = dict(num_heads=H, mask_bias=bias, compute_dtype=jnp.float32)
+    monkeypatch.setattr(layers, "ATTENTION_IMPL", "xla")
+    ref = layers.fused_qkv_attention(x, qkv_w, qkv_b, out_w, out_b, **kwargs)
+    monkeypatch.setattr(layers, "ATTENTION_IMPL", "pallas")
+    monkeypatch.setattr(layers, "ATTN_FUSE_OUTPROJ", True)
+    out = layers.fused_qkv_attention(x, qkv_w, qkv_b, out_w, out_b, **kwargs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-2, rtol=2e-2)
+
+
 def test_flash_attention_all_masked_row_matches_xla(rng):
     """A fully-masked attention row (e.g. an empty barcode under the overlap
     tokenizer) must behave like the XLA path: uniform softmax over the REAL
