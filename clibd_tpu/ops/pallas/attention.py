@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import Optional
 
 import jax
@@ -65,6 +66,16 @@ def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, valid_len: int, scale: floa
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+# Backward implementation for flash_attention_qkv's custom VJP:
+#   "pallas" — dedicated flash backward kernel (_flash_bwd_kernel): P is
+#              recomputed per (batch, head) in VMEM; the [B,H,N,N] tensors
+#              never exist in HBM during the backward either.
+#   "xla"    — recompute the attention with XLA ops and differentiate that
+#              (the score tensor materializes inside the backward, which the
+#              plain XLA training path pays anyway).
+ATTN_BWD_IMPL = os.environ.get("CLIBD_ATTN_BWD", "pallas")
 
 
 # ---------------------------------------------------------------------------
@@ -122,6 +133,74 @@ def _flash_kernel(*refs, num_heads: int, head_dim: int,
                 preferred_element_type=jnp.float32,
             )
             o_ref[b, :, h * head_dim:(h + 1) * head_dim] = ctx.astype(o_ref.dtype)
+
+
+def _flash_bwd_kernel(*refs, num_heads: int, head_dim: int,
+                      valid_len: int, block_b: int, scale: float,
+                      has_mask: bool):
+    """Flash backward: dqkv from (qkv, dO), recomputing P per (batch, head)
+    entirely in VMEM — the XLA recompute backward materializes the
+    [B, H, N, N] score/probability tensors in HBM twice (recompute + grad);
+    here they never leave the chip.
+
+    Math (per head; S = qKᵀ·scale, P = softmax(S), O = PV):
+      dV = Pᵀ dO
+      dP = dO Vᵀ
+      dS = P ∘ (dP − rowsum(P ∘ dP))
+      dQ = dS K · scale,  dK = dSᵀ Q · scale
+    Zero-padded dO rows make every padded-row/col contribution vanish.
+    """
+    if has_mask:
+        qkv_ref, do_ref, mask_ref, dqkv_ref = refs
+    else:
+        qkv_ref, do_ref, dqkv_ref = refs
+    D = num_heads * head_dim
+    for b in range(block_b):
+        if has_mask:
+            mrow = mask_ref[b]  # [1, Npad] additive bias
+        for h in range(num_heads):
+            q = qkv_ref[b, :, h * head_dim:(h + 1) * head_dim]
+            k = qkv_ref[b, :, D + h * head_dim: D + (h + 1) * head_dim]
+            v = qkv_ref[b, :, 2 * D + h * head_dim: 2 * D + (h + 1) * head_dim]
+            s = jax.lax.dot_general(
+                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            if has_mask:
+                s = s + mrow
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < valid_len, s, -jnp.inf)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m)
+            p = e / jnp.sum(e, axis=-1, keepdims=True)  # fp32 [Nq, Nk]
+            pb = p.astype(jnp.bfloat16)
+            do = do_ref[b, :, h * head_dim:(h + 1) * head_dim].astype(jnp.bfloat16)
+            # dV = Pᵀ dO  (contract the query axis)
+            dv = jax.lax.dot_general(
+                pb, do, dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            # dP = dO Vᵀ
+            dp = jax.lax.dot_general(
+                do, v.astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            row = jnp.sum(p * dp, axis=-1, keepdims=True)
+            ds = (p * (dp - row) * scale).astype(jnp.bfloat16)
+            dq = jax.lax.dot_general(
+                ds, k.astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dk = jax.lax.dot_general(
+                ds, q.astype(jnp.bfloat16),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            dqkv_ref[b, :, h * head_dim:(h + 1) * head_dim] = dq.astype(dqkv_ref.dtype)
+            dqkv_ref[b, :, D + h * head_dim: D + (h + 1) * head_dim] = dk.astype(dqkv_ref.dtype)
+            dqkv_ref[b, :, 2 * D + h * head_dim: 2 * D + (h + 1) * head_dim] = dv.astype(dqkv_ref.dtype)
 
 
 def _flash_outproj_kernel(*refs, num_heads: int, head_dim: int,
@@ -196,9 +275,7 @@ def _xla_attention_from_qkv(qkv, mask_row, num_heads: int, valid_len: int):
 
 @functools.lru_cache(maxsize=None)
 def _make_flash(num_heads: int, valid_len: int, npad: int, block_b: int,
-                has_mask: bool, interpret: bool):
-    hd_scale = None  # computed per call from shapes
-
+                has_mask: bool, interpret: bool, bwd_impl: str = "xla"):
     @jax.custom_vjp
     def flash(qkv, mask_row):
         return _fwd(qkv, mask_row)
@@ -241,8 +318,43 @@ def _make_flash(num_heads: int, valid_len: int, npad: int, block_b: int,
     def fwd(qkv, mask_row):
         return _fwd(qkv, mask_row), (qkv, mask_row)
 
+    def _bwd_pallas(qkv, mask_row, g):
+        Bp, Np, threeD = qkv.shape
+        D = threeD // 3
+        hd = D // num_heads
+        kernel = functools.partial(
+            _flash_bwd_kernel, num_heads=num_heads, head_dim=hd,
+            valid_len=valid_len, block_b=block_b,
+            scale=1.0 / math.sqrt(hd), has_mask=has_mask,
+        )
+        qkv_spec = pl.BlockSpec((block_b, Np, threeD), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+        do_spec = pl.BlockSpec((block_b, Np, D), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)
+        in_specs = [qkv_spec, do_spec]
+        operands = [qkv, g]
+        if has_mask:
+            in_specs.append(pl.BlockSpec((block_b, 1, Np), lambda i: (i, 0, 0),
+                                         memory_space=pltpu.VMEM))
+            operands.append(mask_row.reshape(Bp, 1, Np))
+        return pl.pallas_call(
+            kernel,
+            grid=(Bp // block_b,),
+            in_specs=in_specs,
+            out_specs=qkv_spec,
+            out_shape=jax.ShapeDtypeStruct((Bp, Np, threeD), qkv.dtype),
+            interpret=interpret,
+            cost_estimate=pl.CostEstimate(
+                flops=11 * Bp * num_heads * Np * Np * hd,
+                bytes_accessed=qkv.size * 4 + Bp * Np * D * 2,
+                transcendentals=Bp * num_heads * Np * Np,
+            ),
+        )(*operands)
+
     def bwd(res, g):
         qkv, mask_row = res
+        if bwd_impl == "pallas":
+            return _bwd_pallas(qkv, mask_row, g), None
         _, vjp = jax.vjp(
             lambda t: _xla_attention_from_qkv(t, mask_row, num_heads, valid_len), qkv
         )
@@ -369,7 +481,8 @@ def flash_attention_qkv(qkv: jnp.ndarray, num_heads: int,
     if has_mask:
         maskp = jnp.pad(mask_row.astype(jnp.float32),
                         ((0, bpad - B), (0, npad - N)))
-    fn = _make_flash(num_heads, N, npad, block_b, has_mask, interpret)
+    fn = _make_flash(num_heads, N, npad, block_b, has_mask, interpret,
+                     bwd_impl=ATTN_BWD_IMPL)
     ctx = fn(qkvp, maskp)
     return ctx[:B, :N, :]
 

@@ -9,6 +9,10 @@ backend is initialized (pytest imports conftest first)."""
 import os
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# transformers probes-and-imports TensorFlow unless told not to — ~40 s of
+# import time on this 1-CPU host, paid by whichever test touches HF first
+os.environ.setdefault("USE_TF", "0")
+os.environ.setdefault("HF_HUB_OFFLINE", "1")
 
 import jax
 

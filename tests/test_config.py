@@ -87,7 +87,11 @@ def test_every_preset_builds_a_model():
         cfg.clip.vision_layers = 1
         cfg.clip.text_layers = 1
         cfg.image.simclr_ckpt_path = ""  # no ckpt files in CI
-        params = init_clibd_params(jax.random.PRNGKey(0), cfg)
+        # eval_shape traces the full factory (every flag path, every shape
+        # contract) without compiling/executing 40+ tiny models — the preset
+        # sweep drops from ~59 s to a few seconds on this 1-CPU host
+        params = jax.eval_shape(
+            lambda key: init_clibd_params(key, cfg), jax.random.PRNGKey(0))
         assert "logit_scale" in params, name
         mask = trainable_mask(params, cfg)
         assert isinstance(mask, dict), name

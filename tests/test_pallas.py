@@ -80,8 +80,14 @@ def test_flash_attention_qkv_mask(rng):
     np.testing.assert_allclose(out, _reference_qkv(qkv, H, mask), atol=2e-2, rtol=2e-2)
 
 
-def test_flash_attention_qkv_grads_match_xla_recompute(rng):
-    """custom_vjp backward == grads of the XLA recompute reference."""
+def test_flash_attention_qkv_grads_match_xla_recompute(rng, monkeypatch):
+    """custom_vjp backward (bwd_impl=xla) == grads of the XLA recompute
+    reference, to tight fp32 tolerance.  The default pallas backward is
+    covered at bf16 tolerance by test_flash_bwd_kernel_matches_xla_recompute."""
+    from clibd_tpu.ops.pallas import attention as A
+
+    monkeypatch.setattr(A, "ATTN_BWD_IMPL", "xla")
+    A._make_flash.cache_clear()
     B, N, H, hd = 2, 19, 2, 8
     qkv = jnp.asarray(rng.standard_normal((B, N, 3 * H * hd)).astype(np.float32))
 
@@ -123,6 +129,32 @@ def test_fused_qkv_attention_flash_integration(rng, monkeypatch):
     monkeypatch.setattr(layers, "ATTENTION_IMPL", "pallas")
     out = layers.fused_qkv_attention(x, qkv_w, qkv_b, out_w, out_b, **kwargs)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-2, rtol=2e-2)
+
+
+def test_flash_bwd_kernel_matches_xla_recompute(rng):
+    """The dedicated Pallas backward (_flash_bwd_kernel) == the XLA-recompute
+    backward, with and without mask (bf16-probability noise tolerance)."""
+    from clibd_tpu.ops.pallas import attention as A
+
+    B, N, H, hd = 3, 21, 4, 16
+    D = H * hd
+    qkv = jnp.asarray(rng.standard_normal((B, N, 3 * D)).astype(np.float32) * 0.4)
+    maskv = np.zeros((B, N), np.float32)
+    maskv[:, 16:] = np.finfo(np.float32).min
+    g_out = jnp.asarray(rng.standard_normal((B, N, D)).astype(np.float32))
+
+    for mr in (None, jnp.asarray(maskv)):
+        def loss(t, impl):
+            old = A.ATTN_BWD_IMPL
+            A.ATTN_BWD_IMPL = impl
+            A._make_flash.cache_clear()
+            try:
+                return jnp.sum(A.flash_attention_qkv(t, H, mask_row=mr, interpret=True) * g_out)
+            finally:
+                A.ATTN_BWD_IMPL = old
+        g_pl = jax.grad(lambda t: loss(t, "pallas"))(qkv)
+        g_xla = jax.grad(lambda t: loss(t, "xla"))(qkv)
+        np.testing.assert_allclose(np.asarray(g_pl), np.asarray(g_xla), atol=2e-2, rtol=2e-2)
 
 
 def test_flash_attention_qkv_outproj_matches_unfused(rng):
