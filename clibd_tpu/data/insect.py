@@ -135,7 +135,10 @@ class INSECTLoader:
             return n // self.spec.batch_size
         return -(-n // self.spec.batch_size)
 
-    def batches(self, epoch: int = 0, shuffle: Optional[bool] = None) -> Iterator[Batch]:
+    def batches(self, epoch: int = 0, shuffle: Optional[bool] = None,
+                start_batch: int = 0) -> Iterator[Batch]:
+        """start_batch: skip the first N batches of this epoch's deterministic
+        stream (mid-epoch resume, same contract as BioscanLoader.batches)."""
         spec = self.spec
         shuffle = spec.train if shuffle is None else shuffle
         idx = shard_indices(
@@ -143,7 +146,7 @@ class INSECTLoader:
             shuffle=shuffle, drop_last=spec.train, seed=self.seed,
         )
         nb = len(self)
-        for b in range(nb):
+        for b in range(start_batch, nb):
             lo = b * spec.batch_size
             sel = idx[lo : lo + spec.batch_size]
             if len(sel) == 0:

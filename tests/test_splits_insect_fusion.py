@@ -109,6 +109,11 @@ def test_insect_dataset_and_loader(insect_fixture):
     assert len(batches) == 3
     assert batches[0]["image"].shape == (4, 224, 224, 3)
     assert batches[0]["dna"].shape == (4, 133)
+    # mid-epoch resume contract (Trainer.train_epoch passes start_batch to
+    # every loader): skipping == slicing the same deterministic epoch stream
+    resumed = list(loader.batches(start_batch=1))
+    assert len(resumed) == 2
+    np.testing.assert_array_equal(resumed[0]["index"], batches[1]["index"])
     loader.close()
 
     full = INSECTDataset(
