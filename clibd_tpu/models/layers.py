@@ -48,6 +48,17 @@ ATTENTION_IMPL = os.environ.get("CLIBD_ATTN_IMPL", "auto")
 ATTN_FUSE_OUTPROJ = os.environ.get("CLIBD_ATTN_FUSE_OUTPROJ", "0") == "1"
 _ATTN_BLOCK_B = int(os.environ.get("CLIBD_ATTN_BLOCK_B", "2"))
 
+# MLP implementation under the flash policy (same gating as attention):
+#   "pallas" — fused fc1→GELU→fc2 kernel, the [rows, mlp_dim] intermediate
+#              never touches HBM (ops/pallas/mlp.py).
+#   "xla"    — two XLA GEMMs with the intermediate in HBM.
+# Measured on this chip and REJECTED as default: 1559 (rows 128, weights
+# VMEM-resident) / 1507 (rows 512, F-chunked weight streaming) vs 1710
+# samples/s headline for XLA.  16 MB VMEM cannot hold the 9 MB weight pair
+# AND MXU-efficient 512-row intermediates, and any streaming split pays
+# more DMA than XLA's near-roofline intermediate streaming (docs/PERF.md).
+MLP_IMPL = os.environ.get("CLIBD_MLP_IMPL", "xla")
+
 _FLASH_CTX = __import__("threading").local()
 
 
@@ -280,6 +291,16 @@ def transformer_stack(
             act = _ACTIVATIONS[activation]
 
         def mlp(inp):
+            if MLP_IMPL == "pallas" and _flash_enabled():
+                from ..ops.pallas.mlp import fused_mlp
+
+                kernel_act = ("gelu_tanh" if fast else "gelu") if activation == "gelu" \
+                    else activation
+                return fused_mlp(
+                    inp.astype(compute_dtype),
+                    p["fc1_w"].astype(compute_dtype), p["fc1_b"].astype(compute_dtype),
+                    p["fc2_w"].astype(compute_dtype), p["fc2_b"].astype(compute_dtype),
+                    activation=kernel_act)
             hmid = act(linear({"w": p["fc1_w"], "b": p["fc1_b"]}, inp, compute_dtype))
             return linear({"w": p["fc2_w"], "b": p["fc2_b"]}, hmid, compute_dtype)
 

@@ -208,6 +208,56 @@ def test_fused_qkv_attention_outproj_integration(rng, monkeypatch):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-2, rtol=2e-2)
 
 
+@pytest.mark.parametrize("activation", ["gelu_tanh", "gelu", "quick_gelu"])
+def test_fused_mlp_matches_xla(rng, activation):
+    """ops/pallas/mlp.fused_mlp == the XLA two-GEMM chain (values + all five
+    grads), including non-divisible row counts (pad/slice path)."""
+    from clibd_tpu.ops.pallas.mlp import _xla_mlp, fused_mlp
+
+    R, D, F = 37, 64, 96
+    x = jnp.asarray(rng.standard_normal((2, R, D)).astype(np.float32) * 0.5)
+    w1 = jnp.asarray(rng.standard_normal((D, F)).astype(np.float32) * 0.1)
+    b1 = jnp.asarray(rng.standard_normal((F,)).astype(np.float32) * 0.1)
+    w2 = jnp.asarray(rng.standard_normal((F, D)).astype(np.float32) * 0.1)
+    b2 = jnp.asarray(rng.standard_normal((D,)).astype(np.float32) * 0.1)
+
+    ref = _xla_mlp(x.reshape(-1, D), w1, b1, w2, b2, activation).reshape(x.shape)
+    got = fused_mlp(x, w1, b1, w2, b2, activation=activation,
+                    rows_block=16, f_block=48, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+    g1 = jax.grad(
+        lambda *a: (fused_mlp(*a, activation=activation, rows_block=16,
+                              f_block=48, interpret=True) ** 2).sum(),
+        argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
+    g2 = jax.grad(
+        lambda *a: (_xla_mlp(a[0].reshape(-1, D), *a[1:], activation) ** 2).sum(),
+        argnums=(0, 1, 2, 3, 4))(x, w1, b1, w2, b2)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b).reshape(a.shape),
+                                   atol=1e-3, rtol=1e-3)
+
+
+def test_transformer_stack_fused_mlp_integration(rng, monkeypatch):
+    """transformer_stack with MLP_IMPL=pallas (interpret on CPU) matches the
+    XLA MLP path."""
+    from clibd_tpu.models import layers
+    from clibd_tpu.models.layers import init_stacked_block_params, transformer_stack
+
+    stacked = init_stacked_block_params(jax.random.PRNGKey(0), 2, 32, 64)
+    x = jnp.asarray(rng.standard_normal((2, 9, 32)).astype(np.float32))
+    kwargs = dict(num_heads=4, pre_ln=True, ln_eps=1e-6, compute_dtype=jnp.float32)
+
+    # force the flash gate open for BOTH runs (ATTENTION_IMPL=pallas keeps
+    # attention identical) so the only difference is the MLP implementation
+    monkeypatch.setattr(layers, "ATTENTION_IMPL", "pallas")
+    monkeypatch.setattr(layers, "MLP_IMPL", "xla")
+    ref = transformer_stack(stacked, x, **kwargs)
+    monkeypatch.setattr(layers, "MLP_IMPL", "pallas")
+    got = transformer_stack(stacked, x, **kwargs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-4, rtol=1e-4)
+
+
 def test_flash_attention_all_masked_row_matches_xla(rng):
     """A fully-masked attention row (e.g. an empty barcode under the overlap
     tokenizer) must behave like the XLA path: uniform softmax over the REAL
