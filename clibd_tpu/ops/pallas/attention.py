@@ -218,6 +218,7 @@ def _flash_outproj_kernel(*refs, num_heads: int, head_dim: int,
     else:
         qkv_ref, ow_ref, ob_ref, o_ref, ctx_scratch = refs
     D = num_heads * head_dim
+    Np = ctx_scratch.shape[0] // block_b
     for b in range(block_b):
         if has_mask:
             mrow = mask_ref[b]  # [1, Npad] additive bias
@@ -236,17 +237,21 @@ def _flash_outproj_kernel(*refs, num_heads: int, head_dim: int,
             m = jnp.max(s, axis=-1, keepdims=True)
             e = jnp.exp(s - m)
             p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(jnp.bfloat16)
-            ctx_scratch[b, :, h * head_dim:(h + 1) * head_dim] = jax.lax.dot_general(
-                p, v.astype(jnp.bfloat16),
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).astype(jnp.bfloat16)
-        proj = jax.lax.dot_general(
-            ctx_scratch[b], ow_ref[:].astype(jnp.bfloat16),
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) + ob_ref[:].astype(jnp.float32)
-        o_ref[b] = proj.astype(o_ref.dtype)
+            ctx_scratch[b * Np:(b + 1) * Np, h * head_dim:(h + 1) * head_dim] = (
+                jax.lax.dot_general(
+                    p, v.astype(jnp.bfloat16),
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ).astype(jnp.bfloat16))
+    # one [block_b·Npad, D] @ [D, D] dot — larger M runs the MXU at a much
+    # better rate than per-batch-element [Npad, D] dots (tools/exp_mxu2.py)
+    proj = jax.lax.dot_general(
+        ctx_scratch[:], ow_ref[:].astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + ob_ref[:].astype(jnp.float32)
+    for b in range(block_b):
+        o_ref[b] = proj[b * Np:(b + 1) * Np].astype(o_ref.dtype)
 
 
 def _xla_attention_from_qkv(qkv, mask_row, num_heads: int, valid_len: int):
@@ -403,7 +408,7 @@ def _make_flash_outproj(num_heads: int, valid_len: int, npad: int, block_b: int,
             in_specs=in_specs,
             out_specs=out_spec,
             out_shape=jax.ShapeDtypeStruct((Bp, Np, D), qkv.dtype),
-            scratch_shapes=[pltpu.VMEM((block_b, Np, D), jnp.bfloat16)],
+            scratch_shapes=[pltpu.VMEM((block_b * Np, D), jnp.bfloat16)],
             interpret=interpret,
             cost_estimate=pl.CostEstimate(
                 flops=4 * Bp * num_heads * Np * Np * hd + 2 * Bp * Np * D * D,
