@@ -253,3 +253,62 @@ def test_shard_map_train_step_matches_global(tiny_hdf5, monkeypatch):
     for a, b in zip(flat_s, flat_g):
         np.testing.assert_allclose(np.asarray(a, np.float32), np.asarray(b, np.float32),
                                    atol=5e-5, rtol=1e-3)
+
+
+def test_shard_map_train_step_with_flash_kernels(tiny_hdf5, monkeypatch):
+    """The v5e-8 training configuration: flash Pallas attention (forward AND
+    the dedicated pallas backward) inside the shard_map train step, on the
+    CPU mesh in interpret mode.  Loss and updated params must agree with the
+    XLA-attention shard_map step at bf16-kernel tolerance."""
+    import jax.numpy as jnp
+
+    from clibd_tpu.config.schema import BertConfig, ExperimentConfig, ViTConfig
+    from clibd_tpu.engine import train as train_mod
+    from clibd_tpu.engine.schedules import build_schedule
+    from clibd_tpu.models import init_clibd_params, layers
+    from clibd_tpu.parallel.mesh import create_mesh, replicate, shard_batch
+
+    monkeypatch.setattr(train_mod, "train_augment", lambda rng, x: x)
+
+    cfg = ExperimentConfig()
+    cfg.batch_size = 2
+    cfg.output_dim = 16
+    cfg.remat = True  # the production config: recompute runs the kernel again
+    cfg.image.vit = ViTConfig(image_size=64, patch_size=16, hidden_size=32,
+                              num_layers=1, num_heads=4, mlp_dim=64)
+    cfg.dna.bert = BertConfig(vocab_size=1027, hidden_size=32, num_layers=1,
+                              num_heads=4, intermediate_size=64,
+                              max_position_embeddings=140, with_mlm_head=True)
+    cfg.language.enable = False
+
+    mesh = create_mesh(jax.devices()[:2])
+    params = init_clibd_params(jax.random.PRNGKey(0), cfg)
+    schedule = build_schedule(cfg.optim, total_steps=4, batch_size=cfg.batch_size)
+    optimizer = train_mod.build_optimizer(cfg, params, schedule)
+    opt_state = optimizer.init(params)
+
+    rng = np.random.default_rng(0)
+    B = cfg.batch_size * mesh.size
+    batch = {
+        "image": rng.random((B, 64, 64, 3), dtype=np.float32),
+        "dna": rng.integers(0, 1027, (B, 133)).astype(np.int32),
+        "label": np.arange(B, dtype=np.int32),
+    }
+    key = jax.random.PRNGKey(7)
+
+    def run():
+        p = replicate(mesh, params)
+        o = replicate(mesh, opt_state)
+        step = train_mod.make_train_step_shard_map(cfg, optimizer, mesh, donate=False)
+        return step(p, o, shard_batch(mesh, batch), key)
+
+    monkeypatch.setattr(layers, "ATTENTION_IMPL", "xla")
+    p_ref, _, loss_ref = run()
+    monkeypatch.setattr(layers, "ATTENTION_IMPL", "pallas")
+    p_fl, _, loss_fl = run()
+
+    np.testing.assert_allclose(float(loss_fl), float(loss_ref), rtol=2e-2)
+    for a, b in zip(jax.tree.leaves(jax.device_get(p_fl)),
+                    jax.tree.leaves(jax.device_get(p_ref))):
+        np.testing.assert_allclose(np.asarray(a, np.float32), np.asarray(b, np.float32),
+                                   atol=3e-2, rtol=3e-2)
