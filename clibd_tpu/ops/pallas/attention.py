@@ -323,43 +323,12 @@ def _make_flash(num_heads: int, valid_len: int, npad: int, block_b: int,
     def fwd(qkv, mask_row):
         return _fwd(qkv, mask_row), (qkv, mask_row)
 
-    def _bwd_pallas(qkv, mask_row, g):
-        Bp, Np, threeD = qkv.shape
-        D = threeD // 3
-        hd = D // num_heads
-        kernel = functools.partial(
-            _flash_bwd_kernel, num_heads=num_heads, head_dim=hd,
-            valid_len=valid_len, block_b=block_b,
-            scale=1.0 / math.sqrt(hd), has_mask=has_mask,
-        )
-        qkv_spec = pl.BlockSpec((block_b, Np, threeD), lambda i: (i, 0, 0),
-                                memory_space=pltpu.VMEM)
-        do_spec = pl.BlockSpec((block_b, Np, D), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM)
-        in_specs = [qkv_spec, do_spec]
-        operands = [qkv, g]
-        if has_mask:
-            in_specs.append(pl.BlockSpec((block_b, 1, Np), lambda i: (i, 0, 0),
-                                         memory_space=pltpu.VMEM))
-            operands.append(mask_row.reshape(Bp, 1, Np))
-        return pl.pallas_call(
-            kernel,
-            grid=(Bp // block_b,),
-            in_specs=in_specs,
-            out_specs=qkv_spec,
-            out_shape=jax.ShapeDtypeStruct((Bp, Np, threeD), qkv.dtype),
-            interpret=interpret,
-            cost_estimate=pl.CostEstimate(
-                flops=11 * Bp * num_heads * Np * Np * hd,
-                bytes_accessed=qkv.size * 4 + Bp * Np * D * 2,
-                transcendentals=Bp * num_heads * Np * Np,
-            ),
-        )(*operands)
-
     def bwd(res, g):
         qkv, mask_row = res
         if bwd_impl == "pallas":
-            return _bwd_pallas(qkv, mask_row, g), None
+            return _flash_bwd_call(qkv, mask_row, g, num_heads=num_heads,
+                                   valid_len=valid_len, block_b=block_b,
+                                   has_mask=has_mask, interpret=interpret), None
         _, vjp = jax.vjp(
             lambda t: _xla_attention_from_qkv(t, mask_row, num_heads, valid_len), qkv
         )
@@ -370,9 +339,45 @@ def _make_flash(num_heads: int, valid_len: int, npad: int, block_b: int,
     return flash
 
 
+def _flash_bwd_call(qkv, mask_row, g, *, num_heads: int, valid_len: int,
+                    block_b: int, has_mask: bool, interpret: bool):
+    """Invoke _flash_bwd_kernel on padded arrays: (qkv, dO) → dqkv."""
+    Bp, Np, threeD = qkv.shape
+    D = threeD // 3
+    hd = D // num_heads
+    kernel = functools.partial(
+        _flash_bwd_kernel, num_heads=num_heads, head_dim=hd,
+        valid_len=valid_len, block_b=block_b,
+        scale=1.0 / math.sqrt(hd), has_mask=has_mask,
+    )
+    qkv_spec = pl.BlockSpec((block_b, Np, threeD), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    do_spec = pl.BlockSpec((block_b, Np, D), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    in_specs = [qkv_spec, do_spec]
+    operands = [qkv, g]
+    if has_mask:
+        in_specs.append(pl.BlockSpec((block_b, 1, Np), lambda i: (i, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(mask_row.reshape(Bp, 1, Np))
+    return pl.pallas_call(
+        kernel,
+        grid=(Bp // block_b,),
+        in_specs=in_specs,
+        out_specs=qkv_spec,
+        out_shape=jax.ShapeDtypeStruct((Bp, Np, threeD), qkv.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=11 * Bp * num_heads * Np * Np * hd,
+            bytes_accessed=qkv.size * 4 + Bp * Np * D * 2,
+            transcendentals=Bp * num_heads * Np * Np,
+        ),
+    )(*operands)
+
+
 @functools.lru_cache(maxsize=None)
 def _make_flash_outproj(num_heads: int, valid_len: int, npad: int, block_b: int,
-                        has_mask: bool, interpret: bool):
+                        has_mask: bool, interpret: bool, bwd_impl: str = "xla"):
     @jax.custom_vjp
     def flash(qkv, mask_row, out_w, out_b):
         return _fwd(qkv, mask_row, out_w, out_b)
@@ -422,6 +427,22 @@ def _make_flash_outproj(num_heads: int, valid_len: int, npad: int, block_b: int,
 
     def bwd(res, g):
         qkv, mask_row, out_w, out_b = res
+        if bwd_impl == "pallas":
+            # dctx = g @ Wᵀ feeds the dedicated flash backward kernel; ctx is
+            # recomputed with the (non-differentiated) flash forward for the
+            # weight grads.  Padded/invalid rows carry zero g → zero grads.
+            gb = g.astype(jnp.bfloat16)
+            dctx = jnp.dot(gb, out_w.astype(jnp.bfloat16).T,
+                           preferred_element_type=jnp.float32).astype(qkv.dtype)
+            dqkv = _flash_bwd_call(qkv, mask_row, dctx, num_heads=num_heads,
+                                   valid_len=valid_len, block_b=block_b,
+                                   has_mask=has_mask, interpret=interpret)
+            ctx = _make_flash(num_heads, valid_len, npad, block_b, has_mask,
+                              interpret, bwd_impl="xla")(qkv, mask_row)
+            dw = jnp.einsum("bnd,bne->de", ctx.astype(jnp.bfloat16), gb,
+                            preferred_element_type=jnp.float32).astype(out_w.dtype)
+            db = jnp.sum(g.astype(jnp.float32), axis=(0, 1)).astype(out_b.dtype)
+            return dqkv, None, dw, db
 
         def ref_fn(t, w, bvec):
             ctx = _xla_attention_from_qkv(t, mask_row, num_heads, valid_len)
@@ -460,7 +481,8 @@ def flash_attention_qkv_outproj(qkv: jnp.ndarray, out_w: jnp.ndarray,
     if has_mask:
         maskp = jnp.pad(mask_row.astype(jnp.float32),
                         ((0, bpad - B), (0, npad - N)))
-    fn = _make_flash_outproj(num_heads, N, npad, block_b, has_mask, interpret)
+    fn = _make_flash_outproj(num_heads, N, npad, block_b, has_mask, interpret,
+                             bwd_impl=ATTN_BWD_IMPL)
     out = fn(qkvp, maskp, out_w, out_b)
     return out[:B, :N, :]
 

@@ -12,9 +12,10 @@ longer forfeits MXU rate.
 Weights use constant index maps → Mosaic's revisiting rule fetches them
 once and keeps them VMEM-resident across the row-block grid.
 
-Gradients: custom VJP, backward recomputes with plain XLA ops (same
-strategy as flash_attention_qkv — the intermediate materializes only
-inside the backward, which the XLA training path pays anyway).
+Gradients: custom VJP, backward recomputes with plain XLA ops — the
+intermediate materializes only inside the backward.  (Unlike
+flash_attention_qkv, there is no dedicated Pallas backward here: this
+kernel is not the default path, see models/layers.py MLP_IMPL.)
 
 Reference hot path: bioscanclip ViT/BERT encoder MLPs
 (timm Mlp / HF BertIntermediate+BertOutput).
@@ -23,32 +24,25 @@ Reference hot path: bioscanclip ViT/BERT encoder MLPs
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-
-def _round_up(x: int, m: int) -> int:
-    return -(-x // m) * m
-
-
-def _gelu(x, approximate: bool):
-    return jax.nn.gelu(x, approximate=approximate)
-
-
-def _quick_gelu(x):
-    return x * jax.nn.sigmoid(1.702 * x)
+from .attention import _round_up
 
 
 def _act(x, activation: str):
     if activation == "gelu_tanh":
-        return _gelu(x, True)
+        return jax.nn.gelu(x, approximate=True)
     if activation == "gelu":
-        return _gelu(x, False)
+        return jax.nn.gelu(x, approximate=False)
     if activation == "quick_gelu":
-        return _quick_gelu(x)
+        from ...models.layers import quick_gelu
+
+        return quick_gelu(x)
     raise ValueError(activation)
 
 
@@ -91,11 +85,16 @@ def _make_fused_mlp(rows_block: int, f_block: int, activation: str, interpret: b
     def _fwd(x2d, w1, b1, w2, b2):
         R, D = x2d.shape
         F = w1.shape[1]
+        # the accumulation grid has no tail-block masking — Mosaic pads edge
+        # blocks with undefined values on hardware, which would be summed
+        # into the output.  Clamp to the largest divisor of F.
         fb = min(f_block, F)
+        while F % fb:
+            fb -= 1
         kernel = functools.partial(_mlp_kernel, activation=activation)
         return pl.pallas_call(
             kernel,
-            grid=(R // rows_block, -(-F // fb)),
+            grid=(R // rows_block, F // fb),
             in_specs=[
                 pl.BlockSpec((rows_block, D), lambda i, f: (i, 0), memory_space=pltpu.VMEM),
                 pl.BlockSpec((D, fb), lambda i, f: (0, f), memory_space=pltpu.VMEM),
@@ -128,8 +127,6 @@ def _make_fused_mlp(rows_block: int, f_block: int, activation: str, interpret: b
     fused.defvjp(fwd, bwd)
     return fused
 
-
-import os
 
 _ROWS_BLOCK = int(os.environ.get("CLIBD_MLP_ROWS_BLOCK", "512"))
 _F_BLOCK = int(os.environ.get("CLIBD_MLP_F_BLOCK", "768"))

@@ -226,6 +226,12 @@ def test_fused_mlp_matches_xla(rng, activation):
                     rows_block=16, f_block=48, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5, rtol=1e-5)
 
+    # f_block=40 does not divide F=96 → wrapper clamps to the largest divisor
+    # (no unguarded tail block may reach the accumulation grid)
+    got_nd = fused_mlp(x, w1, b1, w2, b2, activation=activation,
+                       rows_block=16, f_block=40, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_nd), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
     g1 = jax.grad(
         lambda *a: (fused_mlp(*a, activation=activation, rows_block=16,
                               f_block=48, interpret=True) ** 2).sum(),

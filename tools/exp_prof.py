@@ -1,6 +1,6 @@
 """Per-encoder / per-component timing on the real chip, flagship bench config.
 
-Usage: python tools/exp_prof.py [image dna stack ...]
+Usage: python tools/exp_prof.py [both image dna ...]
 """
 import sys
 import time
