@@ -121,8 +121,16 @@ def cmd_train(args, overrides) -> int:
                 cfg.insect_data.species_to_other,
                 split=split,
             )
+            # batch_size is PER-DEVICE (reference: one process per GPU with
+            # batch_size each); the train loader must therefore yield this
+            # process's device share, like Trainer's internal BioscanLoader —
+            # otherwise multi-device runs edge-pad every batch with duplicate
+            # rows that enter the contrastive loss
+            import jax as _jax
+
+            share = _jax.local_device_count() if train else 1
             spec = BatchSpec(
-                batch_size=mc.batch_size, train=train,
+                batch_size=mc.batch_size * share, train=train,
                 with_image=mc.image.enable, with_dna=mc.dna.enable,
                 with_language=False,
             )

@@ -182,9 +182,11 @@ class LRConfig:
     pct_start: float = 0.3
     div_factor: float = 25.0
     final_div_factor: float = 1e4
-    # exponential / step
+    # exponential (reference ExponentialLR gamma=0.95, train_cl.py:238)
     gamma: float = 0.95
+    # step (reference StepLR step_size=10 gamma=0.5, train_cl.py:240)
     step_size: int = 10
+    step_gamma: float = 0.5
     # cosine floor (reference train_cl.py:242-246: lr_config.min_lr, default
     # 1e-9, scaled by batch like lr)
     min_lr: float = 1e-9

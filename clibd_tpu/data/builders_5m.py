@@ -182,6 +182,17 @@ def build_split_hdf5_parallel(
             # ingested chunk contributed (skips make counts differ), so a
             # restarted build continues at the first missing chunk
             written_per_chunk = list(writer.g.attrs.get("written_per_chunk", []))
+            # chunk numbering is only meaningful for the chunk_size it was
+            # written with — resuming with a different size would silently
+            # skip or duplicate source rows
+            stored_cs = writer.g.attrs.get("resume_chunk_size")
+            if resume and written_per_chunk and stored_cs is not None \
+                    and int(stored_cs) != chunk_size:
+                raise ValueError(
+                    f"[{group_name}] resume with chunk_size={chunk_size} but the "
+                    f"interrupted build used {int(stored_cs)}; rerun with "
+                    f"chunk_size={int(stored_cs)} (or rebuild from scratch)")
+            writer.g.attrs["resume_chunk_size"] = chunk_size
             if resume:
                 # a crash during/after append() but before the bookkeeping
                 # write leaves rows (possibly with unevenly-resized columns)

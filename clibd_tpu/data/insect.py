@@ -74,7 +74,11 @@ class INSECTDataset:
         barcodes = [x.item() for x in res["nucleotides"].flatten()]
         species = [x.item() for x in res["species"].flatten()]
         if split != "all":
-            loc = att[split][0]
+            # BZSL att_splits.mat stores loc vectors as (N,1) column OR (1,N)
+            # row MATLAB arrays depending on how they were written — ravel()
+            # is orientation-proof ([0] on a column vector would silently
+            # yield a 1-sample split)
+            loc = np.asarray(att[split]).ravel()
             image_ids = [image_ids[i - 1] for i in loc]
             barcodes = [barcodes[i - 1] for i in loc]
             species = [species[i - 1] for i in loc]

@@ -15,7 +15,7 @@ from __future__ import annotations
 import json
 import os
 import time
-from typing import Dict
+from typing import Dict, Optional
 
 import h5py
 import jax
@@ -25,7 +25,8 @@ import numpy as np
 from ..config.schema import ExperimentConfig
 from ..data.pipeline import BioscanLoader
 from ..models.clibd import clibd_apply
-from ..parallel.mesh import create_mesh, pad_to_multiple, replicate, shard_batch
+from ..parallel.mesh import (create_mesh, data_sharding, pad_to_multiple,
+                             replicate, replicated, shard_batch)
 
 ALL_TYPE_OF_FEATURES_OF_QUERY = [
     "encoded_image_feature",
@@ -81,20 +82,8 @@ def make_encode_step(cfg: ExperimentConfig, mesh=None, compute_dtype=jnp.bfloat1
             check_vma=False,
         )
         return jax.jit(sharded)
-    in_shard = (replicate_spec(mesh), batch_spec(mesh))
+    in_shard = (replicated(mesh), data_sharding(mesh))
     return jax.jit(step, in_shardings=in_shard, out_shardings=None)
-
-
-def replicate_spec(mesh):
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    return NamedSharding(mesh, P())
-
-
-def batch_spec(mesh):
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    return NamedSharding(mesh, P("data"))
 
 
 def extract_split(
@@ -237,13 +226,19 @@ def load_extracted_features(path: str, labels_path: str, processed_id_path: str)
     seen_dict["label_list"] = total["seen_gt_dict"]
     unseen_dict["label_list"] = total["unseen_gt_dict"]
     keys_dict["label_list"] = total["key_gt_dict"]
-    keys_dict["all_key_features_label"] = total["key_gt_dict"] * 3
+    # all_key_features stacks the PRESENT modalities (≥2 — image+DNA models
+    # have 2N rows, tri-modal 3N): derive the multiplier from the stored
+    # feature shape so reload round-trips extract_split exactly
+    n_keys = max(len(total["key_gt_dict"]), 1)
+    akf = keys_dict.get("all_key_features")
+    reps = (akf.shape[0] // n_keys) if akf is not None else 3
+    keys_dict["all_key_features_label"] = total["key_gt_dict"] * reps
     with open(processed_id_path) as jf:
         ids = json.load(jf)
     seen_dict["processed_id_list"] = ids["seen_id_list"]
     unseen_dict["processed_id_list"] = ids["unseen_id_list"]
     keys_dict["processed_id_list"] = ids["key_id_list"]
-    keys_dict["all_processed_id_list"] = ids["key_id_list"] * 3
+    keys_dict["all_processed_id_list"] = ids["key_id_list"] * reps
     return seen_dict, unseen_dict, keys_dict
 
 

@@ -85,7 +85,7 @@ def build_schedule(cfg: OptimConfig, total_steps: int, batch_size: int, world_si
     if name == "exponential":
         return exponential_lr(scaled(lrc.lr), lrc.gamma)
     if name == "step":
-        return step_lr(scaled(lrc.lr), lrc.step_size, 0.5)
+        return step_lr(scaled(lrc.lr), lrc.step_size, lrc.step_gamma)
     if name == "cosine":
         return cosine_lr(scaled(lrc.lr), total_steps, scaled(lrc.min_lr))
     if name in ("none", "", None):

@@ -53,10 +53,14 @@ def build_optimizer(cfg: ExperimentConfig, params, schedule) -> optax.GradientTr
         eps=cfg.optim.eps,
         weight_decay=cfg.optim.weight_decay,
     )
-    tx = optax.multi_transform({"train": adamw, "frozen": optax.set_to_zero()}, labels)
     if cfg.optim.grad_clip_norm > 0:
-        tx = optax.chain(optax.clip_by_global_norm(cfg.optim.grad_clip_norm), tx)
-    return tx
+        # clip inside the trainable branch: frozen params carry zero updates
+        # but nonzero value_and_grad outputs here (torch frozen params have
+        # requires_grad=False, so a torch clip would see only trainable
+        # grads); clipping the full tree would let the frozen backbone's
+        # grads dominate the global norm and systematically over-clip
+        adamw = optax.chain(optax.clip_by_global_norm(cfg.optim.grad_clip_norm), adamw)
+    return optax.multi_transform({"train": adamw, "frozen": optax.set_to_zero()}, labels)
 
 
 def make_train_step(
