@@ -61,7 +61,7 @@ class CLIPTextConfig:
 def init_clip_vision_params(rng, cfg: CLIPVisionConfig, lora_rank: int = 0) -> dict:
     from .layers import init_stacked_block_params
 
-    keys = jax.random.split(rng, 5)
+    keys = jax.random.split(rng, 7)
     D = cfg.hidden_size
     params = {
         "patch_embed": {"w": trunc_normal_init(keys[0], (cfg.patch_size**2 * 3, D))},  # no bias
@@ -73,10 +73,9 @@ def init_clip_vision_params(rng, cfg: CLIPVisionConfig, lora_rank: int = 0) -> d
         "proj": trunc_normal_init(keys[4], (D, cfg.embed_dim)),
     }
     if lora_rank > 0:
-        lora = init_lora_params(jax.random.PRNGKey(7), cfg.num_layers, D, lora_rank)
-        k1, _ = jax.random.split(jax.random.PRNGKey(8))
+        lora = init_lora_params(keys[5], cfg.num_layers, D, lora_rank)
         bound = 1.0 / math.sqrt(D)
-        lora["a_k"] = jax.random.uniform(k1, (cfg.num_layers, D, lora_rank), jnp.float32, -bound, bound)
+        lora["a_k"] = jax.random.uniform(keys[6], (cfg.num_layers, D, lora_rank), jnp.float32, -bound, bound)
         lora["b_k"] = jnp.zeros((cfg.num_layers, lora_rank, D), jnp.float32)
         params["lora"] = lora
     return params
@@ -102,7 +101,7 @@ def clip_vision_apply(params: dict, images: jnp.ndarray, cfg: CLIPVisionConfig,
 def init_clip_text_params(rng, cfg: CLIPTextConfig, lora_rank: int = 0) -> dict:
     from .layers import init_stacked_block_params
 
-    keys = jax.random.split(rng, 4)
+    keys = jax.random.split(rng, 5)
     D = cfg.hidden_size
     params = {
         "token_embedding": trunc_normal_init(keys[0], (cfg.vocab_size, D)),
@@ -112,7 +111,7 @@ def init_clip_text_params(rng, cfg: CLIPTextConfig, lora_rank: int = 0) -> dict:
         "text_projection": trunc_normal_init(keys[3], (D, cfg.embed_dim)),
     }
     if lora_rank > 0:
-        params["lora"] = init_lora_params(jax.random.PRNGKey(9), cfg.num_layers, D, lora_rank)
+        params["lora"] = init_lora_params(keys[4], cfg.num_layers, D, lora_rank)
     return params
 
 

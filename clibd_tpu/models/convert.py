@@ -218,7 +218,7 @@ def bert_params_from_hf_state_dict(
         decoder_b = (
             np.asarray(sd[mlm_head_prefix + "decoder.bias"])
             if mlm_head_prefix + "decoder.bias" in sd
-            else np.asarray(sd.get(mlm_head_prefix.replace("predictions.", "predictions.") + "bias",
+            else np.asarray(sd.get(mlm_head_prefix + "bias",
                                    np.zeros(decoder_w.shape[1], np.float32)))
         )
         params["mlm_head"] = {

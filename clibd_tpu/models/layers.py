@@ -171,24 +171,36 @@ def fused_qkv_attention(
                   precision=_precision(compute_dtype))
     qkv = qkv + qkv_b.astype(compute_dtype)
 
-    if _flash_enabled():
+    # the flash kernel takes a per-KEY additive mask ([B,1,1,N] collapsed to
+    # its key row); a query-dependent mask — e.g. the CLIP text tower's
+    # [1,1,N,N] causal bias — cannot be collapsed, so those fall through to
+    # the XLA path
+    flash_mask_ok = mask_bias is None or (
+        mask_bias.shape[0] == B and mask_bias.shape[1] == 1 and mask_bias.shape[2] == 1)
+
+    # LoRA deltas (shared by both attention implementations).  Adapters run
+    # in compute_dtype — under bf16 this matches the reference's autocast
+    # semantics (the LoRA linears sit inside the autocast region,
+    # train_epoch.py:42-46); fp32 runs keep HIGHEST for parity tests.
+    dq = dv = dk = None
+    if lora is not None:
+        hp = _precision(compute_dtype)
+        dq = jnp.dot(jnp.dot(xc, lora["a_q"].astype(compute_dtype), precision=hp),
+                     lora["b_q"].astype(compute_dtype), precision=hp)
+        dv = jnp.dot(jnp.dot(xc, lora["a_v"].astype(compute_dtype), precision=hp),
+                     lora["b_v"].astype(compute_dtype), precision=hp)
+        if "a_k" in lora:  # q/k/v variant (reference add_lora_layer_to_open_clip)
+            dk = jnp.dot(jnp.dot(xc, lora["a_k"].astype(compute_dtype), precision=hp),
+                         lora["b_k"].astype(compute_dtype), precision=hp)
+
+    if _flash_enabled() and flash_mask_ok:
         from ..ops.pallas.attention import flash_attention_qkv
 
         if lora is not None:
-            hp = _precision(compute_dtype)
-            xl = x.astype(compute_dtype)
-            dq = jnp.dot(jnp.dot(xl, lora["a_q"].astype(compute_dtype), precision=hp),
-                         lora["b_q"].astype(compute_dtype), precision=hp)
-            dv = jnp.dot(jnp.dot(xl, lora["a_v"].astype(compute_dtype), precision=hp),
-                         lora["b_v"].astype(compute_dtype), precision=hp)
-            if "a_k" in lora:
-                dk = jnp.dot(jnp.dot(xl, lora["a_k"].astype(compute_dtype), precision=hp),
-                             lora["b_k"].astype(compute_dtype), precision=hp)
-            else:
-                dk = jnp.zeros_like(dq)
             # fold the deltas into the fused tensor (XLA fuses the concat+add
             # into the qkv matmul epilogue — no extra HBM pass)
-            qkv = qkv + jnp.concatenate([dq, dk, dv], axis=-1)
+            qkv = qkv + jnp.concatenate(
+                [dq, dk if dk is not None else jnp.zeros_like(dq), dv], axis=-1)
         mask_row = None if mask_bias is None else mask_bias[:, 0, 0, :]
         # block_b=2 measured best IN-MODEL at both ViT (N=197) and BarcodeBERT
         # (N=133) shapes; standalone per-layer sweeps preferred larger blocks
@@ -208,21 +220,9 @@ def fused_qkv_attention(
     q, k, v = jnp.split(qkv, 3, axis=-1)
 
     if lora is not None:
-        # LoRA adapters run in compute_dtype — under bf16 this matches the
-        # reference's autocast semantics (the LoRA linears sit inside the
-        # autocast region, train_epoch.py:42-46); fp32 runs keep HIGHEST for
-        # parity tests.  Avoids four fp32 [B,N,D] materializations per layer.
-        hp = _precision(compute_dtype)
-        xl = x.astype(compute_dtype)
-        dq = jnp.dot(jnp.dot(xl, lora["a_q"].astype(compute_dtype), precision=hp),
-                     lora["b_q"].astype(compute_dtype), precision=hp)
-        dv = jnp.dot(jnp.dot(xl, lora["a_v"].astype(compute_dtype), precision=hp),
-                     lora["b_v"].astype(compute_dtype), precision=hp)
         q = q + dq
         v = v + dv
-        if "a_k" in lora:  # q/k/v variant (reference add_lora_layer_to_open_clip)
-            dk = jnp.dot(jnp.dot(xl, lora["a_k"].astype(compute_dtype), precision=hp),
-                         lora["b_k"].astype(compute_dtype), precision=hp)
+        if dk is not None:
             k = k + dk
 
     def split_heads(t):

@@ -28,7 +28,10 @@ def init_lora_params(rng, num_layers: int, dim: int, rank: int) -> dict:
 
 def merge_lora_into_qkv(stacked: dict, lora: dict) -> dict:
     """Fold LoRA deltas into the fused qkv weights (for inference export):
-    W_q += A_q @ B_q, W_v += A_v @ B_v on the q/v thirds of qkv_w."""
+    W_q += A_q @ B_q, W_v += A_v @ B_v on the q/v thirds of qkv_w, and
+    W_k += A_k @ B_k when the q/k/v variant's adapters are present (the CLIP
+    towers train a_k/b_k — dropping them would silently diverge the merged
+    model from the trained one)."""
     qkv_w = stacked["qkv_w"]
     L, D, threeD = qkv_w.shape
     hp = jax.lax.Precision.HIGHEST
@@ -36,6 +39,9 @@ def merge_lora_into_qkv(stacked: dict, lora: dict) -> dict:
     dv = jnp.einsum("ldr,lre->lde", lora["a_v"], lora["b_v"], precision=hp)
     qkv_w = qkv_w.at[:, :, :D].add(dq)
     qkv_w = qkv_w.at[:, :, 2 * D :].add(dv)
+    if "a_k" in lora:
+        dk = jnp.einsum("ldr,lre->lde", lora["a_k"], lora["b_k"], precision=hp)
+        qkv_w = qkv_w.at[:, :, D : 2 * D].add(dk)
     out = dict(stacked)
     out["qkv_w"] = qkv_w
     return out

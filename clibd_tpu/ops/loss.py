@@ -56,8 +56,14 @@ def _pair_list(present: list, cfg: LossConfig) -> list:
     """Ordered modality pairs per the reference's loop (loss_func.py:176-199).
 
     `present` is the list of modality names with features, in MODALITY_ORDER.
-    Indices for bind_to / no_image_text_loss follow the reference: they index
-    into the *filtered* feature list.
+    Indices for bind_to / no_image_text_loss follow the reference EXACTLY,
+    quirk included: the reference compares fixed indices (image=0, dna=1,
+    text=2) against enumerate positions of the *filtered* feature list
+    (loss_func.py:166-185), so with a modality absent the positions shift
+    (e.g. dna+text only: bind_to='text' matches nothing → the reference
+    divides by zero at loss_func.py:201, and so do we).  Every shipped
+    reference config using these flags is tri-modal, where filtered ==
+    global.  Reproduced for parity rather than "fixed".
     """
     bind_idx = _BIND_IDX.get(cfg.bind_to) if cfg.bind_to else None
     pairs = []

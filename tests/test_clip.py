@@ -124,6 +124,28 @@ def test_clip_text_parity(small_cfgs):
     np.testing.assert_allclose(ours, ref, atol=1e-4, rtol=1e-3)
 
 
+def test_clip_text_causal_mask_survives_flash_mode(small_cfgs, monkeypatch):
+    """With the flash attention gate forced open, the CLIP text tower's
+    [1,1,N,N] causal mask cannot be collapsed to a key row — the layer must
+    fall back to the XLA path and produce identical output (regression: the
+    flash branch used to take mask_bias[:,0,0,:], which crashes for B>1 and
+    silently masks everything but BOS for B=1)."""
+    import jax as _jax
+
+    from clibd_tpu.models import layers
+    from clibd_tpu.models.clip import init_clip_text_params
+
+    _, tcfg = small_cfgs
+    params = init_clip_text_params(_jax.random.PRNGKey(0), tcfg)
+    rng = np.random.default_rng(0)
+    ids = rng.integers(1, 99, (3, 12))
+    ids[:, -1] = 99
+    ref = np.asarray(clip_text_apply(params, jnp.asarray(ids), tcfg, compute_dtype=F32))
+    monkeypatch.setattr(layers, "ATTENTION_IMPL", "pallas")
+    out = np.asarray(clip_text_apply(params, jnp.asarray(ids), tcfg, compute_dtype=F32))
+    np.testing.assert_allclose(out, ref, atol=1e-6)
+
+
 def test_clip_vision_shapes(small_cfgs):
     vcfg, tcfg = small_cfgs
     sd = {k: v.numpy() for k, v in build_torch_clip(vcfg, tcfg).items()}

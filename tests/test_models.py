@@ -256,6 +256,32 @@ def test_lora_merge_equivalence():
     np.testing.assert_allclose(np.asarray(out_dynamic), np.asarray(out_merged), atol=1e-4)
 
 
+def test_lora_merge_includes_k_adapters():
+    """q/k/v-variant adapters (the CLIP towers' layout) must fold the k delta
+    too — regression: merge used to silently drop a_k/b_k."""
+    from clibd_tpu.models.layers import fused_qkv_attention, init_stacked_block_params
+
+    rng = np.random.default_rng(0)
+    L, D, r, B, N, H = 1, 16, 2, 2, 5, 2
+    stacked = init_stacked_block_params(jax.random.PRNGKey(0), L, D, 2 * D)
+    lora = {}
+    for nm in ("a_q", "a_k", "a_v"):
+        lora[nm] = jnp.asarray(rng.standard_normal((L, D, r)).astype(np.float32) * 0.1)
+    for nm in ("b_q", "b_k", "b_v"):
+        lora[nm] = jnp.asarray(rng.standard_normal((L, r, D)).astype(np.float32) * 0.1)
+    x = jnp.asarray(rng.standard_normal((B, N, D)).astype(np.float32))
+
+    p = {k: v[0] for k, v in stacked.items()}
+    lo = {k: v[0] for k, v in lora.items()}
+    dyn = fused_qkv_attention(x, p["qkv_w"], p["qkv_b"], p["out_w"], p["out_b"],
+                              num_heads=H, lora=lo, compute_dtype=F32)
+    merged = merge_lora_into_qkv(stacked, lora)
+    pm = {k: v[0] for k, v in merged.items()}
+    mer = fused_qkv_attention(x, pm["qkv_w"], pm["qkv_b"], pm["out_w"], pm["out_b"],
+                              num_heads=H, lora=None, compute_dtype=F32)
+    np.testing.assert_allclose(np.asarray(dyn), np.asarray(mer), atol=1e-5)
+
+
 # ---------------------------------------------------------------------------
 # Full model, masks, npz roundtrip
 # ---------------------------------------------------------------------------
