@@ -9,11 +9,9 @@ import json
 import os
 from typing import Dict, List, Optional, Sequence
 
+from ..utils.metrics import harmonic_mean
+
 LEVELS = ("order", "family", "genus", "species")
-
-
-def harmonic_mean(a: float, b: float) -> float:
-    return 0.0 if (a + b) == 0 else 2.0 * a * b / (a + b)
 
 
 def add_harmonic_mean_acc(acc_dict: Dict) -> Dict:

@@ -64,8 +64,12 @@ def latex_accuracy_table(
         "\\midrule",
     ]
     for level in LEVELS:
-        seen = entry["seen"][acc_type][k][level]
-        unseen = entry["unseen"][acc_type][k][level]
+        # k keys are ints in fresh acc_dicts but strings after a JSON
+        # round-trip (accuracy.json / acc_dict_*.json)
+        seen_k = entry["seen"][acc_type]
+        unseen_k = entry["unseen"][acc_type]
+        seen = seen_k.get(k, seen_k.get(str(k)))[level]
+        unseen = unseen_k.get(k, unseen_k.get(str(k)))[level]
         hm = harmonic_mean(seen, unseen)
         lines.append(
             f"{level.capitalize()} & {100*seen:.1f} & {100*unseen:.1f} & {100*hm:.1f} \\\\"

@@ -46,6 +46,10 @@ def _resolve_params(cfg: GlobalConfig):
     candidates = []
     if mc.ckpt_path:
         candidates.append(mc.ckpt_path)
+    # where cmd_train actually saves (reference: {model_output_dir}/{name}/…,
+    # train_cl.py:273-319) — searched BEFORE the canonical published tree so
+    # `clibd eval` after `clibd train` finds the just-trained model
+    candidates.append(os.path.join(cfg.model_output_dir, mc.model_output_name))
     candidates.append(
         os.path.join(
             cfg.project_root_path, "ckpt", "bioscan_clip", cfg.version, mc.dataset, mc.model_output_name
@@ -205,10 +209,12 @@ def cmd_eval(args, overrides) -> int:
             dna_stride=mc.dna.stride,
             dna_max_bp=mc.dna.max_bp,
             long_edge_eval=mc.transform_with_resize,
+            clip_tokenizer=BatchSpec.maybe_clip_tokenizer(mc),
         )
 
         def run(split, for_key=False):
-            loader = BioscanLoader(hdf5, split, spec, num_workers=cfg.pipeline.num_workers)
+            loader = BioscanLoader(hdf5, split, spec, num_workers=cfg.pipeline.num_workers,
+                                   use_native=cfg.pipeline.use_native_decoder)
             out = extract_split(params, mc, loader, for_key_set=for_key, progress=True)
             loader.close()
             return out
@@ -327,8 +333,10 @@ def cmd_extract(args, overrides) -> int:
         with_image=mc.image.enable, with_dna=mc.dna.enable, with_language=mc.language.enable,
         dna_kmer=mc.dna.kmer, dna_tokenizer=mc.dna.tokenizer,
         dna_stride=mc.dna.stride, dna_max_bp=mc.dna.max_bp,
+        clip_tokenizer=BatchSpec.maybe_clip_tokenizer(mc),
     )
-    loader = BioscanLoader(hdf5, args.split, spec, num_workers=cfg.pipeline.num_workers)
+    loader = BioscanLoader(hdf5, args.split, spec, num_workers=cfg.pipeline.num_workers,
+                           use_native=cfg.pipeline.use_native_decoder)
     out = extract_split(params, mc, loader, progress=True)
     loader.close()
     save_embedding_export(args.out, out)
@@ -560,7 +568,20 @@ def cmd_finetune(args, overrides) -> int:
     params["classifier"] = init_classifier_head(
         jax.random.PRNGKey(mc.default_seed), mc.output_dim, len(unique_species)
     )
-    optimizer = optax.adamw(args.lr)
+    # mask the optimizer to the actually-trained subtree: a bare adamw over
+    # the full tree would apply decoupled weight decay to the frozen encoder
+    # and the unused modality's encoder every step (drifting them from their
+    # checkpoint values despite zero grads) and allocate m/v moments for the
+    # whole model
+    enc_key = f"{args.modality}_encoder"
+
+    def _label(key):
+        train = key == "classifier" or (key == enc_key and not args.freeze_encoder)
+        return "train" if train else "frozen"
+
+    labels = {k: jax.tree.map(lambda _: _label(k), v) for k, v in params.items()}
+    optimizer = optax.multi_transform(
+        {"train": optax.adamw(args.lr), "frozen": optax.set_to_zero()}, labels)
     opt_state = optimizer.init(params)
     step, predict = make_finetune_step(mc, optimizer, modality=args.modality,
                                        train_encoder=not args.freeze_encoder)
@@ -609,10 +630,12 @@ def cmd_method_nn(args, overrides) -> int:
     spec = BatchSpec(
         batch_size=mc.batch_size, train=False,
         with_image=True, with_dna=True, with_language=mc.language.enable,
+        clip_tokenizer=BatchSpec.maybe_clip_tokenizer(mc),
     )
 
     def run(split):
-        loader = BioscanLoader(hdf5, split, spec, num_workers=cfg.pipeline.num_workers)
+        loader = BioscanLoader(hdf5, split, spec, num_workers=cfg.pipeline.num_workers,
+                                   use_native=cfg.pipeline.use_native_decoder)
         out = extract_split(params, mc, loader, progress=True)
         loader.close()
         return out
@@ -672,7 +695,8 @@ def cmd_zeroshot(args, overrides) -> int:
 
     hdf5 = args.hdf5 or _dataset_hdf5_path(cfg)
     spec = BatchSpec(batch_size=args.batch_size, train=False, with_dna=False, with_language=False)
-    loader = BioscanLoader(hdf5, args.split, spec, num_workers=cfg.pipeline.num_workers)
+    loader = BioscanLoader(hdf5, args.split, spec, num_workers=cfg.pipeline.num_workers,
+                           use_native=cfg.pipeline.use_native_decoder)
     import jax
 
     @jax.jit
@@ -770,7 +794,13 @@ def cmd_compare_experiments(args, overrides) -> int:
 def cmd_bench(args, overrides) -> int:
     import runpy
 
-    runpy.run_path(os.path.join(os.path.dirname(__file__), "..", "bench.py"), run_name="__main__")
+    path = os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    if not os.path.exists(path):
+        # pip-installed package: bench.py lives at the repo root, not in the
+        # wheel — point the user at the checkout instead of a FileNotFoundError
+        raise SystemExit("clibd bench requires a repository checkout "
+                         "(bench.py is not shipped in the installed package)")
+    runpy.run_path(path, run_name="__main__")
     return 0
 
 

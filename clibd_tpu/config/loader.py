@@ -29,14 +29,28 @@ def _interpolate(data, root):
         return [_interpolate(v, root) for v in data]
     if isinstance(data, str) and "${" in data:
         out = data
-        while "${" in out:
+        # bounded: a self-referential value (`dir: ${dir}/x`) or a reference
+        # chain longer than this is a config error, not an infinite loop
+        for _ in range(32):
+            if "${" not in out:
+                break
             start = out.index("${")
-            end = out.index("}", start)
+            end = out.find("}", start)
+            if end < 0:
+                raise ValueError(f"unterminated ${{...}} interpolation in {data!r}")
             path = out[start + 2 : end]
             node = root
-            for part in path.split("."):
-                node = node[part]
+            try:
+                for part in path.split("."):
+                    node = node[part]
+            except (KeyError, TypeError) as e:
+                raise KeyError(
+                    f"interpolation ${{{path}}} in {data!r} references an unknown key"
+                ) from e
             out = out[:start] + str(node) + out[end + 1 :]
+        else:
+            raise ValueError(
+                f"interpolation did not converge for {data!r} (self-referential?)")
         return out
     return data
 
@@ -77,7 +91,13 @@ def load_config(
     if experiment:
         with open(resolve_config_path(experiment)) as f:
             data = yaml.safe_load(f) or {}
-        data = _interpolate(data, data)
+        # experiment values may reference their own keys OR global-config
+        # keys (Hydra resolves both); own keys take precedence
+        from .schema import to_dict
+
+        root = dict(to_dict(cfg))
+        root.update(data)
+        data = _interpolate(data, root)
         _merge_into(cfg.model_config, data)
     for ov in overrides:
         if "=" not in ov:

@@ -398,25 +398,6 @@ class GlobalConfig:
 # ---------------------------------------------------------------------------
 
 
-def _from_dict(cls, data: dict):
-    """Recursively build a dataclass from a nested dict, ignoring unknown keys
-    is an error (typo protection — unlike the reference's hasattr probing)."""
-    if not dataclasses.is_dataclass(cls):
-        return data
-    fields = {f.name: f for f in dataclasses.fields(cls)}
-    kwargs = {}
-    for key, value in data.items():
-        if key not in fields:
-            raise KeyError(f"Unknown config key {key!r} for {cls.__name__}")
-        ftype = fields[key].type
-        default = fields[key].default_factory() if fields[key].default_factory is not dataclasses.MISSING else None  # type: ignore
-        if isinstance(value, dict) and default is not None and dataclasses.is_dataclass(default):
-            kwargs[key] = _merge_into(default, value)
-        else:
-            kwargs[key] = value
-    return cls(**kwargs)
-
-
 def _merge_into(instance, data: dict):
     """Merge a nested dict of overrides into a dataclass instance (in place-ish)."""
     for key, value in data.items():
@@ -452,6 +433,14 @@ def set_by_path(cfg: Any, dotted: str, value: Any) -> None:
         ctype = type(current)
         if ctype is bool and isinstance(value, str):
             value = value.lower() in ("1", "true", "yes", "on")
-        elif ctype in (int, float) and isinstance(value, str):
-            value = ctype(float(value)) if ctype is int and "." not in value else ctype(value)
+        elif ctype is int and isinstance(value, (str, float)):
+            # YAML parses `epochs=20.0` as float; accept integral values for
+            # int fields, reject fractional ones loudly (int("3.5") and a
+            # silently-float epochs both break downstream range()/indexing)
+            f = float(value)
+            if f != int(f):
+                raise ValueError(f"{dotted}={value!r}: int field given a fractional value")
+            value = int(f)
+        elif ctype is float and isinstance(value, str):
+            value = float(value)
     setattr(obj, leaf, value)

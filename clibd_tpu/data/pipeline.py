@@ -49,6 +49,19 @@ class BatchSpec:
     # batch time, reference SimpleCLIP open_clip path); None = the HDF5's
     # pre-tokenized BERT language_tokens_*
     clip_tokenizer: object = None
+
+    @staticmethod
+    def maybe_clip_tokenizer(mc):
+        """CLIP BPE tokenizer for `backbone: open_clip` language batches
+        (reference SimpleCLIP tokenizes taxonomy strings with open_clip's
+        tokenizer at batch time rather than using the HDF5's pre-tokenized
+        WordPiece ids).  None for the default BERT backbone."""
+        if getattr(mc, "backbone", "default") == "open_clip" and mc.language.enable \
+                and mc.clip.bpe_path:
+            from .clip_tokenizer import CLIPTokenizer
+
+            return CLIPTokenizer(mc.clip.bpe_path, context_length=mc.clip.context_length)
+        return None
     # ship images host→device as uint8 (x255) instead of fp32 — 4× less
     # transfer; the model divides by 255 on device.  Pixel quantization
     # ≤0.5/255 (the decoder's own output grid), below bf16 compute noise.

@@ -221,6 +221,7 @@ class Trainer:
             dna_max_bp=cfg.dna.max_bp,
             image_source="image" if cfg.image.input_type == "image" else "image_features",
             dna_source="sequence" if cfg.dna.input_type == "sequence" else "dna_features",
+            clip_tokenizer=BatchSpec.maybe_clip_tokenizer(cfg),
         )
         self.eval_loader_factory = eval_loader_factory
         nw = global_cfg.pipeline.num_workers if num_workers is None else num_workers
@@ -330,6 +331,7 @@ class Trainer:
             dna_max_bp=cfg.dna.max_bp,
             image_source="image" if cfg.image.input_type == "image" else "image_features",
             dna_source="sequence" if cfg.dna.input_type == "sequence" else "dna_features",
+            clip_tokenizer=BatchSpec.maybe_clip_tokenizer(cfg),
         )
 
         # multi-host: every process evaluates the FULL splits on its own

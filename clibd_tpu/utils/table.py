@@ -25,4 +25,7 @@ class Table:
         return f"|{cells}|"
 
     def _sep(self) -> str:
+        # width + 2 while rows pad to width: reproduces the reference's exact
+        # (slightly misaligned) output — print_separator uses width+2 against
+        # print_row's :^{width} (util/util.py:68-74)
         return "+" + "+".join("-" * (w + 2) for w in self.column_widths) + "+"

@@ -212,16 +212,28 @@ bool process_one(const uint8_t* data, size_t len, float* out, int out_size,
   resize_bilinear(img.data(), h, w, resized.data(), rh, rw_, true);
 
   if (mode == 0) {
-    // center crop out_size (assumes resize_to >= out_size, as in the recipes);
+    // center crop out_size with zero-padding when the resized image is
+    // smaller (torchvision CenterCrop semantics, matching the numpy path
+    // transforms.center_crop — copying out_size rows unconditionally would
+    // read past the resized buffer whenever resize_to < out_size);
     // nearbyint = round-half-to-even, matching Python round() in torchvision
-    int top = static_cast<int>(std::nearbyint((rh - out_size) / 2.0));
-    int left = static_cast<int>(std::nearbyint((rw_ - out_size) / 2.0));
-    top = std::clamp(top, 0, std::max(rh - out_size, 0));
-    left = std::clamp(left, 0, std::max(rw_ - out_size, 0));
+    int ph = std::max(out_size - rh, 0), pw = std::max(out_size - rw_, 0);
+    int pad_top = ph / 2, pad_left = pw / 2;
+    int H = rh + ph, W = rw_ + pw;  // virtual padded dims
+    int top = static_cast<int>(std::nearbyint((H - out_size) / 2.0));
+    int left = static_cast<int>(std::nearbyint((W - out_size) / 2.0));
+    top = std::clamp(top, 0, std::max(H - out_size, 0));
+    left = std::clamp(left, 0, std::max(W - out_size, 0));
+    if (ph > 0 || pw > 0)
+      std::memset(out, 0, static_cast<size_t>(out_size) * out_size * 3 * sizeof(float));
+    int x0 = std::max(0, pad_left - left);
+    int x1 = std::min(out_size, rw_ + pad_left - left);
     for (int y = 0; y < out_size; ++y) {
-      std::memcpy(out + static_cast<size_t>(y) * out_size * 3,
-                  resized.data() + ((static_cast<size_t>(y + top)) * rw_ + left) * 3,
-                  static_cast<size_t>(out_size) * 3 * sizeof(float));
+      int sy = y + top - pad_top;  // row in resized coords
+      if (sy < 0 || sy >= rh || x1 <= x0) continue;
+      std::memcpy(out + (static_cast<size_t>(y) * out_size + x0) * 3,
+                  resized.data() + (static_cast<size_t>(sy) * rw_ + (x0 + left - pad_left)) * 3,
+                  static_cast<size_t>(x1 - x0) * 3 * sizeof(float));
     }
   } else {
     Rng rng(seed);

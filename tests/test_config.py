@@ -34,6 +34,26 @@ def test_overrides(tmp_path):
     assert cfg.debug_flag is True
 
 
+def test_interpolation_guards_and_coercion(tmp_path):
+    """Self-referential ${...} must error (not hang); unterminated ${ gives a
+    clear error; int fields accept integral floats (`epochs=20.0`) and reject
+    fractional ones; experiment YAMLs may reference their own keys."""
+    exp = tmp_path / "exp.yaml"
+    exp.write_text("model_output_name: m\nckpt_path: out/${model_output_name}\n")
+    cfg = load_config(experiment=str(exp))
+    assert cfg.model_config.ckpt_path == "out/m"
+
+    bad = tmp_path / "bad.yaml"
+    bad.write_text("ckpt_path: ${ckpt_path}/x\n")
+    with pytest.raises(ValueError):
+        load_config(experiment=str(bad))
+
+    cfg = load_config(overrides=["model_config.epochs=20.0"])
+    assert cfg.model_config.epochs == 20 and isinstance(cfg.model_config.epochs, int)
+    with pytest.raises(ValueError):
+        set_by_path(GlobalConfig(), "model_config.epochs", "3.5")
+
+
 def test_unknown_key_rejected(tmp_path):
     exp = tmp_path / "exp.yaml"
     exp.write_text("batch_sizee: 64\n")

@@ -29,6 +29,17 @@ def test_eval_parity_with_numpy_path(decoder, rng):
     np.testing.assert_allclose(out, ref, atol=1e-5)
 
 
+def test_eval_pad_case_parity(decoder, rng):
+    """resize_to < out_size: the eval crop must zero-pad like the numpy path
+    (regression: the native crop used to memcpy past the resized buffer)."""
+    from tests.fixtures import random_jpeg_bytes
+
+    jpegs = [random_jpeg_bytes(rng, h=300, w=200), random_jpeg_bytes(rng, h=180, w=400)]
+    out = decoder.decode_transform_batch(jpegs, train=False, size=320, resize_to=256)
+    ref = np.stack([eval_transform(j, 320, 256) for j in jpegs])
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
 def test_train_mode_deterministic_per_seed(decoder, rng):
     from tests.fixtures import random_jpeg_bytes
 
