@@ -227,9 +227,12 @@ def test_simclr_backbone_loading(tmp_path, tiny_cfg):
     d = str(tmp_path / "simclr_best")
     save_train_state(d, jax.tree.map(np.asarray, pre))
 
-    tiny_cfg.image.simclr_ckpt_path = d
-    params = init_clibd_params(jax.random.PRNGKey(0), tiny_cfg)
-    tiny_cfg.image.simclr_ckpt_path = None
+    # copy the module-scoped cfg rather than mutating it (a raise between
+    # set and reset would leak the ckpt path into sibling tests)
+    import dataclasses as _dc
+
+    cfg_simclr = _dc.replace(tiny_cfg, image=_dc.replace(tiny_cfg.image, simclr_ckpt_path=d))
+    params = init_clibd_params(jax.random.PRNGKey(0), cfg_simclr)
     fresh = init_clibd_params(jax.random.PRNGKey(0), tiny_cfg)
     # backbone weights come from the pretrained ckpt...
     np.testing.assert_array_equal(

@@ -26,6 +26,7 @@ def test_trainer_resume(tiny_hdf5, tmp_path):
     t1 = Trainer(g, tiny_hdf5, output_dir=str(tmp_path / "run"), **kwargs)
     t1.fit()
     step_after = t1.global_step
+    p1 = jax.device_get(t1.params)
     t1.close()
     assert step_after > 0
 
@@ -33,8 +34,11 @@ def test_trainer_resume(tiny_hdf5, tmp_path):
     start = t2.resume(str(tmp_path / "run" / "last"))
     assert t2.global_step == step_after
     assert start == 2  # finished both epochs
-    # params restored identically
-    p1 = jax.device_get(t1.params) if False else None
+    # params restored identically (t2 was freshly initialized before resume,
+    # so equality proves the checkpoint round-trip, not luck)
+    p2 = jax.device_get(t2.params)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     t2.close()
 
 

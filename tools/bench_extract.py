@@ -31,7 +31,12 @@ def main() -> None:
 
     from fixtures import make_tiny_bioscan_hdf5
 
-    path = tempfile.mktemp(suffix=".hdf5")
+    import atexit
+    import shutil
+
+    tmpdir = tempfile.mkdtemp(prefix="bench_extract_")
+    atexit.register(shutil.rmtree, tmpdir, True)  # cleaned up on ANY exit path
+    path = os.path.join(tmpdir, "fixture.hdf5")
     t0 = time.perf_counter()
     # 256×256 JPEGs ≈ the BIOSCAN cropped_256 payload
     make_tiny_bioscan_hdf5(path, n_per_split=n_records, splits=("test_seen",),
@@ -75,10 +80,15 @@ def main() -> None:
     loader.close()
 
     # --- end-to-end: extract_split incl. write ---
+    # warm pass first: the encode-step XLA compile (20-40 s) must not sit
+    # inside the measured window (the host_only/device_only legs warm up too)
+    loader = new_loader()
+    extract_split(params, cfg, loader, for_key_set=False, mesh=mesh)
+    loader.close()
     loader = new_loader()
     t0 = time.perf_counter()
     out = extract_split(params, cfg, loader, for_key_set=False, mesh=mesh)
-    outp = tempfile.mktemp(suffix=".hdf5")
+    outp = os.path.join(tmpdir, "out.hdf5")
     save_extracted_features(outp, out, out, out)
     e2e_dt = time.perf_counter() - t0
     loader.close()
@@ -116,8 +126,6 @@ def main() -> None:
         "host_cpus": os.cpu_count(),
     }
     print(json.dumps(result))
-    os.unlink(path)
-    os.unlink(outp)
 
 
 if __name__ == "__main__":

@@ -8,8 +8,11 @@ Usage: python tools/bench_pipeline.py [hdf5_path] [batch_size]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
 
 def main() -> None:
@@ -23,10 +26,13 @@ def main() -> None:
     else:
         import tempfile
 
-        sys.path.insert(0, "tests")
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "tests"))
         from fixtures import make_tiny_bioscan_hdf5
 
-        path = tempfile.mktemp(suffix=".hdf5")
+        import atexit, shutil
+        tmpdir = tempfile.mkdtemp(prefix="bench_pipeline_")
+        atexit.register(shutil.rmtree, tmpdir, True)
+        path = os.path.join(tmpdir, "fixture.hdf5")
         make_tiny_bioscan_hdf5(path, n_per_split=256, splits=("no_split_and_seen_train",))
         print(f"synthetic fixture: {path}")
     batch = int(sys.argv[2]) if len(sys.argv) > 2 else 64
