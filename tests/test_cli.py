@@ -59,6 +59,39 @@ def test_cli_configs_lists(capsys):
     assert "for_bioscan_1m/image_dna_text_seed_42.yaml" in out
 
 
+def test_resolve_params_finds_train_output(tmp_path):
+    """eval-after-train: _resolve_params must search the directory cmd_train
+    saves to (model_output_dir/<name>) before the canonical published tree
+    (regression: it used to skip it and silently fall through to fresh init)."""
+    import jax
+
+    from clibd_tpu.cli import _resolve_params
+    from clibd_tpu.config.schema import BertConfig, GlobalConfig, ViTConfig
+    from clibd_tpu.engine.checkpoint import save_train_state
+    from clibd_tpu.models import init_clibd_params
+
+    cfg = GlobalConfig()
+    cfg.model_output_dir = str(tmp_path / "out")
+    cfg.project_root_path = str(tmp_path / "nowhere")
+    mc = cfg.model_config
+    mc.model_output_name = "myrun"
+    mc.image.vit = ViTConfig(image_size=64, patch_size=16, hidden_size=32,
+                             num_layers=1, num_heads=4, mlp_dim=64)
+    mc.dna.bert = BertConfig(vocab_size=1027, hidden_size=32, num_layers=1,
+                             num_heads=4, intermediate_size=64,
+                             max_position_embeddings=140, with_mlm_head=True)
+    mc.language.enable = False
+    mc.output_dim = 8
+
+    trained = init_clibd_params(jax.random.PRNGKey(42), mc)
+    save_train_state(os.path.join(cfg.model_output_dir, "myrun", "best"),
+                     jax.tree.map(np.asarray, trained))
+    loaded = _resolve_params(cfg)
+    np.testing.assert_array_equal(
+        np.asarray(loaded["image_encoder"]["blocks"]["qkv_w"]),
+        np.asarray(trained["image_encoder"]["blocks"]["qkv_w"]))
+
+
 def test_cli_eval(tiny_hdf5, tiny_exp_yaml, tmp_path, monkeypatch, capsys):
     monkeypatch.chdir(tmp_path)
     rc = main([
