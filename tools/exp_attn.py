@@ -128,11 +128,6 @@ def make_pallas_attn(bb: int, np_pad: int, fuse_heads: bool):
 
     def kern(q_ref, k_ref, v_ref, o_ref):
         for b in range(bb):
-            if fuse_heads:
-                q = q_ref[b].reshape(H * np_pad, HD)  # [H*Np, hd]
-                kk = k_ref[b]
-                vv = v_ref[b]
-                # block-diagonal trick not possible; do per-head 2D dots
             for h in range(H):
                 q2 = q_ref[b, h]  # [Np, hd]
                 k2 = k_ref[b, h]
@@ -195,7 +190,7 @@ def main():
             print(f"pallas grid(B/{bb}) per-head 2D dots: {dt*1e3:.2f} ms/layer ({flops/dt/1e12:.1f} TF/s) maxerr={err:.4f}", flush=True)
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and not (len(sys.argv) > 1 and sys.argv[1] == "extra"):
     main()
 
 
