@@ -89,8 +89,8 @@ class SimCLRTrainer:
         output_dir: str,
         split: str = "no_split_and_seen_train",
         temperature: float = 0.07,
-        lr: float = 3e-4,
-        weight_decay: float = 1e-4,
+        lr: Optional[float] = None,
+        weight_decay: Optional[float] = None,
         num_workers: int = 2,
         params: Optional[dict] = None,
         log_fn: Optional[Callable] = None,
@@ -115,7 +115,28 @@ class SimCLRTrainer:
                 output_dim=self.cfg.output_dim, lora_rank=0,
             )
         self.params = params
-        self.optimizer = optax.adamw(lr, weight_decay=weight_decay)
+        # reference optimizer (unimodel_training_for_image_encoder.py:51-55):
+        # torch Adam at model_config.lr_config.lr with L2-style weight decay
+        # (decay folded into the gradient BEFORE the Adam moments — not
+        # AdamW's decoupled form), cosine-annealed per EPOCH from epoch 2 with
+        # T_max = batches-per-epoch (the reference's units quirk: T_max in
+        # steps, .step() per epoch — lr decays only marginally over a run)
+        if lr is None:
+            lr = self.cfg.optim.lr_config.lr
+        if weight_decay is None:
+            weight_decay = self.cfg.optim.weight_decay
+        steps_per_epoch = max(len(self.loader), 1)
+
+        def epoch_cosine(step):
+            epoch = step // steps_per_epoch
+            k = jnp.maximum(epoch - 2, 0)  # scheduler.step() only from epoch 2
+            return lr * 0.5 * (1.0 + jnp.cos(jnp.pi * k / steps_per_epoch))
+
+        self.optimizer = optax.chain(
+            optax.add_decayed_weights(weight_decay),
+            optax.scale_by_adam(),
+            optax.scale_by_learning_rate(epoch_cosine),
+        )
         self.opt_state = self.optimizer.init(params)
         self.step_fn = make_simclr_step(self.cfg, self.optimizer, temperature)
 
