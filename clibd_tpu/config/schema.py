@@ -319,7 +319,7 @@ class RetrieveSettings:
 
 @dataclass
 class EvalConfig:
-    plot_embeddings: bool = False
+    plot_embeddings: bool = True  # reference global_config.yaml:41 default
     retrieve_images: bool = False
     # nearest same-species distance CSV + histogram per modality pair
     # (reference scripts/result/distribution_of_similarities.py)
