@@ -35,6 +35,78 @@ def ref_loss():
     return _load(os.path.join(REF, "bioscanclip/model/loss_func.py"), "ref_loss_func")
 
 
+@pytest.fixture(scope="module")
+def ref_util():
+    """Import the ACTUAL reference util/util.py (home of the metric grid).
+    Modules absent here (faiss, loratorch, torchtext, timm, omegaconf) are
+    stubbed with import-surface shims only — the tested metric functions are
+    pure numpy/python."""
+    import importlib.machinery
+    import sys
+    import types
+
+    def stub(name, **attrs):
+        if name in sys.modules:
+            return sys.modules[name]
+        mod = types.ModuleType(name)
+        mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+        for k, v in attrs.items():
+            setattr(mod, k, v)
+        sys.modules[name] = mod
+        return mod
+
+    stub("faiss")
+    lora = stub("loratorch")
+    lora.layers = stub("loratorch.layers", MultiheadAttention=object)
+    tt = stub("torchtext")
+    tt.vocab = stub("torchtext.vocab", vocab=lambda *a, **k: None)
+    stub("timm", create_model=lambda *a, **k: None)
+    stub("omegaconf", DictConfig=dict, OmegaConf=types.SimpleNamespace(save=lambda *a, **k: None))
+    # util imports get_feature_and_label from the epoch module (torch-only
+    # runtime dep, not used by the metric functions)
+    stub("bioscanclip.epoch.inference_epoch", get_feature_and_label=lambda *a, **k: None)
+    stub("bioscanclip", __path__=[])
+    stub("bioscanclip.epoch", __path__=[])
+    sys.path.insert(0, REF)
+    return _load(os.path.join(REF, "bioscanclip/util/util.py"), "ref_util")
+
+
+def test_metrics_match_reference_code(ref_util, rng):
+    """Vectorized micro/macro top-k == the reference's dict-loop
+    implementations (util/util.py:379-395, 555-599) on random prediction
+    grids, including per-class accuracies."""
+    from clibd_tpu.utils.metrics import (
+        labels_to_level_arrays,
+        predictions_to_level_arrays,
+        top_k_macro_accuracy,
+        top_k_micro_accuracy,
+    )
+
+    levels = ("order", "family", "genus", "species")
+    N, max_k, n_classes = 60, 5, 7
+    gt_list, pred_list = [], []
+    for i in range(N):
+        gt_list.append({lvl: f"{lvl}_{rng.integers(0, n_classes)}" for lvl in levels})
+        pred_list.append(
+            {lvl: [f"{lvl}_{rng.integers(0, n_classes)}" for _ in range(max_k)] for lvl in levels})
+
+    k_list = [1, 3, 5]
+    ref_micro = ref_util.top_k_micro_accuracy(pred_list, gt_list, k_list=k_list)
+    ref_macro, ref_per_class = ref_util.top_k_macro_accuracy(pred_list, gt_list, k_list=k_list)
+
+    gt_by = labels_to_level_arrays(gt_list)
+    pred_by = {lvl: np.asarray([p[lvl] for p in pred_list], dtype=object) for lvl in levels}
+    ours_micro = top_k_micro_accuracy(pred_by, gt_by, k_list)
+    ours_macro, ours_per_class = top_k_macro_accuracy(pred_by, gt_by, k_list)
+
+    for k in k_list:
+        for lvl in levels:
+            assert abs(ours_micro[k][lvl] - ref_micro[k][lvl]) < 1e-12, (k, lvl)
+            assert abs(ours_macro[k][lvl] - ref_macro[k][lvl]) < 1e-12, (k, lvl)
+            for cls, acc in ref_per_class[k][lvl].items():
+                assert abs(ours_per_class[k][lvl][str(cls)] - acc) < 1e-12, (k, lvl, cls)
+
+
 def _metadata(seed=3):
     rng = np.random.default_rng(seed)
     rows = []
