@@ -68,12 +68,16 @@ def resize_bilinear(img: np.ndarray, out_h: int, out_w: int, antialias: bool = T
 
 
 def resize_shorter_edge(img: np.ndarray, size: int, antialias: bool = True) -> np.ndarray:
-    """torchvision Resize(size): shorter edge → size, aspect preserved."""
+    """torchvision Resize(size): shorter edge → size, aspect preserved.
+
+    The long edge TRUNCATES like torchvision's _compute_resized_output_size
+    (`int(size * long / short)`) — rounding would shift the whole sampling
+    grid for ~half of all non-integer aspect ratios."""
     h, w, _ = img.shape
     if h <= w:
-        out_h, out_w = size, max(1, int(round(size * w / h)))
+        out_h, out_w = size, max(1, int(size * w / h))
     else:
-        out_h, out_w = max(1, int(round(size * h / w))), size
+        out_h, out_w = max(1, int(size * h / w)), size
     return resize_bilinear(img, out_h, out_w, antialias)
 
 
@@ -184,6 +188,13 @@ def eval_transform(
     img = decode_jpeg(jpeg).astype(np.float32) / 255.0
     if long_edge:
         img = resize_long_edge(img, size)
+        # DELIBERATE deviation: the reference composes only ToTensor +
+        # TensorResizeLongEdge (dataset.py:209-214), which yields ragged
+        # shapes that torch's default_collate cannot batch for non-square
+        # inputs (the shipped 256×256 HDF5 payloads hide this).  Padding with
+        # the reference's own PadTo224Tensor (util/util.py:899-921 — defined
+        # there but never composed) keeps the mode usable; it is a no-op on
+        # square inputs, i.e. exact parity on the published datasets.
         return pad_to_square(img, size)
     img = resize_shorter_edge(img, resize_to)
     return center_crop(img, size)

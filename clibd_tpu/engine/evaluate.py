@@ -27,8 +27,10 @@ from ..utils.table import Table
 from .extract import ALL_TYPE_OF_FEATURES_OF_KEY, ALL_TYPE_OF_FEATURES_OF_QUERY
 
 
-def _predict(query_feature, keys_feature, key_labels_by_level, max_k, query_chunk):
-    _, indices = knn_search(query_feature, keys_feature, k=max_k, query_chunk=query_chunk)
+def _predict(query_feature, keys_feature, key_labels_by_level, max_k, query_chunk,
+             keys_normalized: bool = False):
+    _, indices = knn_search(query_feature, keys_feature, k=max_k, query_chunk=query_chunk,
+                            keys_normalized=keys_normalized)
     preds = predictions_to_level_arrays(indices, key_labels_by_level)
     return preds, indices
 
@@ -65,14 +67,21 @@ def inference_and_eval(
         "unseen_gt_label": unseen_dict["label_list"],
     }
 
+    # upload + L2-normalize each key matrix ONCE: the grid otherwise
+    # re-transfers and re-normalizes the same ~40k×768 matrix for every
+    # (query_type × seen/unseen) search over it
+    from ..ops.knn import prepare_keys
+
+    prepared_keys: Dict = {}
+
     for query_type in ALL_TYPE_OF_FEATURES_OF_QUERY:
-        if seen_dict.get(query_type) is None or query_type not in seen_dict:
+        if seen_dict.get(query_type) is None:
             continue
         acc_dict[query_type] = {}
         per_class_acc[query_type] = {}
         pred_dict[query_type] = {}
         for key_type in ALL_TYPE_OF_FEATURES_OF_KEY:
-            if keys_dict.get(key_type) is None or key_type not in keys_dict:
+            if keys_dict.get(key_type) is None:
                 continue
             key_labels = base_key_labels
             if key_type == "all_key_features":
@@ -88,9 +97,14 @@ def inference_and_eval(
                 or keys_feature.shape[-1] != q_unseen.shape[-1]
             ):
                 continue
+            if key_type not in prepared_keys:
+                prepared_keys[key_type] = prepare_keys(keys_feature)
+            keys_prep = prepared_keys[key_type]
 
-            seen_preds, _ = _predict(q_seen, keys_feature, key_labels, max_k, query_chunk)
-            unseen_preds, _ = _predict(q_unseen, keys_feature, key_labels, max_k, query_chunk)
+            seen_preds, _ = _predict(q_seen, keys_prep, key_labels, max_k, query_chunk,
+                                     keys_normalized=True)
+            unseen_preds, _ = _predict(q_unseen, keys_prep, key_labels, max_k, query_chunk,
+                                       keys_normalized=True)
 
             entry: Dict = {"seen": {}, "unseen": {}}
             entry["seen"]["micro_acc"] = top_k_micro_accuracy(seen_preds, seen_gt, k_list)

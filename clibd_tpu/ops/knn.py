@@ -24,17 +24,20 @@ import numpy as np
 from ..models.clibd import l2_normalize
 
 
-@functools.partial(jax.jit, static_argnames=("k", "query_chunk", "normalize"))
+@functools.partial(jax.jit, static_argnames=("k", "query_chunk", "normalize",
+                                             "keys_normalized"))
 def _knn_jit(
     queries: jnp.ndarray,
     keys: jnp.ndarray,
     k: int,
     query_chunk: int,
     normalize: bool,
+    keys_normalized: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     if normalize:
         queries = l2_normalize(queries.astype(jnp.float32))
-        keys = l2_normalize(keys.astype(jnp.float32))
+        if not keys_normalized:
+            keys = l2_normalize(keys.astype(jnp.float32))
     n = queries.shape[0]
     pad = (-n) % query_chunk
     qp = jnp.pad(queries, ((0, pad), (0, 0)))
@@ -50,21 +53,31 @@ def _knn_jit(
     return sims, idx
 
 
+def prepare_keys(keys) -> jnp.ndarray:
+    """Upload + L2-normalize a key matrix ONCE for reuse across the eval
+    grid (each (query_type × split) search over the same key_type would
+    otherwise re-transfer and re-normalize the identical ~40k×768 matrix)."""
+    return jax.jit(lambda x: l2_normalize(x.astype(jnp.float32)))(jnp.asarray(keys))
+
+
 def knn_search(
     queries,
     keys,
     k: int = 5,
     query_chunk: int = 4096,
     normalize: bool = True,
+    keys_normalized: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """→ (similarities [N,k] fp32, indices [N,k] int32), sorted descending.
 
-    Exact (non-approximate) search, like the reference's IndexFlatIP."""
+    Exact (non-approximate) search, like the reference's IndexFlatIP.
+    keys_normalized=True: keys came from prepare_keys (device-resident,
+    already unit-norm) — skip their normalization."""
     queries = jnp.asarray(queries, jnp.float32)
     keys = jnp.asarray(keys, jnp.float32)
     query_chunk = int(min(query_chunk, max(queries.shape[0], 1)))
     k = int(min(k, keys.shape[0]))
-    sims, idx = _knn_jit(queries, keys, k, query_chunk, normalize)
+    sims, idx = _knn_jit(queries, keys, k, query_chunk, normalize, keys_normalized)
     return np.asarray(sims), np.asarray(idx)
 
 
@@ -76,8 +89,13 @@ def find_k_closest_records(
     query_chunk: int = 4096,
 ):
     """File-name lookups for retrieval figures (reference util/util.py:224-234
-    find_k_closest_records): → (names [N,k] object array, similarities)."""
-    sims, indices = knn_search(query_feature, keys_feature, k=k, query_chunk=query_chunk)
+    find_k_closest_records): → (names [N,k] object array, similarities).
+
+    Parity note: unlike make_prediction (which the reference sklearn-
+    normalizes first), the reference feeds RAW features to IndexFlatIP here —
+    so this searches raw inner product, not cosine."""
+    sims, indices = knn_search(query_feature, keys_feature, k=k,
+                               query_chunk=query_chunk, normalize=False)
     names = np.asarray(key_file_names, dtype=object)[indices]
     return names, sims
 

@@ -203,10 +203,12 @@ bool process_one(const uint8_t* data, size_t len, float* out, int out_size,
   int rh, rw_;
   if (h <= w) {
     rh = resize_to;
-    rw_ = std::max(1, static_cast<int>(std::lround(static_cast<double>(resize_to) * w / h)));
+    // truncation, matching torchvision _compute_resized_output_size (and the
+    // numpy path's resize_shorter_edge)
+    rw_ = std::max(1, static_cast<int>(static_cast<double>(resize_to) * w / h));
   } else {
     rw_ = resize_to;
-    rh = std::max(1, static_cast<int>(std::lround(static_cast<double>(resize_to) * h / w)));
+    rh = std::max(1, static_cast<int>(static_cast<double>(resize_to) * h / w));
   }
   std::vector<float> resized(static_cast<size_t>(rh) * rw_ * 3);
   resize_bilinear(img.data(), h, w, resized.data(), rh, rw_, true);

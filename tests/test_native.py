@@ -29,6 +29,22 @@ def test_eval_parity_with_numpy_path(decoder, rng):
     np.testing.assert_allclose(out, ref, atol=1e-5)
 
 
+def test_eval_noninteger_aspect_ratio_parity(decoder, rng):
+    """Non-integer aspect ratios where truncation != rounding (torchvision
+    _compute_resized_output_size truncates the scaled long edge: 300×451 at
+    256 → 384, not 385).  Native and numpy paths must agree exactly."""
+    from tests.fixtures import random_jpeg_bytes
+
+    from clibd_tpu.data.transforms import decode_jpeg, resize_shorter_edge
+
+    jpegs = [random_jpeg_bytes(rng, h=300, w=451), random_jpeg_bytes(rng, h=451, w=300)]
+    img = decode_jpeg(jpegs[0]).astype(np.float32) / 255.0
+    assert resize_shorter_edge(img, 256).shape == (256, 384, 3)  # int(256*451/300)
+    out = decoder.decode_transform_batch(jpegs, train=False)
+    ref = np.stack([eval_transform(j) for j in jpegs])
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
 def test_eval_pad_case_parity(decoder, rng):
     """resize_to < out_size: the eval crop must zero-pad like the numpy path
     (regression: the native crop used to memcpy past the resized buffer)."""
