@@ -44,12 +44,23 @@ def test_make_prediction_labels(rng):
 
 
 def test_find_k_closest_records(rng):
+    """Reference parity: find_k_closest_records searches RAW inner product
+    (util/util.py:224-234 feeds unnormalized features to IndexFlatIP) — so
+    self-retrieval is only guaranteed on unit-norm inputs."""
     from clibd_tpu.ops.knn import find_k_closest_records
 
     q = rng.standard_normal((3, 8)).astype(np.float32)
-    keys = np.concatenate([q, rng.standard_normal((10, 8)).astype(np.float32)])
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    extra = rng.standard_normal((10, 8)).astype(np.float32)
+    extra /= np.linalg.norm(extra, axis=1, keepdims=True)
+    keys = np.concatenate([q, extra])
     names = [f"file{i}.jpg" for i in range(len(keys))]
     got, sims = find_k_closest_records(q, keys, names, k=2)
     assert got.shape == (3, 2)
     for i in range(3):
         assert got[i, 0] == f"file{i}.jpg"
+    # raw-IP semantics: a doubled copy of q0 outranks q0 itself (cosine
+    # search would tie them at 1.0 — the reference's behavior is IP)
+    keys2 = np.concatenate([keys, 2.0 * q[:1]])
+    got2, _ = find_k_closest_records(q, keys2, names + ["big.jpg"], k=1)
+    assert got2[0, 0] == "big.jpg"
