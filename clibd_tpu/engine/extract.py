@@ -92,14 +92,28 @@ def extract_split(
     loader: BioscanLoader,
     for_key_set: bool = False,
     mesh=None,
-    compute_dtype=jnp.bfloat16,
+    compute_dtype=None,
     progress: bool = False,
 ) -> Dict:
     """→ dict with encoded_*_feature, averaged/concatenated features,
     label_list (taxon dicts), processed_id_list, file_name_list, and for key
-    sets all_key_features (+labels) — reference util/util.py:702-742."""
+    sets all_key_features (+labels) — reference util/util.py:702-742.
+
+    compute_dtype follows cfg.amp by default (fp32 experiments must not be
+    silently extracted in bf16 — accuracy/best-checkpoint selection would
+    run at lower precision than training)."""
+    if compute_dtype is None:
+        compute_dtype = jnp.bfloat16 if cfg.amp else jnp.float32
     if mesh is None:
+        # the loader is not host-sharded and the drain reads back full
+        # arrays, both host-local patterns — default to this process's
+        # devices (a global multiprocess mesh would mis-assemble batches
+        # and the read-back would span non-addressable devices)
+        from ..parallel.mesh import local_mesh, mesh_is_multiprocess
+
         mesh = create_mesh()
+        if mesh_is_multiprocess(mesh):
+            mesh = local_mesh()
     n_dev = mesh.size
     step = make_encode_step(cfg, mesh=mesh, compute_dtype=compute_dtype)
     params = replicate(mesh, params)
@@ -292,19 +306,24 @@ class AppendableEmbeddingWriter:
 
     def append(self, features: Dict[str, np.ndarray], label_dicts, file_names) -> None:
         n = len(file_names)
+        if n == 0:
+            return  # ds[-0:] would select ALL rows and shape-mismatch
         for t, arr in features.items():
             if arr is None:
                 continue
             ds = self._ensure(t, (arr.shape[1],), np.float32)
-            ds.resize(ds.shape[0] + n, axis=0)
-            ds[-n:] = arr
+            start = ds.shape[0]
+            ds.resize(start + n, axis=0)
+            ds[start : start + n] = arr
         for level in ("order", "family", "genus", "species"):
             ds = self._ensure(f"{level}_list", (), h5py.string_dtype())
-            ds.resize(ds.shape[0] + n, axis=0)
-            ds[-n:] = [l[level] for l in label_dicts]
+            start = ds.shape[0]
+            ds.resize(start + n, axis=0)
+            ds[start : start + n] = [l[level] for l in label_dicts]
         ds = self._ensure("file_name", (), h5py.string_dtype())
-        ds.resize(ds.shape[0] + n, axis=0)
-        ds[-n:] = list(file_names)
+        start = ds.shape[0]
+        ds.resize(start + n, axis=0)
+        ds[start : start + n] = list(file_names)
         self._n += n
 
     def close(self):

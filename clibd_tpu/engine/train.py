@@ -267,15 +267,31 @@ class Trainer:
         from ..utils.profiling import StepTimer
 
         timer = StepTimer(warmup_steps=1)
-        rng = jax.random.PRNGKey((cfg.default_seed << 16) + epoch)
-        # keep the per-step PRNG stream aligned with a fresh run when resuming
-        # mid-epoch (each skipped batch consumed one split)
-        for _ in range(start_batch):
-            rng, _unused = jax.random.split(rng)
+        # per-batch keys derive from (epoch base, batch index) — O(1)
+        # mid-epoch resume realignment instead of one split per skipped batch
+        base_rng = jax.random.PRNGKey((cfg.default_seed << 16) + epoch)
         epoch_loss, n_steps = 0.0, 0
         t0 = time.time()
+        batch_idx = start_batch
+        pending = None  # one-step-delayed loss fetch: the host materializes
+        # step i's loss while the device runs step i+1 (extract_split pattern)
+
+        def emit(item):
+            nonlocal epoch_loss
+            loss_dev, step_no, lr = item
+            loss_val = float(loss_dev)
+            epoch_loss += loss_val
+            self.log_fn({"loss": loss_val, "step": step_no, "learning_rate": lr})
+            if progress:
+                dt = time.time() - t0
+                print(
+                    f"\rEpoch {epoch}||Step {step_no}||Loss {loss_val:.4f}||LR {lr:.3e}||{n_steps/max(dt,1e-9):.2f} it/s",
+                    end="",
+                )
+
         for batch in self.train_loader.batches(epoch=epoch, start_batch=start_batch):
-            rng, sub = jax.random.split(rng)
+            sub = jax.random.fold_in(base_rng, batch_idx)
+            batch_idx += 1
             model_batch = {
                 k: batch[k] for k in ("image", "dna", "language", "label") if k in batch
             }
@@ -287,19 +303,15 @@ class Trainer:
             self.params, self.opt_state, loss = self.step_fn(
                 self.params, self.opt_state, padded, sub
             )
-            loss_val = float(loss)
-            timer.tick()
-            epoch_loss += loss_val
             self.global_step += 1
             n_steps += 1
             lr = float(self.schedule(self.global_step - 1))
-            self.log_fn({"loss": loss_val, "step": self.global_step, "learning_rate": lr})
-            if progress:
-                dt = time.time() - t0
-                print(
-                    f"\rEpoch {epoch}||Step {n_steps}||Loss {loss_val:.4f}||LR {lr:.3e}||{n_steps/max(dt,1e-9):.2f} it/s",
-                    end="",
-                )
+            if pending is not None:
+                emit(pending)
+            pending = (loss, self.global_step, lr)
+            timer.tick()
+        if pending is not None:
+            emit(pending)
         if progress:
             print()
         if timer.times:
@@ -332,6 +344,9 @@ class Trainer:
             image_source="image" if cfg.image.input_type == "image" else "image_features",
             dna_source="sequence" if cfg.dna.input_type == "sequence" else "dna_features",
             clip_tokenizer=BatchSpec.maybe_clip_tokenizer(cfg),
+            # best-checkpoint selection must see the same preprocessing as
+            # the final standalone eval (cli.py passes this too)
+            long_edge_eval=cfg.transform_with_resize,
         )
 
         # multi-host: every process evaluates the FULL splits on its own
@@ -376,6 +391,19 @@ class Trainer:
         self.params = replicate(self.mesh, params)
         self.opt_state = replicate(self.mesh, opt_state if opt_state is not None else donor)
         self.global_step = int(meta.get("step", 0))
+        # restore best-checkpoint tracking — otherwise the first post-resume
+        # eval always "improves" and can overwrite best/ with a worse model
+        # (and suppresses the early-stop signal)
+        import json as _json
+        import os as _os
+
+        best_meta = _os.path.join(_os.path.dirname(directory), "best", "meta.json")
+        if _os.path.exists(best_meta):
+            with open(best_meta) as bf:
+                binfo = _json.load(bf)
+            if "overall_acc" in binfo:
+                self.checkpointer.best_metric = float(binfo["overall_acc"])
+                self.checkpointer.best_epoch = int(binfo.get("epoch", -1))
         # mid-epoch resume (beyond the reference, which restarts from params
         # only): the deterministic epoch streams make the step count resolve
         # to an exact (epoch, batch) position
@@ -398,6 +426,14 @@ class Trainer:
             mean_loss = self.train_epoch(epoch, progress=progress, start_batch=start_batch)
             history["loss"].append(mean_loss)
 
+            # last/ is written EVERY epoch (not only on eval epochs): with
+            # eval_skip_epoch or evaluation_period > 1 a crash would
+            # otherwise leave nothing to --resume from
+            if self.gcfg.save_ckpt and is_main_process():
+                self.checkpointer.save_last(
+                    self.params, self.opt_state, self.global_step, epoch
+                )
+
             do_eval = (
                 epoch % cfg.evaluation_period == 0 or epoch == cfg.epochs - 1
             ) and epoch > cfg.eval_skip_epoch
@@ -407,10 +443,6 @@ class Trainer:
                 # explicit broadcast (replaces the reference's stop_flag
                 # dist.broadcast, train_cl.py:280-331); only process 0 writes
                 # checkpoints.
-                if self.gcfg.save_ckpt and is_main_process():
-                    self.checkpointer.save_last(
-                        self.params, self.opt_state, self.global_step, epoch
-                    )
                 acc_dict = self.evaluate()
                 overall = compute_overall_acc(acc_dict)
                 history["overall_acc"].append((epoch, overall))

@@ -41,14 +41,18 @@ def maybe_initialize_distributed() -> bool:
 
     if os.environ.get("CLIBD_DISABLE_DISTRIBUTED"):
         return False
-    if jax.process_count() > 1:
-        return True  # already initialized
+    # ORDER MATTERS: the env-hint check must come before ANY jax API call —
+    # jax.process_count() initializes the XLA backend, after which
+    # jax.distributed.initialize() raises unconditionally (and the swallowed
+    # error would silently degrade an opted-in multi-host job to N
+    # independent single-host jobs with wrong loader sharding)
     if not any(os.environ.get(k) for k in _MULTIHOST_ENV_HINTS):
         return False
     try:
         jax.distributed.initialize()
     except Exception:
-        return False  # single-process run or already initialized
+        # already initialized (a prior call) or genuinely single-process
+        return jax.process_count() > 1
     return jax.process_count() > 1
 
 
@@ -118,8 +122,6 @@ def replicate(mesh: Mesh, tree):
 def pad_to_multiple(batch, multiple: int):
     """Pad the leading axis of every array to a multiple (for even sharding);
     returns (padded_batch, original_length)."""
-    import numpy as np
-
     leaves = jax.tree.leaves(batch)
     n = leaves[0].shape[0]
     pad = (-n) % multiple
