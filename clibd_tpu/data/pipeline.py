@@ -95,10 +95,15 @@ def shard_indices(
         return order[host_id::num_hosts][:per_host]
     # DistributedSampler pads to EQUAL per-host length by wrapping (later
     # hosts' strided slice is one short when num_hosts does not divide n) —
-    # unequal counts would deadlock lockstep multi-host collectives
+    # unequal counts would deadlock lockstep multi-host collectives.  An
+    # EMPTY strided slice (n < num_hosts) must wrap from the global order,
+    # like DistributedSampler's index-list padding, or that host would yield
+    # zero batches while __len__ still promises one.
     per_host = -(-n // num_hosts)
     local = order[host_id::num_hosts]
-    if len(local) < per_host and len(local) > 0:
+    if len(local) == 0:
+        local = order
+    while len(local) < per_host:
         local = np.concatenate([local, local[: per_host - len(local)]])
     return local[:per_host]
 

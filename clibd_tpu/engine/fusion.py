@@ -26,10 +26,18 @@ def fuse_predictions(
     threshold: float,
 ) -> Dict[str, np.ndarray]:
     """Per (query, k): pick the seen-key prediction when score > threshold
-    (reference decide_prediction_with_threshold, method_nn.py:66-93)."""
-    take_seen = scores_seen > threshold  # [N, k]
+    (reference decide_prediction_with_threshold, method_nn.py:66-93).
+
+    The two sides can carry different column counts (knn_search clamps k to
+    the gallery size; classifier confidence clamps to num_classes) — fuse
+    over the common prefix instead of letting np.where broadcast-crash."""
+    kmin = min(scores_seen.shape[1],
+               *(preds_unseen[level].shape[1] for level in LEVELS),
+               *(preds_seen[level].shape[1] for level in LEVELS))
+    take_seen = scores_seen[:, :kmin] > threshold  # [N, kmin]
     return {
-        level: np.where(take_seen, preds_seen[level], preds_unseen[level]) for level in LEVELS
+        level: np.where(take_seen, preds_seen[level][:, :kmin],
+                        preds_unseen[level][:, :kmin]) for level in LEVELS
     }
 
 
@@ -54,6 +62,26 @@ def search_threshold(
     split_data items: {'preds_seen': {level: [N,k]}, 'scores_seen': [N,k],
     'preds_unseen': {level: [N,k]}, 'gt': {level: [N]}}."""
     thresholds = np.linspace(0, 1, num_intervals)
+    # the sweep only consumes species top-1 accuracy, which is a pure
+    # function of (top-1 score, top-1 seen-hit, top-1 unseen-hit) — sweep
+    # all thresholds as one vectorized comparison instead of re-fusing four
+    # [N,k] object arrays and the full metric grid 1000× (pure-python
+    # minutes at 40k queries, same result bit-for-bit)
+    k0 = k_list[0]
+    if k0 == 1:  # the shipped configs; k0>1 needs per-column mixing (below)
+        per_split_acc = []
+        for split in split_data:
+            gt = np.asarray(split["gt"]["species"])
+            hit_seen = (np.asarray(split["preds_seen"]["species"])[:, 0] == gt).astype(np.float64)
+            hit_unseen = (np.asarray(split["preds_unseen"]["species"])[:, 0] == gt).astype(np.float64)
+            s0 = np.asarray(split["scores_seen"])[:, 0]
+            take = s0[None, :] > thresholds[:, None]  # [T, N]
+            acc = np.where(take, hit_seen[None, :], hit_unseen[None, :]).mean(axis=1)
+            per_split_acc.append(acc)
+        scores = np.array([harmonic_mean_list([a[i] for a in per_split_acc])
+                           for i in range(len(thresholds))])
+        best_idx = int(np.argmax(scores))  # first max — matches `>` keep-first
+        return float(thresholds[best_idx])
     best_threshold = thresholds[0]
     max_score = float("-inf")
     for threshold in thresholds:
@@ -112,17 +140,21 @@ def method_nn(
     similarity = confidence) + dna-query vs unseen DNA keys (side B).
 
     *_query_feats: {'image': [N,D], 'dna': [N,D]}."""
-    from ..ops.knn import knn_search
+    from ..ops.knn import knn_search, prepare_keys
     from ..utils.metrics import predictions_to_level_arrays
 
+    # each key matrix serves both query splits — upload + normalize once
+    seen_keys_prep = prepare_keys(seen_keys_feats)
+    unseen_keys_prep = prepare_keys(unseen_keys_feats)
+
     def side(query, keys, key_labels):
-        sims, idx = knn_search(query, keys, k=max_k)
+        sims, idx = knn_search(query, keys, k=max_k, keys_normalized=True)
         return predictions_to_level_arrays(idx, key_labels), sims
 
     split_data = []
     for qf, gt in ((seen_query_feats, seen_gt), (unseen_query_feats, unseen_gt)):
-        preds_seen, scores_seen = side(qf["image"], seen_keys_feats, seen_keys_labels)
-        preds_unseen, _ = side(qf["dna"], unseen_keys_feats, unseen_keys_labels)
+        preds_seen, scores_seen = side(qf["image"], seen_keys_prep, seen_keys_labels)
+        preds_unseen, _ = side(qf["dna"], unseen_keys_prep, unseen_keys_labels)
         split_data.append(
             {"preds_seen": preds_seen, "scores_seen": scores_seen, "preds_unseen": preds_unseen, "gt": gt}
         )

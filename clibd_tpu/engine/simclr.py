@@ -60,7 +60,12 @@ class TwoViewLoader:
         self.b.close()
 
 
-def make_simclr_step(cfg: ExperimentConfig, optimizer, temperature: float = 0.07):
+def make_simclr_step(cfg: ExperimentConfig, optimizer, temperature: float = 0.07,
+                     mesh=None):
+    """Jitted SimCLR step.  With a mesh, the step runs under `shard_map` with
+    per-device LOCAL NT-Xent (in-batch negatives stay per-device — exactly
+    the reference's DDP semantics, which never gathers SimCLR features) and a
+    `psum` of gradients standing in for DDP's allreduce."""
     compute_dtype = jnp.bfloat16 if cfg.amp else jnp.float32
 
     def loss_fn(params, views, rng):
@@ -71,14 +76,36 @@ def make_simclr_step(cfg: ExperimentConfig, optimizer, temperature: float = 0.07
         feats = vit_apply(params, images, cfg.image.vit, compute_dtype=compute_dtype)
         return simclr_loss(feats, temperature)
 
-    @jax.jit
-    def step(params, opt_state, view1, view2, rng):
+    if mesh is None or mesh.size == 1:
+        @jax.jit
+        def step(params, opt_state, view1, view2, rng):
+            loss, grads = jax.value_and_grad(loss_fn)(params, (view1, view2), rng)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        return step
+
+    from jax.sharding import PartitionSpec as P
+
+    def local_step(params, opt_state, view1, view2, rng):
+        # decorrelate crop streams across shards (a replicated key would
+        # draw identical augmentations on every device)
+        rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
         loss, grads = jax.value_and_grad(loss_fn)(params, (view1, view2), rng)
+        grads = jax.lax.psum(grads, "data")
+        loss = jax.lax.pmean(loss, "data")
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
-    return step
+    sharded = jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(), P(), P("data"), P("data"), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
 
 
 class SimCLRTrainer:
@@ -94,15 +121,21 @@ class SimCLRTrainer:
         num_workers: int = 2,
         params: Optional[dict] = None,
         log_fn: Optional[Callable] = None,
+        mesh=None,
     ):
         self.gcfg = global_cfg
         self.cfg = global_cfg.model_config
         self.output_dir = output_dir
         self.log_fn = log_fn or (lambda d: None)
-        from ..parallel.mesh import host_id, num_hosts
+        from ..parallel.mesh import create_mesh, host_id, num_hosts
 
+        self.mesh = mesh if mesh is not None else create_mesh()
+        # batch_size is PER-DEVICE (reference: one DDP process per GPU with
+        # batch_size each) — the loader yields this process's device share
+        local_share = self.mesh.size // num_hosts()
         self.loader = TwoViewLoader(
-            hdf5_path, split, self.cfg.batch_size, num_workers=num_workers,
+            hdf5_path, split, self.cfg.batch_size * local_share,
+            num_workers=num_workers,
             seed=self.cfg.default_seed,
             host_id=host_id(), num_hosts=num_hosts(),
         )
@@ -138,27 +171,47 @@ class SimCLRTrainer:
             optax.scale_by_learning_rate(epoch_cosine),
         )
         self.opt_state = self.optimizer.init(params)
-        self.step_fn = make_simclr_step(self.cfg, self.optimizer, temperature)
+        from ..parallel.mesh import replicate
+
+        self.params = replicate(self.mesh, self.params)
+        self.opt_state = replicate(self.mesh, self.opt_state)
+        self.step_fn = make_simclr_step(self.cfg, self.optimizer, temperature,
+                                        mesh=self.mesh)
 
     def fit(self, progress: bool = False) -> dict:
+        from ..parallel.mesh import is_main_process, shard_batch
+
         best_loss = None
         history = {"loss": []}
         for epoch in range(self.cfg.epochs):
             rng = jax.random.PRNGKey((self.cfg.default_seed << 20) + epoch)
             losses = []
+            pending = None  # one-step-delayed loss fetch (train.py pattern)
             for view1, view2, _idx in self.loader.batches(epoch):
                 rng, sub = jax.random.split(rng)
+                if self.mesh.size > 1:
+                    sharded = shard_batch(self.mesh, {"v1": view1, "v2": view2})
+                    view1, view2 = sharded["v1"], sharded["v2"]
                 self.params, self.opt_state, loss = self.step_fn(
                     self.params, self.opt_state, view1, view2, sub
                 )
-                loss_val = float(loss)
-                losses.append(loss_val)
-                self.log_fn({"loss": loss_val, "epoch": epoch})
+                if pending is not None:
+                    lv = float(pending)
+                    losses.append(lv)
+                    self.log_fn({"loss": lv, "epoch": epoch})
+                pending = loss
+            if pending is not None:
+                lv = float(pending)
+                losses.append(lv)
+                self.log_fn({"loss": lv, "epoch": epoch})
             mean_loss = float(np.mean(losses)) if losses else 0.0
             history["loss"].append(mean_loss)
             if progress:
                 print(f"SimCLR epoch {epoch}: loss {mean_loss:.4f}")
-            if self.gcfg.save_ckpt:
+            # checkpoint writes are process-0 only (every host training a
+            # shard concurrently wrote the same paths before — last writer
+            # won on shared filesystems)
+            if self.gcfg.save_ckpt and is_main_process():
                 save_train_state(
                     os.path.join(self.output_dir, f"checkpoint_{epoch:04d}"),
                     self.params, self.opt_state, epoch=epoch,

@@ -55,18 +55,20 @@ def build_class_prototypes(
     batch_size: int = 256,
 ) -> np.ndarray:
     """→ [num_classes, D] L2-normalized prototypes: mean over the template
-    ensemble of normalized per-prompt embeddings."""
-    protos = []
-    for name in class_names:
-        prompts = [t.format(name) for t in templates]
-        embs = []
-        for lo in range(0, len(prompts), batch_size):
-            embs.append(np.asarray(encode_text_fn(prompts[lo : lo + batch_size])))
-        embs = np.concatenate(embs, axis=0)
-        embs = embs / np.linalg.norm(embs, axis=-1, keepdims=True)
-        proto = embs.mean(axis=0)
-        protos.append(proto / np.linalg.norm(proto))
-    return np.stack(protos)
+    ensemble of normalized per-prompt embeddings.
+
+    Prompts are batched ACROSS classes (one ~80-prompt class per dispatch
+    would mean thousands of tiny device calls at species scale)."""
+    n_t = len(templates)
+    all_prompts = [t.format(name) for name in class_names for t in templates]
+    embs = []
+    for lo in range(0, len(all_prompts), batch_size):
+        embs.append(np.asarray(encode_text_fn(all_prompts[lo : lo + batch_size])))
+    embs = np.concatenate(embs, axis=0)
+    embs = embs / np.linalg.norm(embs, axis=-1, keepdims=True)
+    embs = embs.reshape(len(class_names), n_t, -1)
+    protos = embs.mean(axis=1)
+    return protos / np.linalg.norm(protos, axis=-1, keepdims=True)
 
 
 def zero_shot_classify(

@@ -82,18 +82,44 @@ def test_simclr_augment_shapes():
 def test_simclr_trainer(tiny_hdf5, tmp_path):
     import os
 
+    import jax
+
     from clibd_tpu.engine.simclr import SimCLRTrainer
+    from clibd_tpu.parallel.mesh import create_mesh
 
     g = tiny_gcfg()
     trainer = SimCLRTrainer(
         g, tiny_hdf5, output_dir=str(tmp_path / "simclr"),
         split="no_split_and_seen_train", num_workers=0,
+        mesh=create_mesh(jax.devices()[:1]),
     )
     hist = trainer.fit()
     trainer.close()
     assert len(hist["loss"]) == 1 and np.isfinite(hist["loss"][0])
     assert os.path.exists(tmp_path / "simclr" / "model_best" / "params.npz")
     assert os.path.exists(tmp_path / "simclr" / "checkpoint_0000" / "params.npz")
+
+
+def test_simclr_trainer_multi_device(tiny_hdf5, tmp_path):
+    """shard_map SimCLR step (per-device local NT-Xent + psum grads — the
+    reference's DDP semantics) on a 2-device mesh: loader yields the device
+    share (batch_size × 2) and training runs."""
+    import jax
+
+    from clibd_tpu.engine.simclr import SimCLRTrainer
+    from clibd_tpu.parallel.mesh import create_mesh
+
+    g = tiny_gcfg()
+    g.model_config.batch_size = 4  # × 2 devices = 8-row loader batches
+    trainer = SimCLRTrainer(
+        g, tiny_hdf5, output_dir=str(tmp_path / "simclr2"),
+        split="no_split_and_seen_train", num_workers=0,
+        mesh=create_mesh(jax.devices()[:2]),
+    )
+    assert trainer.loader.a.spec.batch_size == 8
+    hist = trainer.fit()
+    trainer.close()
+    assert len(hist["loss"]) == 1 and np.isfinite(hist["loss"][0])
 
 
 @pytest.mark.slow
