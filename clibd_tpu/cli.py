@@ -791,6 +791,38 @@ def cmd_compare_experiments(args, overrides) -> int:
     return 0
 
 
+def cmd_verify_parity(args, overrides) -> int:
+    """Released-artifact parity harness (RELEASE_PARITY.md runbook;
+    reference README.md:29-44 artifacts, BASELINE.md 0.5% criterion)."""
+    cfg = _load_cfg(args, overrides)
+    from .engine.verify_parity import format_report, save_report, verify_parity
+
+    expected = None
+    if args.expected:
+        with open(args.expected) as f:
+            expected = json.load(f)
+    report = verify_parity(
+        cfg.model_config,
+        ckpt=args.ckpt,
+        released_embeddings=args.released_embeddings,
+        released_labels=args.released_labels,
+        released_ids=args.released_ids,
+        hdf5=args.hdf5 or (_dataset_hdf5_path(cfg) if args.ckpt else None),
+        n=args.n if args.n and args.n > 0 else None,
+        eval_on=cfg.inference_and_eval_setting.eval_on,
+        tokenizer_file=args.tokenizer,
+        expected=expected,
+        cos_threshold=args.cos_threshold,
+        top1_threshold=args.top1_threshold,
+        num_workers=cfg.pipeline.num_workers,
+    )
+    print(format_report(report))
+    if args.out:
+        save_report(report, args.out)
+        print(f"report written to {args.out}")
+    return 0 if report["ok"] else 1
+
+
 def cmd_bench(args, overrides) -> int:
     import runpy
 
@@ -924,6 +956,27 @@ def main(argv: Optional[List[str]] = None) -> int:
     p_cmp.add_argument("--k", type=int, default=1)
     p_cmp.set_defaults(overrides=[])
 
+    p_vp = sub.add_parser(
+        "verify-parity",
+        help="released-artifact parity harness (convert → re-extract → compare; RELEASE_PARITY.md)")
+    common(p_vp)
+    p_vp.add_argument("--ckpt", default=None, help="released best.pth (or our .npz)")
+    p_vp.add_argument("--released-embeddings", default=None,
+                      help="released extracted_feature_from_*_split.hdf5")
+    p_vp.add_argument("--released-labels", default=None,
+                      help="labels_*.json sidecar (default: sibling of the embeddings file)")
+    p_vp.add_argument("--released-ids", default=None,
+                      help="processed_id_*.json sidecar (default: sibling)")
+    p_vp.add_argument("--n", type=int, default=2000,
+                      help="records per split to re-extract (None/0 = all)")
+    p_vp.add_argument("--tokenizer", default=None,
+                      help="vendored BarcodeBERT tokenizer.json or snapshot dir")
+    p_vp.add_argument("--expected", default=None,
+                      help="JSON of expected species top-1 per grid cell (paper table)")
+    p_vp.add_argument("--cos-threshold", type=float, default=0.99)
+    p_vp.add_argument("--top1-threshold", type=float, default=0.005)
+    p_vp.add_argument("--out", default=None, help="write the JSON report here")
+
     sub.add_parser("configs", help="list bundled experiment configs")
     sub.add_parser("bench", help="run the throughput microbenchmark")
 
@@ -946,6 +999,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         "fetch-taxonomy": cmd_fetch_taxonomy,
         "stats-summary": cmd_stats_summary,
         "compare-experiments": cmd_compare_experiments,
+        "verify-parity": cmd_verify_parity,
         "configs": cmd_configs,
         "bench": cmd_bench,
     }[args.command](args, overrides)

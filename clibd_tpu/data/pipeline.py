@@ -126,6 +126,7 @@ class BioscanLoader:
         decoder=None,
         use_native: bool = False,
         aug_seed: Optional[int] = None,
+        limit: Optional[int] = None,
     ):
         self.split_reader = BioscanSplit(path, split)
         self.spec = spec
@@ -136,6 +137,12 @@ class BioscanLoader:
         self.seed = seed  # epoch permutation (shared across paired loaders)
         self.aug_seed = seed if aug_seed is None else aug_seed  # crop randomness
         self.n = len(self.split_reader)
+        # optional head-of-split truncation (verify-parity --n slices: the
+        # first `limit` records in split order, matching the row order of the
+        # reference's released extracted_feature_*.hdf5 artifacts)
+        self.limit = limit
+        if limit is not None:
+            self.n = min(self.n, int(limit))
         self.drop_last = spec.train if drop_last is None else drop_last
         # training labels: row index (instance discrimination) unless given
         # (reference dataset.py:155-163)
@@ -293,10 +300,12 @@ class BioscanLoader:
 
     # reference returns the eval-style taxon dicts for non-training loaders
     def label_dicts(self) -> List[dict]:
-        return self.split_reader.label_dicts()
+        out = self.split_reader.label_dicts()
+        return out[: self.n] if self.limit is not None else out
 
     def ids(self, field: str = "processid") -> List[str]:
-        return self.split_reader.ids(field=field)
+        out = self.split_reader.ids(field=field)
+        return out[: self.n] if self.limit is not None else out
 
     def close(self):
         # drain in-flight batch builds BEFORE closing the HDF5 reader — a

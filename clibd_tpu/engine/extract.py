@@ -149,9 +149,13 @@ def extract_split(
     enc = {
         k: (np.concatenate(v, axis=0) if v else None) for k, v in feats.items()
     }
-    label_list = loader.label_dicts()
-    ids = loader.ids()
+    return finalize_split_dict(enc, loader.label_dicts(), loader.ids(), for_key_set)
 
+
+def finalize_split_dict(enc: Dict, label_list, ids, for_key_set: bool) -> Dict:
+    """Assemble the split dict (derived features + labels/ids) from the raw
+    per-modality encoded matrices — shared by the single-host and the
+    host-sharded extraction paths."""
     averaged = concatenated = None
     if enc["image"] is not None and enc["dna"] is not None:
         averaged = np.mean([enc["image"], enc["dna"]], axis=0)
@@ -181,6 +185,72 @@ def extract_split(
     out_dict["all_key_features"] = all_key_features
     out_dict["all_key_features_label"] = all_key_features_label
     return out_dict
+
+
+def extract_split_multihost(
+    params,
+    cfg: ExperimentConfig,
+    path: str,
+    split: str,
+    spec,
+    for_key_set: bool = False,
+    num_workers: int = 2,
+    use_native: bool = False,
+    progress: bool = False,
+) -> Dict:
+    """Host-sharded eval extraction: each process decodes+encodes a strided
+    1/H shard of the split on its LOCAL devices, the encoded matrices are
+    exchanged with `process_allgather`, and every host reassembles the
+    identical full-split dict.
+
+    This removes the multi-host in-training eval duplication (previously
+    every host encoded the FULL split — at 5M scale, 21k+ keys × 3 splits ×
+    H hosts of redundant decode+encode per eval epoch).  Labels/ids are a
+    cheap metadata read, so only the pixel/encode work is sharded; the kNN
+    grid downstream stays per-host (pure device matmuls, and identical
+    inputs keep the early-stop decision deterministic on every host —
+    replaces the reference's stop_flag broadcast, train_cl.py:280-331)."""
+    from ..data.pipeline import BioscanLoader
+    from ..parallel.mesh import host_id, local_mesh, num_hosts
+
+    h, H = host_id(), num_hosts()
+    if H == 1:
+        loader = BioscanLoader(path, split, spec, num_workers=num_workers,
+                               use_native=use_native)
+        out = extract_split(params, cfg, loader, for_key_set=for_key_set,
+                            progress=progress)
+        loader.close()
+        return out
+
+    from jax.experimental import multihost_utils
+
+    loader = BioscanLoader(path, split, spec, host_id=h, num_hosts=H,
+                           num_workers=num_workers, use_native=use_native,
+                           drop_last=False)
+    # encode the local strided shard on this host's devices only
+    local = extract_split(params, cfg, loader, for_key_set=False,
+                          mesh=local_mesh(), progress=progress)
+    n_total = len(loader.split_reader)
+    label_list = loader.split_reader.label_dicts()
+    ids = loader.split_reader.ids()
+    loader.close()
+
+    # shard_indices(shuffle=False, drop_last=False) gives host g the strided
+    # rows g::H, wrap-padded to equal per-host length — invert that here
+    counts = [len(range(g, n_total, H)) for g in range(H)]
+    enc: Dict = {}
+    for modality in ("image", "dna", "language"):
+        arr = local.get(f"encoded_{modality}_feature")
+        if arr is None:
+            enc[modality] = None
+            continue
+        gathered = np.asarray(
+            multihost_utils.process_allgather(np.asarray(arr, np.float32)))
+        full = np.empty((n_total, arr.shape[1]), np.float32)
+        for g in range(H):
+            full[g::H] = gathered[g][: counts[g]]
+        enc[modality] = full
+    return finalize_split_dict(enc, label_list, ids, for_key_set)
 
 
 # ---------------------------------------------------------------------------

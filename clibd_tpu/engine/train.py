@@ -349,27 +349,41 @@ class Trainer:
             long_edge_eval=cfg.transform_with_resize,
         )
 
-        # multi-host: every process evaluates the FULL splits on its own
-        # local-device mesh (eval loaders are not host-sharded); the global
-        # mesh would mis-assemble full batches as per-process shards
+        # multi-host: the split is host-sharded — each process decodes+encodes
+        # 1/H of the data on its local devices and the encoded matrices are
+        # allgathered so every host holds the identical full-split dict
+        # (extract_split_multihost; the kNN grid below stays per-host, keeping
+        # the early-stop decision deterministic everywhere without the
+        # reference's stop_flag broadcast, train_cl.py:280-331)
         from ..parallel.mesh import local_mesh, mesh_is_multiprocess
 
-        eval_mesh = local_mesh() if mesh_is_multiprocess(self.mesh) else self.mesh
-        eval_params = (
-            jax.device_get(self.params) if mesh_is_multiprocess(self.mesh) else self.params
-        )
+        multiproc = mesh_is_multiprocess(self.mesh)
+        eval_mesh = local_mesh() if multiproc else self.mesh
+        eval_params = jax.device_get(self.params) if multiproc else self.params
 
         def run(split, for_key=False):
             if self.eval_loader_factory is not None:
                 loader = self.eval_loader_factory(split, False)
-            else:
-                # same decode parallelism as training — at 1M scale all_keys
-                # is 21k records × 3 splits per eval (VERDICT r1 weak #7)
-                loader = BioscanLoader(
-                    self.hdf5_path, split, spec,
+                out = extract_split(eval_params, cfg, loader, for_key_set=for_key,
+                                    mesh=eval_mesh)
+                loader.close()
+                return out
+            if multiproc:
+                from .extract import extract_split_multihost
+
+                return extract_split_multihost(
+                    eval_params, cfg, self.hdf5_path, split, spec,
+                    for_key_set=for_key,
                     num_workers=self.gcfg.pipeline.num_workers,
                     use_native=self.gcfg.pipeline.use_native_decoder,
                 )
+            # same decode parallelism as training — at 1M scale all_keys
+            # is 21k records × 3 splits per eval (VERDICT r1 weak #7)
+            loader = BioscanLoader(
+                self.hdf5_path, split, spec,
+                num_workers=self.gcfg.pipeline.num_workers,
+                use_native=self.gcfg.pipeline.use_native_decoder,
+            )
             out = extract_split(eval_params, cfg, loader, for_key_set=for_key, mesh=eval_mesh)
             loader.close()
             return out
