@@ -1,0 +1,141 @@
+"""Subprocess entry for the REAL multi-process jax.distributed integration
+test (tests/test_multiprocess.py). Not a pytest file.
+
+Each process: gloo CPU collectives → jax.distributed.initialize rendezvous →
+host-sharded Trainer (global mesh spanning both processes,
+make_array_from_process_local_data batch assembly) → fit with the
+host-sharded in-training eval (extract_split_multihost / process_allgather)
+→ extract_split default-mesh routing → JSON result for the parent to
+compare across processes and against a single-process run.
+
+This executes the paths the reference exercises with mp.spawn + DDP + NCCL
+(scripts/train_cl.py:44-48,365): rendezvous, per-host loader sharding,
+cross-process global-batch assembly, rank-0 checkpoint gating.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+
+def build_global_cfg(hdf5: str):
+    from clibd_tpu.config.schema import (
+        BertConfig,
+        GlobalConfig,
+    )
+
+    gcfg = GlobalConfig()
+    cfg = gcfg.model_config
+    cfg.model_output_name = "mp_tiny"
+    cfg.batch_size = 3  # per-device (reference semantics) → global 3 × mesh
+    cfg.epochs = 2
+    cfg.output_dim = 16
+    cfg.load_ckpt = False
+    cfg.evaluation_period = 1
+    cfg.eval_skip_epoch = -1
+    # fp32 + no image tower: global InfoNCE is then invariant to the strided
+    # row order difference between the 1-proc and 2-proc global batches
+    # (image augmentation randomness is positional; fp32 keeps the reduction
+    # noise ~1e-7)
+    cfg.amp = False
+    cfg.image.enable = False
+    cfg.dna.bert = BertConfig(vocab_size=1027, hidden_size=32, num_layers=2,
+                              num_heads=4, intermediate_size=64,
+                              max_position_embeddings=140, with_mlm_head=True)
+    cfg.language.bert = BertConfig(vocab_size=2000, hidden_size=16,
+                                   num_layers=2, num_heads=2,
+                                   intermediate_size=32,
+                                   max_position_embeddings=24)
+    gcfg.pipeline.num_workers = 0
+    gcfg.save_ckpt = True
+    gcfg.enable_early_stopping = False
+    return gcfg
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--proc-id", type=int, required=True)
+    p.add_argument("--nprocs", type=int, required=True)
+    p.add_argument("--port", required=True)
+    p.add_argument("--hdf5", required=True)
+    p.add_argument("--outdir", required=True)
+    p.add_argument("--result", required=True)
+    args = p.parse_args()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    if args.nprocs > 1:
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        jax.distributed.initialize(
+            coordinator_address=f"127.0.0.1:{args.port}",
+            num_processes=args.nprocs,
+            process_id=args.proc_id,
+        )
+
+    import numpy as np
+
+    from clibd_tpu.data.pipeline import BatchSpec, BioscanLoader
+    from clibd_tpu.engine.extract import extract_split
+    from clibd_tpu.engine.train import Trainer
+    from clibd_tpu.parallel.mesh import host_id, num_hosts
+
+    gcfg = build_global_cfg(args.hdf5)
+
+    losses, accs = [], []
+
+    def log_fn(d):
+        if "loss" in d:
+            losses.append((int(d["step"]), float(d["loss"])))
+        if "overall_acc" in d:
+            accs.append(float(d["overall_acc"]))
+
+    trainer = Trainer(
+        gcfg, args.hdf5, args.outdir,
+        train_split="no_split_and_seen_train",
+        eval_splits={"keys": "all_keys", "seen": "val_seen", "unseen": "val_unseen"},
+        log_fn=log_fn,
+        num_workers=0,
+    )
+    history = trainer.fit()
+    trainer.close()
+
+    # extract leg: default mesh routing must pick the LOCAL mesh inside a
+    # multi-process job (extract loaders are not host-sharded)
+    cfg = gcfg.model_config
+    spec = BatchSpec(batch_size=6, train=False, with_image=False,
+                     with_dna=True, with_language=True)
+    loader = BioscanLoader(args.hdf5, "test_seen", spec, num_workers=0)
+    extracted = extract_split(jax.device_get(trainer.params), cfg, loader)
+    loader.close()
+
+    # host-sharded eval extraction, called directly for matrix-level compare
+    from clibd_tpu.engine.extract import extract_split_multihost
+
+    mh = extract_split_multihost(
+        jax.device_get(trainer.params), cfg, args.hdf5, "val_seen", spec,
+        num_workers=0)
+
+    result = {
+        "proc_id": args.proc_id,
+        "host_id": host_id(),
+        "num_hosts": num_hosts(),
+        "global_devices": jax.device_count(),
+        "local_devices": jax.local_device_count(),
+        "losses": losses,
+        "overall_accs": accs,
+        "history_loss": history["loss"],
+        "extract_dna": np.asarray(extracted["encoded_dna_feature"]).tolist(),
+        "multihost_eval_dna": np.asarray(mh["encoded_dna_feature"]).tolist(),
+        "ckpt_last_exists": os.path.exists(os.path.join(args.outdir, "last", "params.npz")),
+        "ckpt_best_exists": os.path.exists(os.path.join(args.outdir, "best", "params.npz")),
+    }
+    with open(args.result, "w") as f:
+        json.dump(result, f)
+    print(f"[proc {args.proc_id}] done", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
