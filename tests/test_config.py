@@ -89,7 +89,9 @@ def test_every_preset_builds_a_model():
     from clibd_tpu.models.clibd import trainable_mask
 
     names = available_configs()
-    assert len(names) >= 20, f"preset matrix shrank: {len(names)}"
+    # 56 reference model_config YAMLs mirrored 1:1 + 2 deliberate extras
+    # (bin_positive_pairs, the eval-only no_alignment_baseline)
+    assert len(names) >= 58, f"preset matrix shrank: {len(names)}"
     executed_one = False
     for name in names:
         cfg = load_config(experiment=name).model_config
