@@ -43,6 +43,9 @@ class BatchSpec:
     with_language: bool = True
     train: bool = False
     long_edge_eval: bool = False  # `transform_with_resize` variant
+    # SimCLR two-crop batches: decode once, emit image + image2 crops from
+    # decorrelated aug streams (engine/simclr.TwoViewLoader)
+    two_view: bool = False
     image_source: str = "image"  # "image" (jpeg) | "image_features"
     dna_source: str = "sequence"  # "sequence" | "dna_features"
     # optional callable(texts)->[B, ctx] ids for CLIP-backbone text (BPE at
@@ -188,7 +191,35 @@ class BioscanLoader:
                 with self._h5_lock:
                     jpegs = self.split_reader.jpeg_bytes(indices)
                 rng = np.random.default_rng((self.aug_seed, epoch, batch_idx))
-                if self.decoder is not None:
+                if spec.two_view:
+                    # SimCLR two-crop: decode + shorter-edge resize ONCE,
+                    # then two random-resized crops from distinct aug
+                    # streams (the streams match the former twin-pipeline
+                    # TwoViewLoader bit-for-bit: view 1 = (aug_seed, …, i),
+                    # view 2 = (aug_seed+104729, …, i)) — halves host decode
+                    # cost vs the reference's decode-per-view
+                    # (util/dataset.py:328-367 calls the transform twice on
+                    # one decode; round-2 layout decoded twice).  Python
+                    # path only: the native decoder fuses decode+crop.
+                    from .transforms import decode_jpeg, random_resized_crop, resize_shorter_edge
+
+                    def one_two(args):
+                        i, data = args
+                        img = decode_jpeg(data).astype(np.float32) / 255.0
+                        img = resize_shorter_edge(img, spec.resize_to)
+                        r1 = np.random.default_rng((self.aug_seed, epoch, batch_idx, i))
+                        r2 = np.random.default_rng(
+                            (self.aug_seed + 104729, epoch, batch_idx, i))
+                        return (random_resized_crop(r1, img, spec.image_size),
+                                random_resized_crop(r2, img, spec.image_size))
+
+                    if self._pool is not None:
+                        pairs = list(self._pool.map(one_two, enumerate(jpegs)))
+                    else:
+                        pairs = [one_two(x) for x in enumerate(jpegs)]
+                    imgs = [p[0] for p in pairs]
+                    imgs2 = [p[1] for p in pairs]
+                elif self.decoder is not None:
                     with self._decoder_lock:
                         imgs = self.decoder.decode_transform_batch(
                             jpegs, rng, train=spec.train,
@@ -208,11 +239,15 @@ class BioscanLoader:
                         imgs = list(self._pool.map(one, enumerate(jpegs)))
                     else:
                         imgs = [one(x) for x in enumerate(jpegs)]
-                stacked = np.stack(imgs)
-                if spec.transport_uint8:
-                    out["image"] = np.clip(np.round(stacked * 255.0), 0, 255).astype(np.uint8)
-                else:
-                    out["image"] = stacked.astype(np.float32)
+
+                def pack(stacked):
+                    if spec.transport_uint8:
+                        return np.clip(np.round(stacked * 255.0), 0, 255).astype(np.uint8)
+                    return stacked.astype(np.float32)
+
+                out["image"] = pack(np.stack(imgs))
+                if spec.two_view:
+                    out["image2"] = pack(np.stack(imgs2))
             else:
                 with self._h5_lock:
                     out["image"] = self.split_reader.features("image_features", indices)

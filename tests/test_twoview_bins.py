@@ -29,3 +29,28 @@ def test_bin_labels(tmp_path, tiny_hdf5):
     assert len(np.unique(labels)) == 3
 
     np.testing.assert_array_equal(uris_to_label_ids(["b", "a", "b", "c"]), [0, 1, 0, 2])
+
+
+def test_two_view_decode_once_matches_twin_pipelines(tiny_hdf5):
+    """The decode-once two-crop loader reproduces the former twin-pipeline
+    layout bit-for-bit (same sampling permutation; view-2 aug stream =
+    seed + 104729) — the loss trajectory of existing SimCLR runs is
+    unchanged by the decode-cost optimization."""
+    from clibd_tpu.data.pipeline import BatchSpec, BioscanLoader
+    from clibd_tpu.engine.simclr import TwoViewLoader
+
+    seed = 7
+    loader = TwoViewLoader(tiny_hdf5, "all_keys", batch_size=4, num_workers=0, seed=seed)
+    spec = BatchSpec(batch_size=4, train=True, with_dna=False, with_language=False)
+    a = BioscanLoader(tiny_hdf5, "all_keys", spec, num_workers=0, seed=seed)
+    b = BioscanLoader(tiny_hdf5, "all_keys", spec, num_workers=0, seed=seed,
+                      aug_seed=seed + 104729)
+    for (v1, v2, idx), ba, bb in zip(loader.batches(epoch=2),
+                                     a.batches(epoch=2, shuffle=True),
+                                     b.batches(epoch=2, shuffle=True)):
+        np.testing.assert_array_equal(idx, ba["index"])
+        np.testing.assert_array_equal(v1, ba["image"])
+        np.testing.assert_array_equal(v2, bb["image"])
+    loader.close()
+    a.close()
+    b.close()
