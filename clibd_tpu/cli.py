@@ -171,6 +171,16 @@ def cmd_train(args, overrides) -> int:
 
 def cmd_eval(args, overrides) -> int:
     cfg = _load_cfg(args, overrides)
+    if getattr(args, "unimodel", None):
+        # SimCLR-encoder unimodal retrieval eval (reference scripts/unimodel/
+        # inference_and_eval_with_unimodel.py:1-190: wrap the SimCLR ViT into
+        # an image-only SimpleCLIP, run the standard grid) — image-only
+        # model, backbone from the SimCLR checkpoint, no CLIBD ckpt load
+        mc0 = cfg.model_config
+        mc0.dna.enable = False
+        mc0.language.enable = False
+        mc0.image.simclr_ckpt_path = args.unimodel
+        mc0.load_ckpt = False
     from .data.pipeline import BatchSpec, BioscanLoader
     from .engine.evaluate import format_results, inference_and_eval, save_results
     from .engine.extract import (
@@ -709,8 +719,40 @@ def cmd_zeroshot(args, overrides) -> int:
     loader.close()
     image_features = np.concatenate(feats)
 
-    level = args.level
-    class_names = sorted({l[level] for l in labels})
+    from .utils.metrics import (
+        labels_to_level_arrays,
+        predictions_to_level_arrays,
+        top_k_macro_accuracy,
+        top_k_micro_accuracy,
+    )
+
+    gt_by_level = labels_to_level_arrays(labels)
+
+    def per_level_report(preds_by_level, mode):
+        micro = top_k_micro_accuracy(preds_by_level, gt_by_level, (1, 3, 5))
+        macro, _pc = top_k_macro_accuracy(preds_by_level, gt_by_level, (1, 3, 5))
+        print(json.dumps({"mode": mode, "split": args.split,
+                          "micro_acc": micro, "macro_acc": macro}, default=str))
+
+    if args.image_to_image:
+        # image→image retrieval against the CLIP-encoded key gallery
+        # (reference inference_and_eval_with_bioclip_with_image_to_image.py:
+        # make_image_key_features + encode_image_feature_and_calculate_accuracy)
+        from .ops.knn import knn_search
+
+        kloader = BioscanLoader(hdf5, args.keys_split, spec,
+                                num_workers=cfg.pipeline.num_workers,
+                                use_native=cfg.pipeline.use_native_decoder)
+        kfeats = []
+        for batch in kloader.batches(shuffle=False):
+            kfeats.append(np.asarray(encode_images(batch["image"])))
+        key_labels = kloader.label_dicts()
+        kloader.close()
+        key_features = np.concatenate(kfeats)
+        _, idx = knn_search(image_features, key_features, k=5)
+        preds = predictions_to_level_arrays(idx, labels_to_level_arrays(key_labels))
+        per_level_report(preds, "image_to_image")
+        return 0
 
     @jax.jit
     def encode_text_ids(ids):
@@ -719,6 +761,32 @@ def cmd_zeroshot(args, overrides) -> int:
     def encode_text(prompts):
         return np.asarray(encode_text_ids(tokenizer(prompts)))
 
+    if args.four_level:
+        # class prompts are the full "order family genus species" strings
+        # (reference ..._with_four_level_text_input.py:103-119); predictions
+        # are species-level and mapped back to their taxon dicts for the
+        # per-level tables
+        from .engine.zeroshot import taxon_prompt
+
+        kloader = BioscanLoader(hdf5, args.keys_split, spec, num_workers=0)
+        species_to_label = {}
+        for lab in kloader.label_dicts():
+            species_to_label.setdefault(lab["species"], lab)
+        kloader.close()
+        species = sorted(species_to_label)
+        prompts = [taxon_prompt(species_to_label[s]).replace("_", " ") for s in species]
+        protos = build_class_prototypes(prompts, encode_text)
+        pred_species, _sc = zero_shot_classify(image_features, protos, species, max_k=5)
+        preds = {
+            lv: np.asarray([[species_to_label[s][lv] for s in row] for row in pred_species],
+                           dtype=object)
+            for lv in ("order", "family", "genus", "species")
+        }
+        per_level_report(preds, "four_level_text")
+        return 0
+
+    level = args.level
+    class_names = sorted({l[level] for l in labels})
     protos = build_class_prototypes(class_names, encode_text)
     preds, _scores = zero_shot_classify(image_features, protos, class_names, max_k=5)
     gt = np.asarray([l[level] for l in labels], dtype=object)
@@ -791,6 +859,34 @@ def cmd_compare_experiments(args, overrides) -> int:
     return 0
 
 
+def cmd_generate_split_csv(args, overrides) -> int:
+    """Per-record metadata CSV across all splits (reference
+    scripts/data_processing/generate_split_csv_from_the_hdf5.py)."""
+    from .data.splits import export_split_csv
+
+    n = export_split_csv(args.hdf5, args.out, splits=args.splits_list or None)
+    print(f"wrote {n} rows to {args.out}")
+    return 0
+
+
+def cmd_failure_cases(args, overrides) -> int:
+    """Paired failure-case figures from cached extracted features (reference
+    scripts/result/show_paired_failure_cases.py)."""
+    from .analysis.failure_cases import QUERY_AND_KEY_WE_CARE_ABOUT, save_paired_failure_cases
+    from .engine.extract import load_extracted_features
+
+    seen_dict, unseen_dict, keys_dict = load_extracted_features(
+        args.features, args.labels, args.ids)
+    pairs = QUERY_AND_KEY_WE_CARE_ABOUT
+    if args.pairs:
+        pairs = [tuple(p.split(":")) for p in args.pairs]
+    written = save_paired_failure_cases(
+        args.out, args.hdf5, args.seen_split, args.unseen_split, args.keys_split,
+        seen_dict, unseen_dict, keys_dict, pairs=pairs, max_cases=args.max_cases)
+    print(f"wrote {len(written)} failure-case figures under {args.out}")
+    return 0
+
+
 def cmd_verify_parity(args, overrides) -> int:
     """Released-artifact parity harness (RELEASE_PARITY.md runbook;
     reference README.md:29-44 artifacts, BASELINE.md 0.5% criterion)."""
@@ -860,6 +956,9 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     p_eval = sub.add_parser("eval", help="extract + retrieval eval (inference_and_eval.py)")
     common(p_eval)
+    p_eval.add_argument("--unimodel", default=None, metavar="SIMCLR_CKPT",
+                        help="evaluate a SimCLR-pretrained image encoder alone "
+                             "(unimodel/inference_and_eval_with_unimodel.py)")
 
     p_extract = sub.add_parser("extract", help="embedding export (save_embedding/)")
     common(p_extract)
@@ -934,6 +1033,13 @@ def main(argv: Optional[List[str]] = None) -> int:
     p_zs.add_argument("--split", default="test_seen")
     p_zs.add_argument("--level", default="species")
     p_zs.add_argument("--batch-size", type=int, default=64)
+    p_zs.add_argument("--image-to-image", action="store_true",
+                      help="retrieve against the CLIP-encoded image gallery instead of text prototypes "
+                           "(..._with_image_to_image.py)")
+    p_zs.add_argument("--four-level", action="store_true",
+                      help="class prompts are 'order family genus species' strings "
+                           "(..._with_four_level_text_input.py)")
+    p_zs.add_argument("--keys-split", default="all_keys")
 
     p_tax = sub.add_parser("fetch-taxonomy", help="NCBI-Entrez species taxonomy fetch (data/INSECT/)")
     p_tax.add_argument("--out", required=True)
@@ -955,6 +1061,28 @@ def main(argv: Optional[List[str]] = None) -> int:
     p_cmp.add_argument("--key-type", default="encoded_image_feature")
     p_cmp.add_argument("--k", type=int, default=1)
     p_cmp.set_defaults(overrides=[])
+
+    p_gsc = sub.add_parser("generate-split-csv",
+                           help="per-record metadata CSV across splits (generate_split_csv_from_the_hdf5.py)")
+    p_gsc.add_argument("--hdf5", required=True)
+    p_gsc.add_argument("--out", required=True)
+    p_gsc.add_argument("--splits-list", nargs="*", default=None)
+    p_gsc.set_defaults(overrides=[])
+
+    p_fc = sub.add_parser("failure-cases",
+                          help="paired GT-vs-top1 failure figures (show_paired_failure_cases.py)")
+    p_fc.add_argument("--features", required=True, help="extracted_feature_*.hdf5")
+    p_fc.add_argument("--labels", required=True, help="labels_*.json")
+    p_fc.add_argument("--ids", required=True, help="processed_id_*.json")
+    p_fc.add_argument("--hdf5", required=True, help="dataset HDF5 (for the images)")
+    p_fc.add_argument("--out", default="failure_cases")
+    p_fc.add_argument("--seen-split", default="test_seen")
+    p_fc.add_argument("--unseen-split", default="test_unseen")
+    p_fc.add_argument("--keys-split", default="all_keys")
+    p_fc.add_argument("--max-cases", type=int, default=10)
+    p_fc.add_argument("--pairs", nargs="*", default=None,
+                      help="query:key feature-type pairs (default: image→image, dna→dna, image→dna)")
+    p_fc.set_defaults(overrides=[])
 
     p_vp = sub.add_parser(
         "verify-parity",
@@ -999,6 +1127,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         "fetch-taxonomy": cmd_fetch_taxonomy,
         "stats-summary": cmd_stats_summary,
         "compare-experiments": cmd_compare_experiments,
+        "generate-split-csv": cmd_generate_split_csv,
+        "failure-cases": cmd_failure_cases,
         "verify-parity": cmd_verify_parity,
         "configs": cmd_configs,
         "bench": cmd_bench,

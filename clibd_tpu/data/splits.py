@@ -10,6 +10,7 @@ to pretrain.  Overlap assertions reproduce the reference's validation.
 
 from __future__ import annotations
 
+import os
 from decimal import Decimal
 from typing import List, Optional, Sequence
 
@@ -138,3 +139,50 @@ def create_splits(
     }.items():
         split_metadata.loc[split_metadata["sampleid"].isin(split["sampleid"]), "split"] = split_name
     return split_metadata
+
+
+def export_split_csv(
+    hdf5_path: str,
+    out_csv: str,
+    splits=None,
+    chunk: int = 65536,
+) -> int:
+    """One CSV row per record across every split: image_file, sampleid,
+    barcode, dna_bin, 4 taxon levels, split (reference scripts/
+    data_processing/generate_split_csv_from_the_hdf5.py:1-82).
+
+    Columnar + chunked instead of the reference's per-record loop (whose
+    `file_name_list.index(file_name)` lookup is O(n²) over the 1M-record
+    no_split group); missing columns (e.g. dna_bin in minimal builds) are
+    emitted empty.  → number of rows written."""
+    import csv
+
+    import h5py
+
+    from .hdf5 import list_splits
+
+    if splits is None:
+        splits = list_splits(hdf5_path)
+    cols = ("image_file", "sampleid", "barcode", "dna_bin",
+            "order", "family", "genus", "species")
+    n_rows = 0
+    os.makedirs(os.path.dirname(os.path.abspath(out_csv)), exist_ok=True)
+    with h5py.File(hdf5_path, "r") as f, open(out_csv, "w", newline="") as out:
+        w = csv.writer(out)
+        w.writerow(list(cols) + ["split"])
+        for split in splits:
+            g = f[split]
+            n = len(g["barcode"]) if "barcode" in g else len(g[next(iter(g))])
+            for lo in range(0, n, chunk):
+                hi = min(lo + chunk, n)
+                data = {}
+                for c in cols:
+                    if c in g:
+                        data[c] = [v.decode() if isinstance(v, bytes) else str(v)
+                                   for v in g[c][lo:hi]]
+                    else:
+                        data[c] = [""] * (hi - lo)
+                for i in range(hi - lo):
+                    w.writerow([data[c][i] for c in cols] + [split])
+                n_rows += hi - lo
+    return n_rows

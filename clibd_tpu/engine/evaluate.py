@@ -73,6 +73,19 @@ def inference_and_eval(
     from ..ops.knn import prepare_keys
 
     prepared_keys: Dict = {}
+    # likewise upload each QUERY matrix once: every query type is searched
+    # against up to 6 key types — re-uploading 40k×768 fp32 per cell made
+    # host→device transfer dominate the whole grid (measured 42-search grid
+    # at 1M shapes: ~4.4GB of redundant query uploads, tools/bench_knn.py)
+    import jax as _jax
+
+    _dev_queries: Dict = {}
+
+    def _query_on_device(split_id, qtype, arr):
+        key = (split_id, qtype)
+        if key not in _dev_queries:
+            _dev_queries[key] = _jax.device_put(np.asarray(arr, np.float32))
+        return _dev_queries[key]
 
     for query_type in ALL_TYPE_OF_FEATURES_OF_QUERY:
         if seen_dict.get(query_type) is None:
@@ -101,9 +114,11 @@ def inference_and_eval(
                 prepared_keys[key_type] = prepare_keys(keys_feature)
             keys_prep = prepared_keys[key_type]
 
-            seen_preds, _ = _predict(q_seen, keys_prep, key_labels, max_k, query_chunk,
+            seen_preds, _ = _predict(_query_on_device("seen", query_type, q_seen),
+                                     keys_prep, key_labels, max_k, query_chunk,
                                      keys_normalized=True)
-            unseen_preds, _ = _predict(q_unseen, keys_prep, key_labels, max_k, query_chunk,
+            unseen_preds, _ = _predict(_query_on_device("unseen", query_type, q_unseen),
+                                       keys_prep, key_labels, max_k, query_chunk,
                                        keys_normalized=True)
 
             entry: Dict = {"seen": {}, "unseen": {}}

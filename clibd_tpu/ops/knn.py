@@ -24,9 +24,7 @@ import numpy as np
 from ..models.clibd import l2_normalize
 
 
-@functools.partial(jax.jit, static_argnames=("k", "query_chunk", "normalize",
-                                             "keys_normalized"))
-def _knn_jit(
+def _knn_body(
     queries: jnp.ndarray,
     keys: jnp.ndarray,
     k: int,
@@ -53,6 +51,40 @@ def _knn_jit(
     return sims, idx
 
 
+_knn_jit = functools.partial(jax.jit, static_argnames=(
+    "k", "query_chunk", "normalize", "keys_normalized"))(_knn_body)
+
+
+@functools.lru_cache(maxsize=8)
+def _knn_sharded_fn(mesh, k: int, query_chunk: int, normalize: bool,
+                    keys_normalized: bool):
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import DATA_AXIS
+
+    def local(q, keys):
+        return _knn_body(q, keys, k, query_chunk, normalize, keys_normalized)
+
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(DATA_AXIS, None), P(None, None)),
+        out_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None)),
+    ))
+
+
+def _knn_sharded(queries, keys, k, query_chunk, normalize, keys_normalized, mesh):
+    """Query axis sharded over the mesh 'data' axis, keys replicated — each
+    chip searches 1/N of the queries (no collectives: top-k over the full
+    replicated key set is exact per-shard)."""
+    n = queries.shape[0]
+    pad = (-n) % (mesh.size * 8)  # keep per-device rows MXU-friendly
+    qp = jnp.pad(queries, ((0, pad), (0, 0)))
+    chunk = int(min(query_chunk, max(qp.shape[0] // mesh.size, 1)))
+    fn = _knn_sharded_fn(mesh, k, chunk, normalize, keys_normalized)
+    sims, idx = fn(qp, keys)
+    return sims[:n], idx[:n]
+
+
 def prepare_keys(keys) -> jnp.ndarray:
     """Upload + L2-normalize a key matrix ONCE for reuse across the eval
     grid (each (query_type × split) search over the same key_type would
@@ -67,17 +99,24 @@ def knn_search(
     query_chunk: int = 4096,
     normalize: bool = True,
     keys_normalized: bool = False,
+    mesh=None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """→ (similarities [N,k] fp32, indices [N,k] int32), sorted descending.
 
     Exact (non-approximate) search, like the reference's IndexFlatIP.
     keys_normalized=True: keys came from prepare_keys (device-resident,
-    already unit-norm) — skip their normalization."""
+    already unit-norm) — skip their normalization.
+    mesh: shard the QUERY axis over the mesh's 'data' axis (keys replicated,
+    no collectives needed) — multi-chip eval-grid speedup."""
     queries = jnp.asarray(queries, jnp.float32)
     keys = jnp.asarray(keys, jnp.float32)
     query_chunk = int(min(query_chunk, max(queries.shape[0], 1)))
     k = int(min(k, keys.shape[0]))
-    sims, idx = _knn_jit(queries, keys, k, query_chunk, normalize, keys_normalized)
+    if mesh is not None and mesh.size > 1:
+        sims, idx = _knn_sharded(queries, keys, k, query_chunk, normalize,
+                                 keys_normalized, mesh)
+    else:
+        sims, idx = _knn_jit(queries, keys, k, query_chunk, normalize, keys_normalized)
     return np.asarray(sims), np.asarray(idx)
 
 

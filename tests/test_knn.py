@@ -64,3 +64,27 @@ def test_find_k_closest_records(rng):
     keys2 = np.concatenate([keys, 2.0 * q[:1]])
     got2, _ = find_k_closest_records(q, keys2, names + ["big.jpg"], k=1)
     assert got2[0, 0] == "big.jpg"
+
+
+def test_knn_sharded_matches_single(rng):
+    """Query-sharded multi-chip search (mesh path) == single-device search,
+    including with prepared (pre-normalized, device-resident) keys and a
+    query count not divisible by the mesh size."""
+    import jax
+
+    from clibd_tpu.ops.knn import knn_search, prepare_keys
+    from clibd_tpu.parallel.mesh import create_mesh
+
+    q = rng.standard_normal((101, 16)).astype(np.float32)
+    keys = rng.standard_normal((57, 16)).astype(np.float32)
+    mesh = create_mesh(jax.devices()[:8])
+
+    s1, i1 = knn_search(q, keys, k=5)
+    s2, i2 = knn_search(q, keys, k=5, mesh=mesh)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(s1, s2, atol=1e-6)
+
+    prep = prepare_keys(keys)
+    s3, i3 = knn_search(q, prep, k=5, keys_normalized=True, mesh=mesh)
+    np.testing.assert_array_equal(i1, i3)
+    np.testing.assert_allclose(s1, s3, atol=1e-6)

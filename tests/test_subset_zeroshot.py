@@ -35,7 +35,7 @@ def test_summarize_per_class_acc():
     assert out[key]["worst"][0] == ("b", 0.0)
 
 
-def test_cli_zeroshot(tiny_hdf5, tmp_path, monkeypatch):
+def test_cli_zeroshot(tiny_hdf5, tmp_path, monkeypatch, capsys):
     """End-to-end zero-shot CLI with a tiny random CLIP checkpoint."""
     import torch
 
@@ -86,6 +86,22 @@ clip:
                "--split", "test_seen", "--level", "order",
                "pipeline.num_workers=0"])
     assert rc == 0
+
+    # image→image retrieval mode (reference ..._with_image_to_image.py)
+    rc = main(["zeroshot", "-e", str(exp), "--hdf5", tiny_hdf5,
+               "--split", "test_seen", "--image-to-image",
+               "--keys-split", "all_keys", "pipeline.num_workers=0"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert '"mode": "image_to_image"' in out and '"macro_acc"' in out
+
+    # four-level taxonomy prompt mode (reference ..._with_four_level_text_input.py)
+    rc = main(["zeroshot", "-e", str(exp), "--hdf5", tiny_hdf5,
+               "--split", "test_seen", "--four-level",
+               "--keys-split", "all_keys", "pipeline.num_workers=0"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert '"mode": "four_level_text"' in out
 
 
 def test_cli_finetune_insect(tmp_path, rng, monkeypatch):
