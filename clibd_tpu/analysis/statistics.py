@@ -153,9 +153,46 @@ def write_statistics_csvs(hdf5_path: str, output_dir: str,
                             st["overlap_classes"], round(st["overlap_fraction_of_unseen"], 4)])
         paths["seen_unseen_overlap"] = p
 
+    p = os.path.join(output_dir, "unique_barcode_bin_counts.csv")
+    ub = unique_barcode_bin_counts(hdf5_path, splits=list(counts_by_split))
+    with open(p, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["split", "records", "unique_barcodes", "unique_dna_bins"])
+        for split, entry in sorted(ub.items()):
+            w.writerow([split, entry["records"], entry["unique_barcodes"],
+                        entry["unique_dna_bins"]])
+    paths["unique_barcode_bin_counts"] = p
+
     paths["histogram_png"] = plot_records_per_class_histogram(
         freq_by_split, os.path.join(output_dir, "records_per_class_histogram.png"))
     return paths
+
+
+def unique_barcode_bin_counts(hdf5_path: str,
+                              splits: Optional[Sequence[str]] = None) -> Dict[str, Dict]:
+    """Unique barcode + DNA-BIN counts per split (reference scripts/result/
+    check_unique_barcode_and_bin_number.py — which joins the 5M TSV for
+    dna_bin; here the HDF5's own dna_bin column is used when present)."""
+    import h5py
+
+    from ..data.hdf5 import list_splits
+
+    if splits is None:
+        splits = list_splits(hdf5_path)
+    out: Dict[str, Dict] = {}
+    with h5py.File(hdf5_path, "r") as f:
+        for split in splits:
+            g = f[split]
+            if "barcode" not in g:
+                continue
+            barcodes = g["barcode"][...]
+            entry = {"records": int(len(barcodes)),
+                     "unique_barcodes": int(len(np.unique(barcodes))),
+                     "unique_dna_bins": None}
+            if "dna_bin" in g:
+                entry["unique_dna_bins"] = int(len(np.unique(g["dna_bin"][...])))
+            out[split] = entry
+    return out
 
 
 def plot_records_per_class_histogram(freq_by_split: Dict[str, Dict[str, Counter]],

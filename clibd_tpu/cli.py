@@ -859,6 +859,80 @@ def cmd_compare_experiments(args, overrides) -> int:
     return 0
 
 
+def cmd_attention_maps(args, overrides) -> int:
+    """Attention-rollout representation visualization (reference
+    scripts/result/representation_visualization/)."""
+    cfg = _load_cfg(args, overrides)
+    import numpy as np
+
+    from .analysis.attention_maps import (
+        attention_rollout,
+        bert_attention_probs,
+        save_dna_attention_figure,
+        save_image_attention_figure,
+        top_orders_barcodes,
+        vit_attention_probs,
+    )
+    from .engine.checkpoint import load_params_any
+
+    mc = cfg.model_config
+    hdf5 = args.hdf5 or _dataset_hdf5_path(cfg)
+    params = _resolve_params(cfg)
+    os.makedirs(args.out, exist_ok=True)
+    layer_range = tuple(args.layer_range)
+    written = []
+
+    if args.modality in ("image", "both"):
+        from .data.pipeline import BatchSpec, BioscanLoader
+
+        spec = BatchSpec(batch_size=args.n_samples, train=False,
+                         with_dna=False, with_language=False)
+        loader = BioscanLoader(hdf5, args.split, spec, num_workers=0, limit=args.n_samples)
+        batch = next(loader.batches(shuffle=False))
+        loader.close()
+        images = batch["image"]
+        if images.dtype == np.uint8:  # uint8 transport mode
+            images = images.astype(np.float32) / 255.0
+        else:
+            images = np.asarray(images, np.float32)
+        rows = {}
+        if args.before_ckpt:
+            before = load_params_any(args.before_ckpt, mc)
+            bp = before.get("image_encoder", before)
+            probs = vit_attention_probs(bp, images, mc.image.vit)
+            rows["before alignment"] = attention_rollout(
+                probs, args.discard_ratio, args.head_fusion, layer_range=layer_range)
+        probs = vit_attention_probs(params["image_encoder"], images, mc.image.vit)
+        rows["after alignment"] = attention_rollout(
+            probs, args.discard_ratio, args.head_fusion, layer_range=layer_range)
+        path = os.path.join(args.out, f"image_attention_{args.split}.png")
+        written.append(save_image_attention_figure(path, images, rows))
+
+    if args.modality in ("dna", "both"):
+        from .data.tokenizers import tokenize_dna_batch, tokenize_dna_batch_overlapping
+
+        by_order = top_orders_barcodes(hdf5, args.split, n_orders=args.n_orders,
+                                       n_samples=args.n_samples)
+        masks = {}
+        for order, barcodes in by_order.items():
+            if mc.dna.tokenizer == "overlap":
+                ids, att = tokenize_dna_batch_overlapping(
+                    barcodes, k=mc.dna.kmer, stride=mc.dna.stride, max_bp=mc.dna.max_bp)
+                att = att[:, : ids.shape[1]]
+            else:
+                ids = tokenize_dna_batch(barcodes, k=mc.dna.kmer, max_bp=mc.dna.max_bp)
+                att = None
+            probs = bert_attention_probs(params["dna_encoder"], ids, att, mc.dna.bert)
+            masks[order] = attention_rollout(
+                probs, args.discard_ratio, args.head_fusion, layer_range=layer_range)
+        path = os.path.join(args.out, f"dna_attention_{args.split}.png")
+        written.append(save_dna_attention_figure(path, masks))
+
+    for p in written:
+        print(f"wrote {p}")
+    return 0
+
+
 def cmd_generate_split_csv(args, overrides) -> int:
     """Per-record metadata CSV across all splits (reference
     scripts/data_processing/generate_split_csv_from_the_hdf5.py)."""
@@ -1062,6 +1136,21 @@ def main(argv: Optional[List[str]] = None) -> int:
     p_cmp.add_argument("--k", type=int, default=1)
     p_cmp.set_defaults(overrides=[])
 
+    p_am = sub.add_parser("attention-maps",
+                          help="attention-rollout visualization (representation_visualization/)")
+    common(p_am)
+    p_am.add_argument("--modality", choices=["image", "dna", "both"], default="image")
+    p_am.add_argument("--split", default="test_seen")
+    p_am.add_argument("--out", default="attention_maps")
+    p_am.add_argument("--n-samples", type=int, default=8)
+    p_am.add_argument("--n-orders", type=int, default=5)
+    p_am.add_argument("--before-ckpt", default=None,
+                      help="unaligned encoder checkpoint for the 'before' row")
+    p_am.add_argument("--discard-ratio", type=float, default=0.9)
+    p_am.add_argument("--head-fusion", choices=["max", "mean", "min"], default="max")
+    p_am.add_argument("--layer-range", type=int, nargs=2, default=[1, -6],
+                      help="rollout layer window (reference attentions[1:-6])")
+
     p_gsc = sub.add_parser("generate-split-csv",
                            help="per-record metadata CSV across splits (generate_split_csv_from_the_hdf5.py)")
     p_gsc.add_argument("--hdf5", required=True)
@@ -1127,6 +1216,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         "fetch-taxonomy": cmd_fetch_taxonomy,
         "stats-summary": cmd_stats_summary,
         "compare-experiments": cmd_compare_experiments,
+        "attention-maps": cmd_attention_maps,
         "generate-split-csv": cmd_generate_split_csv,
         "failure-cases": cmd_failure_cases,
         "verify-parity": cmd_verify_parity,

@@ -264,3 +264,14 @@ def test_retrieve_cache_invalidated_on_pair_change(tiny_hdf5, tmp_path):
                                  query_keys=two_pairs, num_queries=2, max_k=2,
                                  load_cached_results=True)
     assert len(out2["record"][0]["results"]) == 2  # recomputed, not replayed
+
+
+def test_unique_barcode_bin_counts(tiny_hdf5):
+    from clibd_tpu.analysis.statistics import unique_barcode_bin_counts
+
+    out = unique_barcode_bin_counts(tiny_hdf5, splits=["all_keys", "test_seen"])
+    assert set(out) == {"all_keys", "test_seen"}
+    for entry in out.values():
+        assert entry["records"] == 12
+        assert 1 <= entry["unique_barcodes"] <= 12
+        assert entry["unique_dna_bins"] is None  # fixture has no dna_bin column
