@@ -249,12 +249,29 @@ def compare_top1(our_trio, released_trio, top1_threshold: float = 0.005,
     for i, name in enumerate(names):
         if "label_list" not in released_trio[i]:
             released_trio[i] = dict(released_trio[i])
-            released_trio[i]["label_list"] = our_trio[i]["label_list"]
-            if name == "key" and released_trio[i].get("all_key_features") is not None:
-                n_keys = max(len(our_trio[i]["label_list"]), 1)
-                reps = released_trio[i]["all_key_features"].shape[0] // n_keys
-                released_trio[i]["all_key_features_label"] = (
-                    our_trio[i]["label_list"] * reps)
+            labels = our_trio[i]["label_list"]
+            n = len(labels)
+            # bare released HDF5 + --n slice: truncate the released features
+            # to the borrowed label count (positional alignment over the
+            # shared head rows — a full-length released matrix with n labels
+            # would mis-shape the metric arrays)
+            full = max((arr.shape[0] for t, arr in released_trio[i].items()
+                        if t != "all_key_features" and isinstance(arr, np.ndarray)
+                        and arr.ndim == 2), default=n)
+            for t, arr in list(released_trio[i].items()):
+                if t == "all_key_features" or not isinstance(arr, np.ndarray):
+                    continue
+                if arr.ndim == 2 and arr.shape[0] > n:
+                    released_trio[i][t] = arr[:n]
+            released_trio[i]["label_list"] = labels
+            akf = released_trio[i].get("all_key_features")
+            if name == "key" and akf is not None:
+                # the stacked gallery is reps × full rows; rebuild it from the
+                # head-n rows of each modality block so rows and labels align
+                reps = max(akf.shape[0] // max(full, 1), 1)
+                blocks = [akf[b * full: b * full + n] for b in range(reps)]
+                released_trio[i]["all_key_features"] = np.concatenate(blocks)
+                released_trio[i]["all_key_features_label"] = labels * reps
     ours = _species_top1(our_trio, query_chunk)
     theirs = _species_top1(tuple(released_trio), query_chunk)
     rows = []

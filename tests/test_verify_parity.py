@@ -307,3 +307,25 @@ def test_compare_top1_threshold():
     assert not rep["ok"] and rep["max_abs_delta"] > 0.005
     rep_same = compare_top1(ours, ours, top1_threshold=0.005)
     assert rep_same["ok"] and rep_same["max_abs_delta"] == 0.0
+
+
+def test_positional_alignment_with_n_slice(released, tiny_hdf5, tiny_cfg, tmp_path):
+    """Bare released HDF5 (no sidecars) + --n slice: the released matrices
+    are truncated to the borrowed label count and the stacked all_key
+    gallery is rebuilt block-wise, so the top-1 compare still runs."""
+    import shutil
+
+    bare_dir = tmp_path / "bare_n"
+    bare_dir.mkdir()
+    bare = str(bare_dir / "extracted_feature_from_test_split.hdf5")
+    shutil.copy(released["feat"], bare)
+    report = verify_parity(tiny_cfg, ckpt=released["ckpt"],
+                           released_embeddings=bare, hdf5=tiny_hdf5,
+                           n=7, progress=False)
+    assert report["legs"]["reextract"]["n_seen"] == 7
+    cos = report["legs"]["embedding_cosine"]
+    assert cos["splits"]["seen"]["alignment"] == "positional"
+    assert cos["splits"]["seen"]["aligned_rows"] == 7
+    assert cos["ok"], format_report(report)
+    top1 = report["legs"]["species_top1"]
+    assert top1["rows"], "grid cells must still be comparable"
