@@ -135,10 +135,22 @@ def generate_embedding_plot(
         ax.set_title(f"Embeddings by {level}")
         ax.legend(loc="best", fontsize=8)
         for fmt in formats:
+            if fmt == "html":
+                continue  # one interactive file for all levels, written below
             path = os.path.join(output_dir, f"embedding_{level}.{fmt}")
             fig.savefig(path, dpi=150, bbox_inches="tight")
             written.append(path)
         plt.close(fig)
+
+    if "html" in formats:
+        # interactive single-file variant (the reference's plotly HTML plots,
+        # inference_and_eval.py:98-220 — here dependency-free canvas JS with
+        # a color-by-level dropdown instead of per-level files)
+        from .interactive import write_interactive_embedding_plot
+
+        written.append(write_interactive_embedding_plot(
+            os.path.join(output_dir, "embedding_interactive.html"),
+            pieces, gt_labels, lang_inverse=lang_inverse, seed=seed))
     return written
 
 

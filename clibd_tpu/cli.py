@@ -280,6 +280,7 @@ def cmd_eval(args, overrides) -> int:
             keys_dict.get("encoded_language_feature"),
             keys_dict["label_list"],
             embeddings_filters=dict(cfg.inference_and_eval_setting.embeddings_filters),
+            formats=("png", "html"),
         )
     alignment = "I"
     if mc.dna.enable:
@@ -528,6 +529,7 @@ def cmd_plot_embeddings(args, overrides) -> int:
     written = generate_embedding_plot(
         args.out, img, dna, lang, total[key],
         embeddings_filters=dict(cfg.inference_and_eval_setting.embeddings_filters),
+        formats=("png", "html"),
     )
     for p in written:
         print(p)

@@ -275,3 +275,52 @@ def test_unique_barcode_bin_counts(tiny_hdf5):
         assert entry["records"] == 12
         assert 1 <= entry["unique_barcodes"] <= 12
         assert entry["unique_dna_bins"] is None  # fixture has no dna_bin column
+
+
+def test_interactive_embedding_plot(tmp_path):
+    """Self-contained interactive HTML plot: template fully rendered, data
+    embedded as valid JSON, modality/level controls present."""
+    import json
+    import re
+
+    import numpy as np
+
+    from clibd_tpu.analysis.interactive import write_interactive_embedding_plot
+
+    rng = np.random.default_rng(0)
+    n = 40
+    labels = [{"order": f"o{i%2}", "family": f"f{i%3}", "genus": f"g{i%4}",
+               "species": f"s{i%5}"} for i in range(n)]
+    pieces = {"image": rng.normal(size=(n, 2)),
+              "text": rng.normal(size=(5, 2))}
+    inv = np.arange(n) % 5
+    path = write_interactive_embedding_plot(
+        str(tmp_path / "emb.html"), pieces, labels, lang_inverse=inv)
+    src = open(path).read()
+    assert "{data_json}" not in src and "{{" not in src
+    data = json.loads(re.search(r"const DATA = (\{.*?\});\n", src, re.S).group(1))
+    assert len(data["points"]) == 2 * n
+    assert data["modalities"] == ["image", "text"]
+    # text rows route through lang_inverse
+    t0 = [p for p in data["points"] if p["m"] == "text"][0]
+    assert t0["order"] == "o0"
+    for control in ('id="level"', 'id="m_image"', 'id="m_text"', "function draw()"):
+        assert control in src
+
+
+def test_generate_embedding_plot_html_format(tmp_path):
+    import numpy as np
+
+    from clibd_tpu.analysis.plots import generate_embedding_plot
+
+    rng = np.random.default_rng(1)
+    n = 30
+    labels = [{"order": f"o{i%2}", "family": f"f{i%2}", "genus": f"g{i%3}",
+               "species": f"s{i%3}"} for i in range(n)]
+    written = generate_embedding_plot(
+        str(tmp_path / "plots"), rng.normal(size=(n, 8)).astype(np.float32),
+        rng.normal(size=(n, 8)).astype(np.float32), None, labels,
+        formats=("png", "html"))
+    html_files = [p for p in written if p.endswith(".html")]
+    assert len(html_files) == 1
+    assert html_files[0].endswith("embedding_interactive.html")
