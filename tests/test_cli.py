@@ -56,7 +56,7 @@ def tiny_exp_yaml(tmp_path):
 def test_cli_configs_lists(capsys):
     assert main(["configs"]) == 0
     out = capsys.readouterr().out
-    assert "for_bioscan_1m/image_dna_text_seed_42.yaml" in out
+    assert "for_bioscan_1m/final_experiments/image_dna_text_seed_42.yaml" in out
 
 
 def test_resolve_params_finds_train_output(tmp_path):
