@@ -27,16 +27,24 @@ _NAME = {"encoded_image_feature": "image", "encoded_dna_feature": "DNA",
 
 
 def find_failures(query_dict: Dict, keys_dict: Dict, query_type: str,
-                  key_type: str, max_cases: int = 10) -> List[dict]:
+                  key_type: str, max_cases: int = 10,
+                  keys_prepared=None) -> List[dict]:
     """→ list of {query_row, key_row, gt_species, pred_species} for species
-    top-1 mismatches of this (query, key) grid cell."""
+    top-1 mismatches of this (query, key) grid cell.
+
+    keys_prepared: device-resident unit-norm key matrix from
+    ops.knn.prepare_keys — callers looping over (pair × split) cells pass it
+    to avoid re-uploading/re-normalizing the same gallery per cell."""
     from ..ops.knn import knn_search
 
     q = query_dict.get(query_type)
     k = keys_dict.get(key_type)
     if q is None or k is None:
         return []
-    _, idx = knn_search(q, k, k=1)
+    if keys_prepared is not None:
+        _, idx = knn_search(q, keys_prepared, k=1, keys_normalized=True)
+    else:
+        _, idx = knn_search(q, k, k=1)
     idx = idx[:, 0]
     gt = np.asarray([l["species"] for l in query_dict["label_list"]], dtype=object)
     pred = np.asarray([keys_dict["label_list"][j]["species"] for j in idx], dtype=object)
@@ -79,10 +87,16 @@ def save_paired_failure_cases(
     written: List[str] = []
     readers = {name: BioscanSplit(hdf5_path, split) for name, split in
                (("seen", seen_split), ("unseen", unseen_split), ("key", keys_split))}
+    from ..ops.knn import prepare_keys
+
+    prepared: Dict[str, object] = {}
     try:
         for query_type, key_type in pairs:
+            if key_type not in prepared and keys_dict.get(key_type) is not None:
+                prepared[key_type] = prepare_keys(keys_dict[key_type])
             for split_name, d in (("seen", seen_dict), ("unseen", unseen_dict)):
-                cases = find_failures(d, keys_dict, query_type, key_type, max_cases)
+                cases = find_failures(d, keys_dict, query_type, key_type, max_cases,
+                                      keys_prepared=prepared.get(key_type))
                 if not cases:
                     continue
                 sub = os.path.join(folder, split_name, f"{query_type}_to_{key_type}")

@@ -181,6 +181,10 @@ def cmd_eval(args, overrides) -> int:
         mc0.language.enable = False
         mc0.image.simclr_ckpt_path = args.unimodel
         mc0.load_ckpt = False
+        # separate cache/output namespace: sharing the named model's folder
+        # would load_inference the WRONG cached embeddings (or overwrite the
+        # real model's cache with image-only features)
+        mc0.model_output_name = f"{mc0.model_output_name}_unimodel"
     from .data.pipeline import BatchSpec, BioscanLoader
     from .engine.evaluate import format_results, inference_and_eval, save_results
     from .engine.extract import (
@@ -207,20 +211,7 @@ def cmd_eval(args, overrides) -> int:
         seen_dict, unseen_dict, keys_dict = load_extracted_features(feat_path, labels_path, ids_path)
     else:
         params = _resolve_params(cfg)
-        spec = BatchSpec(
-            batch_size=mc.batch_size,
-            train=False,
-            transport_uint8=mc.amp,
-            with_image=mc.image.enable,
-            with_dna=mc.dna.enable,
-            with_language=mc.language.enable,
-            dna_kmer=mc.dna.kmer,
-            dna_tokenizer=mc.dna.tokenizer,
-            dna_stride=mc.dna.stride,
-            dna_max_bp=mc.dna.max_bp,
-            long_edge_eval=mc.transform_with_resize,
-            clip_tokenizer=BatchSpec.maybe_clip_tokenizer(mc),
-        )
+        spec = BatchSpec.eval_spec(mc)
 
         def run(split, for_key=False):
             loader = BioscanLoader(hdf5, split, spec, num_workers=cfg.pipeline.num_workers,

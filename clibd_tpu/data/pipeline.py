@@ -53,6 +53,30 @@ class BatchSpec:
     # pre-tokenized BERT language_tokens_*
     clip_tokenizer: object = None
 
+    @classmethod
+    def eval_spec(cls, mc, batch_size: int = None) -> "BatchSpec":
+        """The canonical eval-time BatchSpec for an ExperimentConfig — ONE
+        place for the preprocessing contract shared by `clibd eval`,
+        Trainer.evaluate's best-checkpoint selection, and verify-parity's
+        re-extraction (a field added to one and not the others would make
+        parity certification silently diverge from the eval it certifies)."""
+        return cls(
+            batch_size=mc.batch_size if batch_size is None else batch_size,
+            train=False,
+            transport_uint8=mc.amp,
+            with_image=mc.image.enable,
+            with_dna=mc.dna.enable,
+            with_language=mc.language.enable,
+            dna_kmer=mc.dna.kmer,
+            dna_tokenizer=mc.dna.tokenizer,
+            dna_stride=mc.dna.stride,
+            dna_max_bp=mc.dna.max_bp,
+            image_source="image" if mc.image.input_type == "image" else "image_features",
+            dna_source="sequence" if mc.dna.input_type == "sequence" else "dna_features",
+            long_edge_eval=mc.transform_with_resize,
+            clip_tokenizer=cls.maybe_clip_tokenizer(mc),
+        )
+
     @staticmethod
     def maybe_clip_tokenizer(mc):
         """CLIP BPE tokenizer for `backbone: open_clip` language batches

@@ -330,24 +330,9 @@ class Trainer:
 
     def evaluate(self) -> dict:
         cfg = self.cfg
-        spec = BatchSpec(
-            batch_size=cfg.batch_size,
-            train=False,
-            transport_uint8=cfg.amp,
-            with_image=cfg.image.enable,
-            with_dna=cfg.dna.enable,
-            with_language=cfg.language.enable,
-            dna_kmer=cfg.dna.kmer,
-            dna_tokenizer=cfg.dna.tokenizer,
-            dna_stride=cfg.dna.stride,
-            dna_max_bp=cfg.dna.max_bp,
-            image_source="image" if cfg.image.input_type == "image" else "image_features",
-            dna_source="sequence" if cfg.dna.input_type == "sequence" else "dna_features",
-            clip_tokenizer=BatchSpec.maybe_clip_tokenizer(cfg),
-            # best-checkpoint selection must see the same preprocessing as
-            # the final standalone eval (cli.py passes this too)
-            long_edge_eval=cfg.transform_with_resize,
-        )
+        # best-checkpoint selection must see the same preprocessing as the
+        # final standalone eval — one shared constructor guarantees it
+        spec = BatchSpec.eval_spec(cfg)
 
         # multi-host: the split is host-sharded — each process decodes+encodes
         # 1/H of the data on its local devices and the encoded matrices are

@@ -90,20 +90,9 @@ def reextract(params, cfg, hdf5: str, eval_on: str = "test",
     from .extract import extract_split
 
     mc = cfg
-    spec = BatchSpec(
-        batch_size=mc.batch_size,
-        train=False,
-        transport_uint8=mc.amp,
-        with_image=mc.image.enable,
-        with_dna=mc.dna.enable,
-        with_language=mc.language.enable,
-        dna_kmer=mc.dna.kmer,
-        dna_tokenizer=mc.dna.tokenizer,
-        dna_stride=mc.dna.stride,
-        dna_max_bp=mc.dna.max_bp,
-        long_edge_eval=mc.transform_with_resize,
-        clip_tokenizer=BatchSpec.maybe_clip_tokenizer(mc),
-    )
+    # the SAME preprocessing contract as `clibd eval` (shared constructor —
+    # parity certification must re-extract exactly the way eval extracts)
+    spec = BatchSpec.eval_spec(mc)
 
     def run(split, for_key=False):
         loader = BioscanLoader(hdf5, split, spec, num_workers=num_workers,
@@ -145,7 +134,8 @@ def load_released(feat_path: str, labels_path: Optional[str] = None,
 
         return load_extracted_features(feat_path, labels_path, ids_path)
 
-    # bare HDF5 (the README's Embedding links ship without sidecars)
+    # bare HDF5 (the README's Embedding links ship without sidecars) — attach
+    # whichever single sidecar IS present instead of requiring both
     seen_dict: Dict = {}
     unseen_dict: Dict = {}
     keys_dict: Dict = {}
@@ -153,6 +143,22 @@ def load_released(feat_path: str, labels_path: Optional[str] = None,
         for name, d in (("seen", seen_dict), ("unseen", unseen_dict), ("key", keys_dict)):
             for t in f[name]:
                 d[t] = f[name][t][:]
+    if labels_path:
+        with open(labels_path) as jf:
+            total = json.load(jf)
+        seen_dict["label_list"] = total["seen_gt_dict"]
+        unseen_dict["label_list"] = total["unseen_gt_dict"]
+        keys_dict["label_list"] = total["key_gt_dict"]
+        akf = keys_dict.get("all_key_features")
+        if akf is not None and keys_dict["label_list"]:
+            reps = akf.shape[0] // len(keys_dict["label_list"])
+            keys_dict["all_key_features_label"] = keys_dict["label_list"] * reps
+    if ids_path:
+        with open(ids_path) as jf:
+            ids = json.load(jf)
+        seen_dict["processed_id_list"] = ids["seen_id_list"]
+        unseen_dict["processed_id_list"] = ids["unseen_id_list"]
+        keys_dict["processed_id_list"] = ids["key_id_list"]
     return seen_dict, unseen_dict, keys_dict
 
 
@@ -250,14 +256,15 @@ def compare_top1(our_trio, released_trio, top1_threshold: float = 0.005,
         if "label_list" not in released_trio[i]:
             released_trio[i] = dict(released_trio[i])
             labels = our_trio[i]["label_list"]
-            n = len(labels)
-            # bare released HDF5 + --n slice: truncate the released features
-            # to the borrowed label count (positional alignment over the
-            # shared head rows — a full-length released matrix with n labels
-            # would mis-shape the metric arrays)
+            # bare released HDF5: positional alignment over the shared head
+            # rows — truncate features AND borrowed labels to the common
+            # length (either side can be the shorter one: --n slices ours,
+            # a subset release shortens theirs)
             full = max((arr.shape[0] for t, arr in released_trio[i].items()
                         if t != "all_key_features" and isinstance(arr, np.ndarray)
-                        and arr.ndim == 2), default=n)
+                        and arr.ndim == 2), default=len(labels))
+            n = min(len(labels), full)
+            labels = labels[:n]
             for t, arr in list(released_trio[i].items()):
                 if t == "all_key_features" or not isinstance(arr, np.ndarray):
                     continue
@@ -272,6 +279,23 @@ def compare_top1(our_trio, released_trio, top1_threshold: float = 0.005,
                 blocks = [akf[b * full: b * full + n] for b in range(reps)]
                 released_trio[i]["all_key_features"] = np.concatenate(blocks)
                 released_trio[i]["all_key_features_label"] = labels * reps
+            # ours must match the truncated length too
+            if len(our_trio[i]["label_list"]) > n:
+                ours_t = dict(our_trio[i])
+                ours_t["label_list"] = ours_t["label_list"][:n]
+                for t, arr in list(ours_t.items()):
+                    if isinstance(arr, np.ndarray) and arr.ndim == 2 and arr.shape[0] > n \
+                            and t != "all_key_features":
+                        ours_t[t] = arr[:n]
+                if name == "key" and ours_t.get("all_key_features") is not None:
+                    ours_full = len(our_trio[i]["label_list"])
+                    o_akf = ours_t["all_key_features"]
+                    reps_o = max(o_akf.shape[0] // max(ours_full, 1), 1)
+                    ours_t["all_key_features"] = np.concatenate(
+                        [o_akf[b * ours_full: b * ours_full + n] for b in range(reps_o)])
+                    ours_t["all_key_features_label"] = labels * reps_o
+                our_trio = list(our_trio)
+                our_trio[i] = ours_t
     ours = _species_top1(our_trio, query_chunk)
     theirs = _species_top1(tuple(released_trio), query_chunk)
     rows = []
@@ -296,7 +320,8 @@ def compare_top1(our_trio, released_trio, top1_threshold: float = 0.005,
 
 def eval_released(released_trio, k_list: Sequence[int] = (1, 3, 5),
                   expected: Optional[Dict[str, float]] = None,
-                  query_chunk: int = 4096) -> Dict:
+                  query_chunk: int = 4096,
+                  top1_threshold: float = 0.005) -> Dict:
     """Retrieval-grid accuracy of the released embeddings; if ``expected``
     maps "query|key|split" → species top-1 (e.g. the paper table in
     BASELINE.md), also report deltas against it."""
@@ -305,12 +330,12 @@ def eval_released(released_trio, k_list: Sequence[int] = (1, 3, 5),
         return {"ok": False, "error": "released artifacts carry no labels "
                 "(need labels_*.json sidecar) — cannot evaluate standalone"}
     flat = _species_top1(released_trio, query_chunk)
-    report: Dict = {"species_top1": flat, "ok": True}
+    report: Dict = {"species_top1": flat, "ok": True, "threshold": top1_threshold}
     if expected:
         deltas = {k: abs(flat[k] - v) for k, v in expected.items() if k in flat}
         report["expected_deltas"] = deltas
         report["max_abs_delta"] = max(deltas.values()) if deltas else None
-        report["ok"] = bool(deltas) and max(deltas.values()) <= 0.005
+        report["ok"] = bool(deltas) and max(deltas.values()) <= top1_threshold
     return report
 
 
@@ -344,6 +369,10 @@ def tokenizer_report(tokenizer_path: str, barcodes: Sequence[str],
 
         tok = PreTrainedTokenizerFast(tokenizer_file=tokenizer_path)
         raw_input = False if raw_input is None else raw_input
+    # HDF5 barcodes arrive as numpy bytes — normalize to str before slicing
+    # and joining (the HF tokenizer rejects bytes too)
+    barcodes = [b.decode() if isinstance(b, (bytes, np.bytes_)) else str(b)
+                for b in barcodes]
     seqs = [b[:max_bp] for b in barcodes]
     if raw_input:
         texts = list(seqs)
@@ -429,7 +458,8 @@ def verify_parity(
         report["legs"]["species_top1"] = cmp_acc
         report["ok"] = report["ok"] and cmp_acc["ok"]
     elif released_trio is not None:
-        ev = eval_released(released_trio, expected=expected)
+        ev = eval_released(released_trio, expected=expected,
+                           top1_threshold=top1_threshold)
         report["legs"]["released_eval"] = ev
         report["ok"] = report["ok"] and ev["ok"]
 

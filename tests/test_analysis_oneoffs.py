@@ -143,7 +143,9 @@ image:
     # image-only: the cached features carry no DNA/text columns
     import h5py
 
-    folder = tmp_path / "extracted_embedding" / "bioscan_1m" / "unimodel_eval"
+    # --unimodel suffixes the output name so it never shares the named
+    # model's embedding cache (load_inference would silently cross-load)
+    folder = tmp_path / "extracted_embedding" / "bioscan_1m" / "unimodel_eval_unimodel"
     with h5py.File(folder / "extracted_feature_from_test_split.hdf5") as f:
         assert "encoded_image_feature" in f["seen"]
         assert "encoded_dna_feature" not in f["seen"]

@@ -329,3 +329,67 @@ def test_positional_alignment_with_n_slice(released, tiny_hdf5, tiny_cfg, tmp_pa
     assert cos["ok"], format_report(report)
     top1 = report["legs"]["species_top1"]
     assert top1["rows"], "grid cells must still be comparable"
+
+
+def test_labels_only_sidecar(released, tiny_cfg, tmp_path):
+    """Leg D must use a labels sidecar even when processed_id is absent."""
+    import shutil
+
+    d = tmp_path / "labels_only"
+    d.mkdir()
+    shutil.copy(released["feat"], d / "extracted_feature_from_test_split.hdf5")
+    shutil.copy(released["labels"], d / "labels_test.json")  # NO ids file
+    report = verify_parity(
+        tiny_cfg,
+        released_embeddings=str(d / "extracted_feature_from_test_split.hdf5"),
+        progress=False)
+    rep = report["legs"]["released_eval"]
+    assert rep["ok"] and rep["species_top1"], rep
+
+
+def test_released_smaller_than_ours(released, tiny_hdf5, tiny_cfg, tmp_path):
+    """Bare released HDF5 with FEWER rows than the re-extraction: both sides
+    truncate to the common head instead of crashing the metric shapes."""
+    import h5py
+    import shutil
+
+    d = tmp_path / "small_rel"
+    d.mkdir()
+    small = str(d / "extracted_feature_from_test_split.hdf5")
+    shutil.copy(released["feat"], small)
+    with h5py.File(small, "r+") as f:
+        for grp in ("seen", "unseen", "key"):
+            for t in list(f[grp]):
+                data = f[grp][t][:8] if f[grp][t].ndim == 2 else f[grp][t][:]
+                del f[grp][t]
+                f[grp].create_dataset(t, data=data)
+    report = verify_parity(tiny_cfg, ckpt=released["ckpt"],
+                           released_embeddings=small, hdf5=tiny_hdf5,
+                           n=None, progress=False)
+    top1 = report["legs"]["species_top1"]
+    assert top1["rows"], format_report(report)
+    assert report["legs"]["embedding_cosine"]["splits"]["seen"]["aligned_rows"] == 8
+
+
+def test_eval_released_threshold_passthrough(released, tiny_cfg):
+    """--top1-threshold must reach the released-eval leg."""
+    base = verify_parity(tiny_cfg, released_embeddings=released["feat"],
+                         progress=False)
+    expected = {k: min(1.0, v + 0.008)
+                for k, v in list(base["legs"]["released_eval"]["species_top1"].items())[:2]}
+    tight = verify_parity(tiny_cfg, released_embeddings=released["feat"],
+                          expected=expected, top1_threshold=0.005, progress=False)
+    loose = verify_parity(tiny_cfg, released_embeddings=released["feat"],
+                          expected=expected, top1_threshold=0.02, progress=False)
+    assert not tight["legs"]["released_eval"]["ok"]
+    assert loose["legs"]["released_eval"]["ok"]
+
+
+def test_tokenizer_report_accepts_bytes(tmp_path):
+    """HDF5 barcodes are numpy bytes — the tokenizer leg must decode them."""
+    tok_json = _build_fixture_tokenizer_json(str(tmp_path / "tok.json"))
+    rng = np.random.default_rng(2)
+    barcodes = [np.bytes_("".join(rng.choice(list("ACGT"), 660)).encode())
+                for _ in range(4)]
+    rep = tokenizer_report(tok_json, barcodes, k=5, stride=5, max_bp=660)
+    assert rep["ok"] and rep["id_match_frac"] == 1.0
