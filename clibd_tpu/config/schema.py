@@ -271,6 +271,10 @@ class ExperimentConfig:
     bin_for_positive_and_negative_pairs: bool = False
     # eval transform variant (reference `transform_with_resize`)
     transform_with_resize: bool = False
+    # strict reference-output parity: require ALL THREE modalities before
+    # emitting the all_key_features gallery (reference util/util.py:726-731);
+    # default False relaxes to >=2 so image+DNA models keep the All column
+    parity_strict: bool = False
     load_ckpt: bool = True
     ckpt_path: str = ""
 

@@ -149,10 +149,12 @@ def extract_split(
     enc = {
         k: (np.concatenate(v, axis=0) if v else None) for k, v in feats.items()
     }
-    return finalize_split_dict(enc, loader.label_dicts(), loader.ids(), for_key_set)
+    return finalize_split_dict(enc, loader.label_dicts(), loader.ids(), for_key_set,
+                               strict_all_keys=getattr(cfg, "parity_strict", False))
 
 
-def finalize_split_dict(enc: Dict, label_list, ids, for_key_set: bool) -> Dict:
+def finalize_split_dict(enc: Dict, label_list, ids, for_key_set: bool,
+                        strict_all_keys: bool = False) -> Dict:
     """Assemble the split dict (derived features + labels/ids) from the raw
     per-modality encoded matrices — shared by the single-host and the
     host-sharded extraction paths."""
@@ -177,9 +179,11 @@ def finalize_split_dict(enc: Dict, label_list, ids, for_key_set: bool) -> Dict:
         # Stack whichever modality galleries exist (reference
         # get_features_and_label, util/util.py:709-742 — its guard demands all
         # three modalities; we relax to >=2 so an image+DNA model still gets
-        # the All-keys eval column instead of silently losing it).
+        # the All-keys eval column instead of silently losing it;
+        # cfg.parity_strict restores the reference's all-3 requirement for
+        # byte-identical results tables).
         present = [enc[m] for m in ("image", "dna", "language") if enc[m] is not None]
-        if len(present) >= 2:
+        if len(present) >= (3 if strict_all_keys else 2):
             all_key_features = np.concatenate(present, axis=0)
             all_key_features_label = label_list * len(present)
     out_dict["all_key_features"] = all_key_features
@@ -250,7 +254,8 @@ def extract_split_multihost(
         for g in range(H):
             full[g::H] = gathered[g][: counts[g]]
         enc[modality] = full
-    return finalize_split_dict(enc, label_list, ids, for_key_set)
+    return finalize_split_dict(enc, label_list, ids, for_key_set,
+                               strict_all_keys=getattr(cfg, "parity_strict", False))
 
 
 # ---------------------------------------------------------------------------

@@ -320,3 +320,30 @@ def test_shard_map_encode_with_flash_kernel(tiny_hdf5_module, tiny_cfg, monkeypa
     for k in ref:
         np.testing.assert_allclose(np.asarray(out[k]), np.asarray(ref[k]),
                                    atol=3e-2, rtol=3e-2)
+
+
+def test_parity_strict_all_key_features(tiny_hdf5_module, tiny_cfg):
+    """cfg.parity_strict restores the reference's all-3-modality guard for
+    the stacked All-keys gallery (util/util.py:726-731): an image+DNA model
+    emits all_key_features by default (>=2 relaxation) but NOT in strict
+    mode."""
+    import copy
+
+    cfg2 = copy.deepcopy(tiny_cfg)
+    cfg2.language.enable = False
+    params = init_clibd_params(jax.random.PRNGKey(2), cfg2)
+    mesh = create_mesh(jax.devices()[:2])
+    spec = BatchSpec(batch_size=6, train=False, with_language=False)
+
+    def run(strict):
+        cfg2.parity_strict = strict
+        loader = BioscanLoader(tiny_hdf5_module, "all_keys", spec, num_workers=0)
+        out = extract_split(params, cfg2, loader, for_key_set=True, mesh=mesh)
+        loader.close()
+        return out
+
+    relaxed = run(False)
+    assert relaxed["all_key_features"] is not None
+    assert relaxed["all_key_features"].shape[0] == 2 * len(relaxed["label_list"])
+    strict = run(True)
+    assert strict["all_key_features"] is None
