@@ -52,8 +52,21 @@ class NativeDecoder:
             ctypes.POINTER(ctypes.c_int32),  # ok
             ctypes.c_int,                    # num_threads
         ]
+        self.lib.clibd_decode_transform_batch_two_view.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),  # jpegs
+            ctypes.POINTER(ctypes.c_int64),  # offsets
+            ctypes.c_int,                    # n
+            ctypes.POINTER(ctypes.c_float),  # out1
+            ctypes.POINTER(ctypes.c_float),  # out2
+            ctypes.c_int,                    # out_size
+            ctypes.c_int,                    # resize_to
+            ctypes.POINTER(ctypes.c_uint64), # seeds1
+            ctypes.POINTER(ctypes.c_uint64), # seeds2
+            ctypes.POINTER(ctypes.c_int32),  # ok
+            ctypes.c_int,                    # num_threads
+        ]
         self.lib.clibd_version.restype = ctypes.c_int
-        assert self.lib.clibd_version() == 1
+        assert self.lib.clibd_version() == 2
         self.num_threads = num_threads if num_threads > 0 else (os.cpu_count() or 1)
 
     def decode_transform_batch(
@@ -100,6 +113,44 @@ class NativeDecoder:
             raise ValueError(f"native decode failed for batch items {bad.tolist()}")
         return out
 
+    def decode_transform_two_view(
+        self,
+        jpegs: List[bytes],
+        rng1: np.random.Generator,
+        rng2: np.random.Generator,
+        size: int = 224,
+        resize_to: int = 256,
+    ):
+        """SimCLR two-view: decode+resize each JPEG once in C++, return two
+        independently-cropped views ([n,size,size,3] f32 each)."""
+        n = len(jpegs)
+        blob = b"".join(jpegs)
+        buf = np.frombuffer(blob, dtype=np.uint8)
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum([len(j) for j in jpegs], out=offsets[1:])
+        out1 = np.empty((n, size, size, 3), dtype=np.float32)
+        out2 = np.empty((n, size, size, 3), dtype=np.float32)
+        ok = np.zeros(n, dtype=np.int32)
+        seeds1 = rng1.integers(1, 2**63, size=n, dtype=np.uint64)
+        seeds2 = rng2.integers(1, 2**63, size=n, dtype=np.uint64)
+        self.lib.clibd_decode_transform_batch_two_view(
+            buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            n,
+            out1.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            out2.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            size,
+            resize_to,
+            seeds1.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            seeds2.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+            ok.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            self.num_threads,
+        )
+        if not ok.all():
+            bad = np.where(ok == 0)[0]
+            raise ValueError(f"native two-view decode failed for batch items {bad.tolist()}")
+        return out1, out2
+
 
 def load_native_decoder(num_threads: int = 0, build_if_missing: bool = True) -> Optional[NativeDecoder]:
     path = native_lib_path()
@@ -109,4 +160,10 @@ def load_native_decoder(num_threads: int = 0, build_if_missing: bool = True) -> 
     try:
         return NativeDecoder(path, num_threads=num_threads)
     except Exception:
+        # stale .so from an older source version — rebuild once and retry
+        if build_if_missing and build_native() is not None:
+            try:
+                return NativeDecoder(path, num_threads=num_threads)
+            except Exception:
+                return None
         return None

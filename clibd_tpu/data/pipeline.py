@@ -218,31 +218,44 @@ class BioscanLoader:
                 if spec.two_view:
                     # SimCLR two-crop: decode + shorter-edge resize ONCE,
                     # then two random-resized crops from distinct aug
-                    # streams (the streams match the former twin-pipeline
-                    # TwoViewLoader bit-for-bit: view 1 = (aug_seed, …, i),
-                    # view 2 = (aug_seed+104729, …, i)) — halves host decode
-                    # cost vs the reference's decode-per-view
-                    # (util/dataset.py:328-367 calls the transform twice on
-                    # one decode; round-2 layout decoded twice).  Python
-                    # path only: the native decoder fuses decode+crop.
-                    from .transforms import decode_jpeg, random_resized_crop, resize_shorter_edge
-
-                    def one_two(args):
-                        i, data = args
-                        img = decode_jpeg(data).astype(np.float32) / 255.0
-                        img = resize_shorter_edge(img, spec.resize_to)
-                        r1 = np.random.default_rng((self.aug_seed, epoch, batch_idx, i))
+                    # streams (the python streams match the former
+                    # twin-pipeline TwoViewLoader bit-for-bit: view 1 =
+                    # (aug_seed, …, i), view 2 = (aug_seed+104729, …, i)) —
+                    # halves host decode cost vs the reference's
+                    # decode-per-view (util/dataset.py:328-367 calls the
+                    # transform twice on one decode; round-2 layout decoded
+                    # twice).
+                    if self.decoder is not None:
+                        # C++ two-view (decoder's own xorshift crop streams,
+                        # like the existing native train path)
+                        r1 = np.random.default_rng((self.aug_seed, epoch, batch_idx))
                         r2 = np.random.default_rng(
-                            (self.aug_seed + 104729, epoch, batch_idx, i))
-                        return (random_resized_crop(r1, img, spec.image_size),
-                                random_resized_crop(r2, img, spec.image_size))
-
-                    if self._pool is not None:
-                        pairs = list(self._pool.map(one_two, enumerate(jpegs)))
+                            (self.aug_seed + 104729, epoch, batch_idx))
+                        with self._decoder_lock:
+                            o1, o2 = self.decoder.decode_transform_two_view(
+                                jpegs, r1, r2, size=spec.image_size,
+                                resize_to=spec.resize_to)
+                        imgs = list(o1)
+                        imgs2 = list(o2)
                     else:
-                        pairs = [one_two(x) for x in enumerate(jpegs)]
-                    imgs = [p[0] for p in pairs]
-                    imgs2 = [p[1] for p in pairs]
+                        from .transforms import decode_jpeg, random_resized_crop, resize_shorter_edge
+
+                        def one_two(args):
+                            i, data = args
+                            img = decode_jpeg(data).astype(np.float32) / 255.0
+                            img = resize_shorter_edge(img, spec.resize_to)
+                            r1 = np.random.default_rng((self.aug_seed, epoch, batch_idx, i))
+                            r2 = np.random.default_rng(
+                                (self.aug_seed + 104729, epoch, batch_idx, i))
+                            return (random_resized_crop(r1, img, spec.image_size),
+                                    random_resized_crop(r2, img, spec.image_size))
+
+                        if self._pool is not None:
+                            pairs = list(self._pool.map(one_two, enumerate(jpegs)))
+                        else:
+                            pairs = [one_two(x) for x in enumerate(jpegs)]
+                        imgs = [p[0] for p in pairs]
+                        imgs2 = [p[1] for p in pairs]
                 elif self.decoder is not None:
                     with self._decoder_lock:
                         imgs = self.decoder.decode_transform_batch(

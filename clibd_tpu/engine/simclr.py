@@ -41,11 +41,12 @@ class TwoViewLoader:
     pipeline throughput on thin-CPU hosts (round-2 VERDICT weak #4)."""
 
     def __init__(self, path: str, split: str, batch_size: int, num_workers: int = 2, seed: int = 0,
-                 host_id: int = 0, num_hosts: int = 1):
+                 host_id: int = 0, num_hosts: int = 1, use_native: bool = False):
         spec = BatchSpec(batch_size=batch_size, train=True, with_dna=False,
                          with_language=False, two_view=True)
         self.a = BioscanLoader(path, split, spec, num_workers=num_workers, seed=seed,
-                               host_id=host_id, num_hosts=num_hosts)
+                               host_id=host_id, num_hosts=num_hosts,
+                               use_native=use_native)
 
     def __len__(self):
         return len(self.a)

@@ -189,10 +189,10 @@ void sample_rrc(Rng& rng, int h, int w, int& top, int& left, int& ch, int& cw) {
   left = (w - cw) / 2;
 }
 
-// One image: decode -> [0,1] float -> resize shorter edge -> crop -> resize.
-// mode 0 = eval (center crop), 1 = train (random resized crop via seed).
-bool process_one(const uint8_t* data, size_t len, float* out, int out_size,
-                 int resize_to, int mode, uint64_t seed) {
+// Decode one JPEG -> [0,1] float -> resize shorter edge to resize_to.
+// Returns false on decode failure; fills `resized` ([rh, rw, 3]).
+bool decode_and_resize(const uint8_t* data, size_t len, int resize_to,
+                       std::vector<float>& resized, int& rh, int& rw_) {
   std::vector<uint8_t> rgb;
   int w, h;
   if (!decode_jpeg(data, len, rgb, w, h)) return false;
@@ -200,7 +200,6 @@ bool process_one(const uint8_t* data, size_t len, float* out, int out_size,
   std::vector<float> img(static_cast<size_t>(w) * h * 3);
   for (size_t i = 0; i < img.size(); ++i) img[i] = rgb[i] * (1.0f / 255.0f);
 
-  int rh, rw_;
   if (h <= w) {
     rh = resize_to;
     // truncation, matching torchvision _compute_resized_output_size (and the
@@ -210,8 +209,33 @@ bool process_one(const uint8_t* data, size_t len, float* out, int out_size,
     rw_ = resize_to;
     rh = std::max(1, static_cast<int>(static_cast<double>(resize_to) * h / w));
   }
-  std::vector<float> resized(static_cast<size_t>(rh) * rw_ * 3);
+  resized.resize(static_cast<size_t>(rh) * rw_ * 3);
   resize_bilinear(img.data(), h, w, resized.data(), rh, rw_, true);
+  return true;
+}
+
+// Random-resized crop of an already-resized image into out[out_size^2 * 3].
+void rrc_into(const std::vector<float>& resized, int rh, int rw_, float* out,
+              int out_size, uint64_t seed) {
+  Rng rng(seed);
+  int top, left, ch, cw;
+  sample_rrc(rng, rh, rw_, top, left, ch, cw);
+  std::vector<float> crop(static_cast<size_t>(ch) * cw * 3);
+  for (int y = 0; y < ch; ++y) {
+    std::memcpy(crop.data() + static_cast<size_t>(y) * cw * 3,
+                resized.data() + ((static_cast<size_t>(y + top)) * rw_ + left) * 3,
+                static_cast<size_t>(cw) * 3 * sizeof(float));
+  }
+  resize_bilinear(crop.data(), ch, cw, out, out_size, out_size, true);
+}
+
+// One image: decode -> [0,1] float -> resize shorter edge -> crop -> resize.
+// mode 0 = eval (center crop), 1 = train (random resized crop via seed).
+bool process_one(const uint8_t* data, size_t len, float* out, int out_size,
+                 int resize_to, int mode, uint64_t seed) {
+  std::vector<float> resized;
+  int rh, rw_;
+  if (!decode_and_resize(data, len, resize_to, resized, rh, rw_)) return false;
 
   if (mode == 0) {
     // center crop out_size with zero-padding when the resized image is
@@ -238,17 +262,20 @@ bool process_one(const uint8_t* data, size_t len, float* out, int out_size,
                   static_cast<size_t>(x1 - x0) * 3 * sizeof(float));
     }
   } else {
-    Rng rng(seed);
-    int top, left, ch, cw;
-    sample_rrc(rng, rh, rw_, top, left, ch, cw);
-    std::vector<float> crop(static_cast<size_t>(ch) * cw * 3);
-    for (int y = 0; y < ch; ++y) {
-      std::memcpy(crop.data() + static_cast<size_t>(y) * cw * 3,
-                  resized.data() + ((static_cast<size_t>(y + top)) * rw_ + left) * 3,
-                  static_cast<size_t>(cw) * 3 * sizeof(float));
-    }
-    resize_bilinear(crop.data(), ch, cw, out, out_size, out_size, true);
+    rrc_into(resized, rh, rw_, out, out_size, seed);
   }
+  return true;
+}
+
+// SimCLR two-view: decode + shorter-edge resize ONCE, two random-resized
+// crops from independent seeds (halves decode+resize cost vs two passes).
+bool process_two(const uint8_t* data, size_t len, float* out1, float* out2,
+                 int out_size, int resize_to, uint64_t seed1, uint64_t seed2) {
+  std::vector<float> resized;
+  int rh, rw_;
+  if (!decode_and_resize(data, len, resize_to, resized, rh, rw_)) return false;
+  rrc_into(resized, rh, rw_, out1, out_size, seed1);
+  rrc_into(resized, rh, rw_, out2, out_size, seed2);
   return true;
 }
 
@@ -287,6 +314,40 @@ void clibd_decode_transform_batch(const uint8_t* jpegs, const int64_t* offsets,
   }
 }
 
+// SimCLR two-view batch: decode+resize each JPEG once, emit two crops.
+// out1/out2: [n, out_size, out_size, 3] f32; seeds1/seeds2: [n] uint64.
+void clibd_decode_transform_batch_two_view(
+    const uint8_t* jpegs, const int64_t* offsets, int n, float* out1,
+    float* out2, int out_size, int resize_to, const uint64_t* seeds1,
+    const uint64_t* seeds2, int32_t* ok, int num_threads) {
+  std::atomic<int> next(0);
+  auto worker = [&]() {
+    while (true) {
+      int i = next.fetch_add(1);
+      if (i >= n) break;
+      const uint8_t* data = jpegs + offsets[i];
+      size_t len = static_cast<size_t>(offsets[i + 1] - offsets[i]);
+      size_t stride = static_cast<size_t>(out_size) * out_size * 3;
+      float* d1 = out1 + static_cast<size_t>(i) * stride;
+      float* d2 = out2 + static_cast<size_t>(i) * stride;
+      ok[i] = process_two(data, len, d1, d2, out_size, resize_to,
+                          seeds1[i], seeds2[i]) ? 1 : 0;
+      if (!ok[i]) {
+        std::memset(d1, 0, stride * sizeof(float));
+        std::memset(d2, 0, stride * sizeof(float));
+      }
+    }
+  };
+  int nt = std::max(1, num_threads);
+  if (nt == 1) {
+    worker();
+  } else {
+    std::vector<std::thread> threads;
+    for (int t = 0; t < nt; ++t) threads.emplace_back(worker);
+    for (auto& t : threads) t.join();
+  }
+}
+
 // Standalone decode of one JPEG (for tests / single-image tools):
 // returns 0 on failure; out must hold max_bytes; writes w/h.
 int clibd_decode_jpeg(const uint8_t* data, int64_t len, uint8_t* out,
@@ -301,6 +362,6 @@ int clibd_decode_jpeg(const uint8_t* data, int64_t len, uint8_t* out,
   return 1;
 }
 
-int clibd_version() { return 1; }
+int clibd_version() { return 2; }
 
 }  // extern "C"

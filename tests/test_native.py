@@ -84,3 +84,50 @@ def test_pipeline_with_native_decoder(decoder, tiny_hdf5):
     b_py = next(iter(l_py.batches()))
     np.testing.assert_allclose(b_native["image"], b_py["image"], atol=1e-5)
     l_native.close(); l_py.close()
+
+
+def test_native_two_view(tmp_path):
+    """C++ two-view: decode once, two independent crops per image; the views
+    differ from each other but share the underlying decode (same image)."""
+    import numpy as np
+
+    from clibd_tpu.data.native import load_native_decoder
+    from tests.fixtures import random_jpeg_bytes
+
+    dec = load_native_decoder(build_if_missing=True)
+    if dec is None:
+        import pytest
+
+        pytest.skip("native decoder unavailable")
+    rng = np.random.default_rng(0)
+    jpegs = [random_jpeg_bytes(rng, 96, 120) for _ in range(5)]
+    r1 = np.random.default_rng(1)
+    r2 = np.random.default_rng(2)
+    v1, v2 = dec.decode_transform_two_view(jpegs, r1, r2, size=64, resize_to=72)
+    assert v1.shape == v2.shape == (5, 64, 64, 3)
+    assert np.abs(v1 - v2).max() > 0  # independent crops
+    assert 0.0 <= v1.min() and v1.max() <= 1.0
+    # same seeds -> identical views (deterministic crop streams)
+    v1b, v2b = dec.decode_transform_two_view(
+        jpegs, np.random.default_rng(1), np.random.default_rng(2), size=64, resize_to=72)
+    np.testing.assert_array_equal(v1, v1b)
+    np.testing.assert_array_equal(v2, v2b)
+
+
+def test_two_view_loader_native(tiny_hdf5):
+    """TwoViewLoader with the native decoder yields paired two-crop batches."""
+    import numpy as np
+
+    from clibd_tpu.data.native import load_native_decoder
+    from clibd_tpu.engine.simclr import TwoViewLoader
+
+    if load_native_decoder(build_if_missing=True) is None:
+        import pytest
+
+        pytest.skip("native decoder unavailable")
+    loader = TwoViewLoader(tiny_hdf5, "all_keys", batch_size=4, num_workers=0,
+                           seed=5, use_native=True)
+    v1, v2, idx = next(loader.batches(epoch=0))
+    assert v1.shape == v2.shape == (4, 224, 224, 3)
+    assert np.abs(v1 - v2).max() > 0
+    loader.close()
