@@ -135,3 +135,66 @@ def load_experiment_acc_dicts(paths: Dict[str, str]) -> Dict[str, Dict]:
         with open(p) as f:
             out[name] = json.load(f)
     return out
+
+
+def plot_poster_accuracy(
+    acc_dict: Dict,
+    output_path: str,
+    experiment_name: str = "",
+    acc_type: str = "macro_acc",
+    k=1,
+    combos: Sequence[tuple] = (
+        ("encoded_image_feature", "encoded_image_feature"),
+        ("encoded_dna_feature", "encoded_dna_feature"),
+        ("encoded_image_feature", "encoded_dna_feature"),
+    ),
+    splits: Sequence[str] = ("seen", "unseen", "harmonic_mean"),
+) -> str:
+    """One poster-style figure for ONE experiment: accuracy (%) over the 4
+    taxonomy levels, one color per query→key combo, one marker per
+    seen/unseen/harmonic split (reference scripts/result/
+    plot_for_5m_poster.py:52-96 — whose own plotting loop is dead code via an
+    early return; this is the figure it intended)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    acc = add_harmonic_mean_acc(acc_dict)
+    colors = ("#4e79a7", "#f28e2b", "#59a14f", "#e15759", "#b07aa1")
+    markers = {"seen": "o", "unseen": "^", "harmonic_mean": "s"}
+    fig, ax = plt.subplots(figsize=(5.5, 4))
+    for (q, key), color in zip(combos, colors):
+        for split in splits:
+            ys = _series(acc, q, key, split, acc_type, k)
+            if ys is None:
+                continue
+            ax.plot(LEVELS, [y * 100 for y in ys], color=color,
+                    marker=markers.get(split, "o"), linewidth=1.4, markersize=4)
+    # two legends like the reference: colors = combos, markers = splits
+    short = {"encoded_image_feature": "image", "encoded_dna_feature": "DNA",
+             "encoded_language_feature": "text", "averaged_feature": "avg",
+             "concatenated_feature": "concat", "all_key_features": "all"}
+    color_handles = [plt.Line2D([], [], color=c, label=f"{short.get(q, q)}→{short.get(kk, kk)}")
+                     for (q, kk), c in zip(combos, colors)]
+    marker_handles = [plt.Line2D([], [], color="gray", marker=m, linestyle="",
+                                 label=s.replace("_", " "))
+                      for s, m in markers.items() if s in splits]
+    first = ax.legend(handles=color_handles, loc="lower left", fontsize=8)
+    ax.add_artist(first)
+    ax.legend(handles=marker_handles, loc="lower left",
+              bbox_to_anchor=(0.42, 0), fontsize=8)
+    if experiment_name:
+        ax.set_title(experiment_name, fontsize=12)
+    ax.set_ylabel(f"{'Macro' if 'macro' in acc_type else 'Micro'}-accuracy (%)")
+    ax.set_ylim(0, 100)
+    ax.set_xticks(range(len(LEVELS)))
+    ax.set_xticklabels(LEVELS, rotation=45)
+    ax.grid(True, axis="y", alpha=0.5)
+    fig.tight_layout()
+    os.makedirs(os.path.dirname(os.path.abspath(output_path)), exist_ok=True)
+    fig.savefig(output_path, dpi=150)
+    import matplotlib.pyplot as _plt
+
+    _plt.close(fig)
+    return output_path

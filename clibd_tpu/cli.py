@@ -847,6 +847,13 @@ def cmd_compare_experiments(args, overrides) -> int:
     paths.append(plot_multi_experiment_all_in_one(
         experiments, os.path.join(args.out, "compare_all_in_one.png"),
         query_type=args.query_type, key_type=args.key_type, k=args.k))
+    if args.poster:
+        from .analysis.compare import plot_poster_accuracy
+
+        for name, acc in experiments.items():
+            paths.append(plot_poster_accuracy(
+                acc, os.path.join(args.out, f"poster_{name}.pdf"),
+                experiment_name=name, k=args.k))
     for p in paths:
         print(p)
     return 0
@@ -1127,6 +1134,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     p_cmp.add_argument("--query-type", default="encoded_image_feature")
     p_cmp.add_argument("--key-type", default="encoded_image_feature")
     p_cmp.add_argument("--k", type=int, default=1)
+    p_cmp.add_argument("--poster", action="store_true",
+                       help="also write one poster-style per-level figure per experiment "
+                            "(plot_for_5m_poster.py)")
     p_cmp.set_defaults(overrides=[])
 
     p_am = sub.add_parser("attention-maps",

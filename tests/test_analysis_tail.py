@@ -324,3 +324,14 @@ def test_generate_embedding_plot_html_format(tmp_path):
     html_files = [p for p in written if p.endswith(".html")]
     assert len(html_files) == 1
     assert html_files[0].endswith("embedding_interactive.html")
+
+
+def test_poster_plot(tmp_path):
+    """Poster-style per-level figure (plot_for_5m_poster.py — whose own loop
+    was dead code; ours actually draws)."""
+    from clibd_tpu.analysis.compare import plot_poster_accuracy
+
+    acc = _fake_acc(0.05)
+    p = plot_poster_accuracy(acc, str(tmp_path / "poster.pdf"),
+                             experiment_name="Image + DNA + Taxonomy")
+    assert os.path.getsize(p) > 0
