@@ -933,6 +933,28 @@ def cmd_attention_maps(args, overrides) -> int:
     return 0
 
 
+def cmd_subset_hdf5(args, overrides) -> int:
+    """Smaller-HDF5 builders: per-species stratified pretrain subset
+    (create_special_pre_train_for_bioscan_5m.py) or plain per-split counts."""
+    from .data.subset import subset_hdf5, subset_hdf5_stratified
+
+    if args.ratio is not None:
+        n = subset_hdf5_stratified(args.hdf5, args.out, split=args.split,
+                                   ratio=args.ratio, seed=args.seed,
+                                   copy_other_splits=not args.no_other_splits)
+        print(f"kept {n} stratified records of split {args.split!r} → {args.out}")
+        return 0
+    sizes = {}
+    for item in args.sizes or []:
+        split, _, count = item.partition("=")
+        sizes[split] = int(count)
+    if not sizes:
+        raise SystemExit("pass --ratio R (stratified) or split=count pairs via --sizes")
+    subset_hdf5(args.hdf5, args.out, sizes, seed=args.seed)
+    print(f"subset written → {args.out}")
+    return 0
+
+
 def cmd_generate_split_csv(args, overrides) -> int:
     """Per-record metadata CSV across all splits (reference
     scripts/data_processing/generate_split_csv_from_the_hdf5.py)."""
@@ -1154,6 +1176,19 @@ def main(argv: Optional[List[str]] = None) -> int:
     p_am.add_argument("--layer-range", type=int, nargs=2, default=[1, -6],
                       help="rollout layer window (reference attentions[1:-6])")
 
+    p_sub = sub.add_parser("subset-hdf5",
+                           help="stratified 1/N pretrain subset or per-split-count subset "
+                                "(create_special_pre_train_for_bioscan_5m.py)")
+    p_sub.add_argument("--hdf5", required=True)
+    p_sub.add_argument("--out", required=True)
+    p_sub.add_argument("--ratio", type=float, default=None,
+                       help="per-species stratified keep ratio (>=1 record per species)")
+    p_sub.add_argument("--split", default="no_split_and_seen_train")
+    p_sub.add_argument("--sizes", nargs="*", default=None, help="split=count pairs (plain subset)")
+    p_sub.add_argument("--seed", type=int, default=42)
+    p_sub.add_argument("--no-other-splits", action="store_true")
+    p_sub.set_defaults(overrides=[])
+
     p_gsc = sub.add_parser("generate-split-csv",
                            help="per-record metadata CSV across splits (generate_split_csv_from_the_hdf5.py)")
     p_gsc.add_argument("--hdf5", required=True)
@@ -1220,6 +1255,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         "stats-summary": cmd_stats_summary,
         "compare-experiments": cmd_compare_experiments,
         "attention-maps": cmd_attention_maps,
+        "subset-hdf5": cmd_subset_hdf5,
         "generate-split-csv": cmd_generate_split_csv,
         "failure-cases": cmd_failure_cases,
         "verify-parity": cmd_verify_parity,

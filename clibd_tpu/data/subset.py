@@ -38,3 +38,68 @@ def subset_hdf5(
                     data = data[keep]
                 dg.create_dataset(key, data=data)
     return dst_path
+
+
+def stratified_subset_indices(
+    species: np.ndarray,
+    ratio: float,
+    seed: int = 42,
+    unlabeled: str = "not_classified",
+) -> np.ndarray:
+    """Per-species stratified sample at `ratio`, keeping AT LEAST ONE record
+    per species (and of the unlabeled bucket) — reference
+    create_special_pre_train_for_bioscan_5m.py:16-67
+    (special_round_to_avoid_zero: round(n*ratio) floored at 1).
+
+    → sorted int64 indices into `species`."""
+    rng = np.random.default_rng(seed)
+    species = np.asarray([s.decode() if isinstance(s, bytes) else str(s)
+                          for s in species])
+    keep = []
+    # group indices per species (the unlabeled bucket is one group)
+    order = np.argsort(species, kind="stable")
+    sorted_sp = species[order]
+    boundaries = np.flatnonzero(
+        np.concatenate(([True], sorted_sp[1:] != sorted_sp[:-1])))
+    for b, e in zip(boundaries, np.concatenate((boundaries[1:], [len(order)]))):
+        idx = order[b:e]
+        k = max(1, int(round(len(idx) * ratio)))
+        keep.append(rng.choice(idx, size=min(k, len(idx)), replace=False))
+    return np.sort(np.concatenate(keep)).astype(np.int64)
+
+
+def subset_hdf5_stratified(
+    src_path: str,
+    dst_path: str,
+    split: str = "no_split_and_seen_train",
+    ratio: float = 0.2,
+    seed: int = 42,
+    copy_other_splits: bool = True,
+    chunk: int = 65536,
+) -> int:
+    """The reference's "special 1/5 pre-train" subset for BIOSCAN-5M: the
+    pretrain split stratified per species at `ratio` (>=1 record per
+    species); other splits copied verbatim (or omitted).  Columns are copied
+    in chunked slabs, not the reference's per-record Python loop (hours at
+    5M scale).  → number of kept records."""
+    with h5py.File(src_path, "r") as src, h5py.File(dst_path, "w") as dst:
+        keep = stratified_subset_indices(src[split]["species"][:], ratio, seed)
+        for name in src.keys():
+            if name != split and not copy_other_splits:
+                continue
+            sg = src[name]
+            dg = dst.create_group(name)
+            for key in sg.keys():
+                if name != split:
+                    dg.create_dataset(key, data=sg[key][:])
+                    continue
+                ds = sg[key]
+                if len(ds) != len(src[split]["species"]):
+                    dg.create_dataset(key, data=ds[:])  # non-record metadata
+                    continue
+                # h5py fancy indexing needs sorted unique indices — keep is
+                # sorted; read in chunked slabs to bound memory at 5M scale
+                parts = [ds[keep[lo:lo + chunk].tolist()]
+                         for lo in range(0, len(keep), chunk)]
+                dg.create_dataset(key, data=np.concatenate(parts, axis=0))
+    return int(len(keep))

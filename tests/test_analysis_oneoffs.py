@@ -149,3 +149,26 @@ image:
     with h5py.File(folder / "extracted_feature_from_test_split.hdf5") as f:
         assert "encoded_image_feature" in f["seen"]
         assert "encoded_dna_feature" not in f["seen"]
+
+
+def test_subset_hdf5_stratified_cli(tiny_hdf5, tmp_path, capsys):
+    """Per-species stratified pretrain subset via the CLI (the reference's
+    'special 1/5 pre-train' builder): >=1 record per species, other splits
+    copied verbatim."""
+    import h5py
+
+    from clibd_tpu.cli import main
+
+    out = str(tmp_path / "subset.hdf5")
+    rc = main(["subset-hdf5", "--hdf5", tiny_hdf5, "--out", out,
+               "--ratio", "0.2", "--split", "no_split_and_seen_train"])
+    assert rc == 0
+    with h5py.File(tiny_hdf5) as src, h5py.File(out) as dst:
+        src_sp = [s.decode() for s in src["no_split_and_seen_train"]["species"][:]]
+        dst_sp = [s.decode() for s in dst["no_split_and_seen_train"]["species"][:]]
+        assert set(dst_sp) == set(src_sp)  # every species survives
+        assert len(dst_sp) < len(src_sp)
+        # sliced columns stay aligned: barcode count matches species count
+        assert len(dst["no_split_and_seen_train"]["barcode"]) == len(dst_sp)
+        # untouched split copied verbatim
+        assert len(dst["all_keys"]["species"]) == len(src["all_keys"]["species"])
