@@ -21,6 +21,8 @@ def add_harmonic_mean_acc(acc_dict: Dict) -> Dict:
     acc_dict nesting: [query_type][key_type][seen|unseen][metric][k][level]."""
     for qtype in acc_dict.values():
         for splits in qtype.values():
+            if "harmonic_mean" in splits:
+                continue  # idempotent — callers may pre-process the dict
             seen = splits.get("seen")
             unseen = splits.get("unseen")
             if not (isinstance(seen, dict) and isinstance(unseen, dict)):
@@ -194,7 +196,5 @@ def plot_poster_accuracy(
     fig.tight_layout()
     os.makedirs(os.path.dirname(os.path.abspath(output_path)), exist_ok=True)
     fig.savefig(output_path, dpi=150)
-    import matplotlib.pyplot as _plt
-
-    _plt.close(fig)
+    plt.close(fig)
     return output_path

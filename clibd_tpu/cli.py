@@ -946,7 +946,9 @@ def cmd_subset_hdf5(args, overrides) -> int:
         return 0
     sizes = {}
     for item in args.sizes or []:
-        split, _, count = item.partition("=")
+        split, sep, count = item.partition("=")
+        if not sep or not count.isdigit():
+            raise SystemExit(f"--sizes items must be split=count, got {item!r}")
         sizes[split] = int(count)
     if not sizes:
         raise SystemExit("pass --ratio R (stratified) or split=count pairs via --sizes")

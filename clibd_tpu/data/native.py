@@ -152,18 +152,23 @@ class NativeDecoder:
         return out1, out2
 
 
+_build_attempted = False
+
+
 def load_native_decoder(num_threads: int = 0, build_if_missing: bool = True) -> Optional[NativeDecoder]:
+    global _build_attempted
     path = native_lib_path()
+    if build_if_missing and not _build_attempted:
+        # run make BEFORE the first dlopen (once per process): it is a no-op
+        # when the .so is fresh, and relinks a stale one from an older source
+        # version.  A rebuild-after-failed-load cannot work in-process
+        # (dlopen caches by path, so a retry returns the already-mapped stale
+        # library — and relinking a mapped .so risks corrupting it mid-run).
+        _build_attempted = True
+        build_native()
     if not os.path.exists(path):
-        if not build_if_missing or build_native() is None:
-            return None
+        return None
     try:
         return NativeDecoder(path, num_threads=num_threads)
     except Exception:
-        # stale .so from an older source version — rebuild once and retry
-        if build_if_missing and build_native() is not None:
-            try:
-                return NativeDecoder(path, num_threads=num_threads)
-            except Exception:
-                return None
         return None

@@ -227,16 +227,14 @@ class BioscanLoader:
                     # twice).
                     if self.decoder is not None:
                         # C++ two-view (decoder's own xorshift crop streams,
-                        # like the existing native train path)
-                        r1 = np.random.default_rng((self.aug_seed, epoch, batch_idx))
+                        # like the existing native train path); rng already
+                        # carries the (aug_seed, epoch, batch_idx) stream
                         r2 = np.random.default_rng(
                             (self.aug_seed + 104729, epoch, batch_idx))
                         with self._decoder_lock:
-                            o1, o2 = self.decoder.decode_transform_two_view(
-                                jpegs, r1, r2, size=spec.image_size,
+                            imgs, imgs2 = self.decoder.decode_transform_two_view(
+                                jpegs, rng, r2, size=spec.image_size,
                                 resize_to=spec.resize_to)
-                        imgs = list(o1)
-                        imgs2 = list(o2)
                     else:
                         from .transforms import decode_jpeg, random_resized_crop, resize_shorter_edge
 
@@ -277,14 +275,17 @@ class BioscanLoader:
                     else:
                         imgs = [one(x) for x in enumerate(jpegs)]
 
-                def pack(stacked):
+                def pack(views):
+                    # native paths return contiguous [B, H, W, 3] arrays —
+                    # don't unstack/restack them
+                    stacked = views if isinstance(views, np.ndarray) else np.stack(views)
                     if spec.transport_uint8:
                         return np.clip(np.round(stacked * 255.0), 0, 255).astype(np.uint8)
-                    return stacked.astype(np.float32)
+                    return np.asarray(stacked, np.float32)  # no-op for f32 native output
 
-                out["image"] = pack(np.stack(imgs))
+                out["image"] = pack(imgs)
                 if spec.two_view:
-                    out["image2"] = pack(np.stack(imgs2))
+                    out["image2"] = pack(imgs2)
             else:
                 with self._h5_lock:
                     out["image"] = self.split_reader.features("image_features", indices)

@@ -44,12 +44,11 @@ def stratified_subset_indices(
     species: np.ndarray,
     ratio: float,
     seed: int = 42,
-    unlabeled: str = "not_classified",
 ) -> np.ndarray:
     """Per-species stratified sample at `ratio`, keeping AT LEAST ONE record
-    per species (and of the unlabeled bucket) — reference
-    create_special_pre_train_for_bioscan_5m.py:16-67
-    (special_round_to_avoid_zero: round(n*ratio) floored at 1).
+    per species — reference create_special_pre_train_for_bioscan_5m.py:16-67
+    (special_round_to_avoid_zero: round(n*ratio) floored at 1; its
+    "not_classified" bucket is just one more string group here).
 
     → sorted int64 indices into `species`."""
     rng = np.random.default_rng(seed)
@@ -84,22 +83,27 @@ def subset_hdf5_stratified(
     5M scale).  → number of kept records."""
     with h5py.File(src_path, "r") as src, h5py.File(dst_path, "w") as dst:
         keep = stratified_subset_indices(src[split]["species"][:], ratio, seed)
+        n_keep = len(keep)
         for name in src.keys():
-            if name != split and not copy_other_splits:
+            if name != split:
+                if copy_other_splits:
+                    # verbatim group copy, streamed by h5py (no full-column
+                    # host materialization)
+                    src.copy(src[name], dst, name=name)
                 continue
             sg = src[name]
             dg = dst.create_group(name)
             for key in sg.keys():
-                if name != split:
-                    dg.create_dataset(key, data=sg[key][:])
-                    continue
                 ds = sg[key]
                 if len(ds) != len(src[split]["species"]):
                     dg.create_dataset(key, data=ds[:])  # non-record metadata
                     continue
                 # h5py fancy indexing needs sorted unique indices — keep is
-                # sorted; read in chunked slabs to bound memory at 5M scale
-                parts = [ds[keep[lo:lo + chunk].tolist()]
-                         for lo in range(0, len(keep), chunk)]
-                dg.create_dataset(key, data=np.concatenate(parts, axis=0))
-    return int(len(keep))
+                # sorted; stream slab-by-slab into a pre-created destination
+                # dataset so memory stays O(chunk), not O(kept column)
+                out = dg.create_dataset(key, shape=(n_keep, *ds.shape[1:]),
+                                        dtype=ds.dtype)
+                for lo in range(0, n_keep, chunk):
+                    sel = keep[lo:lo + chunk].tolist()
+                    out[lo:lo + len(sel)] = ds[sel]
+    return int(n_keep)

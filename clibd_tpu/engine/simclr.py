@@ -137,6 +137,7 @@ class SimCLRTrainer:
             num_workers=num_workers,
             seed=self.cfg.default_seed,
             host_id=host_id(), num_hosts=num_hosts(),
+            use_native=global_cfg.pipeline.use_native_decoder,
         )
         if params is None:
             # full-trainable ViT, no LoRA, classifier head kept (feature dim =
