@@ -49,7 +49,10 @@ def mp_results(tmp_path_factory):
 
     base = tmp_path_factory.mktemp("mp")
     hdf5 = str(base / "tiny.hdf5")
-    make_tiny_bioscan_hdf5(hdf5, n_per_split=24)
+    # ODD count: 25 records over 2 hosts exercises the wrap-padding leg of
+    # shard_indices and its inversion in extract_split_multihost's strided
+    # reassembly (an even count would never pad)
+    make_tiny_bioscan_hdf5(hdf5, n_per_split=25)
 
     # --- 2-process run (2 devices each → global mesh of 4) ---
     port = _free_port()
