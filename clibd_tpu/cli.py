@@ -1009,6 +1009,7 @@ def cmd_verify_parity(args, overrides) -> int:
         cos_threshold=args.cos_threshold,
         top1_threshold=args.top1_threshold,
         num_workers=cfg.pipeline.num_workers,
+        use_native=cfg.pipeline.use_native_decoder,
     )
     print(format_report(report))
     if args.out:

@@ -52,9 +52,10 @@ MODALITY_FEATURES = (
 # ---------------------------------------------------------------------------
 
 
-def conversion_report(ckpt_path: str, cfg) -> Dict:
-    """Convert a reference ``best.pth`` (or our npz) and report shape/NaN
-    sanity. Uses the same resolution as the runtime (`load_params_any`)."""
+def conversion_report(ckpt_path: str, cfg) -> tuple:
+    """Convert a reference ``best.pth`` (or our npz) → (params, report dict)
+    with shape/NaN sanity. Uses the same resolution as the runtime
+    (`load_params_any`)."""
     from ..models.convert import flatten_pytree
     from .checkpoint import load_params_any
 
@@ -419,6 +420,7 @@ def verify_parity(
     cos_threshold: float = 0.99,
     top1_threshold: float = 0.005,
     num_workers: int = 2,
+    use_native: bool = False,
     progress: bool = True,
 ) -> Dict:
     """Run every leg the supplied artifacts allow; → report dict with
@@ -435,7 +437,7 @@ def verify_parity(
     if params is not None and hdf5:
         seen_d, unseen_d, keys_d = reextract(
             params, cfg, hdf5, eval_on=eval_on, n=n,
-            num_workers=num_workers, progress=progress)
+            num_workers=num_workers, use_native=use_native, progress=progress)
         our_trio = (seen_d, unseen_d, keys_d)
         report["legs"]["reextract"] = {
             "n_seen": len(seen_d["label_list"]),
