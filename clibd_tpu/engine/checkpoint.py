@@ -45,6 +45,38 @@ def _path_str(p) -> str:
     return str(p)
 
 
+def _atomic_npz(path: str, arrays: dict) -> None:
+    """Write-then-rename so a crash mid-write never leaves a truncated file
+    where a resumable checkpoint used to be."""
+    tmp = path + ".tmp.npz"  # np.savez appends .npz to names without it
+    np.savez(tmp, **arrays)
+    os.replace(tmp, path)
+
+
+def _write_train_state_host(
+    directory: str,
+    host_params: dict,
+    host_opt_flat: Optional[dict],
+    step: int,
+    epoch: int,
+    meta: Optional[dict],
+) -> None:
+    """Disk leg only — inputs are host numpy trees (no device access), so
+    this can run on a background thread."""
+    from ..models.convert import flatten_pytree
+
+    os.makedirs(directory, exist_ok=True)
+    _atomic_npz(os.path.join(directory, "params.npz"), flatten_pytree(host_params))
+    if host_opt_flat is not None:
+        _atomic_npz(os.path.join(directory, "opt_state.npz"), host_opt_flat)
+    info = {"step": int(step), "epoch": int(epoch)}
+    info.update(meta or {})
+    tmp = os.path.join(directory, "meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(info, f, indent=2)
+    os.replace(tmp, os.path.join(directory, "meta.json"))
+
+
 def save_train_state(
     directory: str,
     params,
@@ -53,14 +85,59 @@ def save_train_state(
     epoch: int = 0,
     meta: Optional[dict] = None,
 ) -> None:
-    os.makedirs(directory, exist_ok=True)
-    save_params_npz(jax.tree.map(np.asarray, params), os.path.join(directory, "params.npz"))
-    if opt_state is not None:
-        np.savez(os.path.join(directory, "opt_state.npz"), **_flatten_with_paths(opt_state))
-    info = {"step": int(step), "epoch": int(epoch)}
-    info.update(meta or {})
-    with open(os.path.join(directory, "meta.json"), "w") as f:
-        json.dump(info, f, indent=2)
+    host_params = jax.tree.map(np.asarray, params)
+    host_opt = _flatten_with_paths(jax.tree.map(np.asarray, opt_state)) \
+        if opt_state is not None else None
+    _write_train_state_host(directory, host_params, host_opt, step, epoch, meta)
+
+
+class AsyncCheckpointWriter:
+    """Overlap checkpoint DISK writes with the next training epoch: the
+    device→host fetch happens on the caller's thread (it must — device
+    buffers are donated/updated by the next step), then the
+    serialize+write+rename runs on a background thread.  A new submit to the
+    same directory joins the previous write first (last/ is rewritten every
+    epoch); `wait()` joins everything — call it before reading the files
+    back or exiting.  The reference (and round-2 clibd_tpu) blocked the
+    training loop for the whole np.savez (~seconds at ViT-B scale,
+    every epoch)."""
+
+    def __init__(self):
+        import threading
+
+        self._threading = threading
+        self._pending: dict = {}
+        self._errors: list = []
+
+    def submit(self, directory: str, params, opt_state, step: int, epoch: int,
+               meta: Optional[dict] = None) -> None:
+        self.wait(directory)
+        host_params = jax.tree.map(np.asarray, params)
+        host_opt = _flatten_with_paths(jax.tree.map(np.asarray, opt_state)) \
+            if opt_state is not None else None
+
+        def write():
+            try:
+                _write_train_state_host(directory, host_params, host_opt,
+                                        step, epoch, meta)
+            except Exception as e:  # surfaced on the next wait()
+                self._errors.append((directory, e))
+
+        t = self._threading.Thread(target=write, daemon=True)
+        t.start()
+        self._pending[directory] = t
+
+    def wait(self, directory: Optional[str] = None) -> None:
+        """Join the write for one directory (or all); re-raise any failure —
+        a silently lost checkpoint must not look like a saved one."""
+        dirs = [directory] if directory is not None else list(self._pending)
+        for d in dirs:
+            t = self._pending.pop(d, None)
+            if t is not None:
+                t.join()
+        if self._errors:
+            d, e = self._errors.pop(0)
+            raise RuntimeError(f"async checkpoint write to {d!r} failed") from e
 
 
 def load_train_state(
@@ -125,15 +202,26 @@ def load_params_any(path: str, cfg=None) -> dict:
 
 
 class BestLastCheckpointer:
-    """best/last checkpoint pair selected by overall_acc (train_cl.py:292-319)."""
+    """best/last checkpoint pair selected by overall_acc (train_cl.py:292-319).
 
-    def __init__(self, directory: str):
+    async_writes=True overlaps the disk leg with the next epoch
+    (AsyncCheckpointWriter); call `wait()` before reading the files back."""
+
+    def __init__(self, directory: str, async_writes: bool = False):
         self.directory = directory
         self.best_metric: Optional[float] = None
         self.best_epoch: Optional[int] = None
+        self._writer = AsyncCheckpointWriter() if async_writes else None
+
+    def _save(self, subdir, params, opt_state, step, epoch, meta):
+        path = os.path.join(self.directory, subdir)
+        if self._writer is not None:
+            self._writer.submit(path, params, opt_state, step, epoch, meta)
+        else:
+            save_train_state(path, params, opt_state, step, epoch, meta)
 
     def save_last(self, params, opt_state, step, epoch, meta=None):
-        save_train_state(os.path.join(self.directory, "last"), params, opt_state, step, epoch, meta)
+        self._save("last", params, opt_state, step, epoch, meta)
 
     def maybe_save_best(
         self, metric: float, params, opt_state, step, epoch, meta=None, save: bool = True
@@ -147,6 +235,11 @@ class BestLastCheckpointer:
             if save:
                 info = dict(meta or {})
                 info["overall_acc"] = metric
-                save_train_state(os.path.join(self.directory, "best"), params, opt_state, step, epoch, info)
+                self._save("best", params, opt_state, step, epoch, info)
             return True
         return False
+
+    def wait(self):
+        """Join any in-flight async writes (no-op in sync mode)."""
+        if self._writer is not None:
+            self._writer.wait()

@@ -191,7 +191,9 @@ class Trainer:
         self.hdf5_path = hdf5_path
         self.mesh = mesh if mesh is not None else create_mesh()
         self.log_fn = log_fn or (lambda d: None)
-        self.checkpointer = BestLastCheckpointer(output_dir)
+        # async checkpoint writes: the disk leg of last/best saves overlaps
+        # the next epoch; fit() and close() join before returning
+        self.checkpointer = BestLastCheckpointer(output_dir, async_writes=True)
         self.eval_splits = eval_splits or {
             "keys": "all_keys",
             "seen": "val_seen",
@@ -459,7 +461,11 @@ class Trainer:
                 elif self.gcfg.enable_early_stopping:
                     self.stop_flag = True
                 self.log_fn({"overall_acc": overall, "epoch": epoch})
+        # join in-flight async checkpoint writes: returning implies the
+        # last/best state on disk is complete and readable
+        self.checkpointer.wait()
         return history
 
     def close(self):
+        self.checkpointer.wait()
         self.train_loader.close()

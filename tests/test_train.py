@@ -312,3 +312,35 @@ def test_shard_map_train_step_with_flash_kernels(tiny_hdf5, monkeypatch):
                     jax.tree.leaves(jax.device_get(p_ref))):
         np.testing.assert_allclose(np.asarray(a, np.float32), np.asarray(b, np.float32),
                                    atol=3e-2, rtol=3e-2)
+
+
+def test_async_checkpoint_writer(tmp_path):
+    """AsyncCheckpointWriter: overlapped writes land complete and readable;
+    same-directory submits serialize; failures surface on wait()."""
+    import numpy as np
+
+    from clibd_tpu.engine.checkpoint import (
+        AsyncCheckpointWriter, load_train_state, save_train_state)
+
+    w = AsyncCheckpointWriter()
+    params = {"a": {"w": np.arange(6, dtype=np.float32).reshape(2, 3)}}
+    d = str(tmp_path / "last")
+    for step in range(3):  # re-submits join the previous write
+        w.submit(d, {"a": {"w": params["a"]["w"] + step}}, None, step, step)
+    w.wait()
+    loaded, _opt, meta = load_train_state(d)
+    np.testing.assert_array_equal(loaded["a"]["w"], params["a"]["w"] + 2)
+    assert meta["step"] == 2
+
+    # atomicity naming: no stray .tmp files
+    import os
+
+    assert not [f for f in os.listdir(d) if ".tmp" in f]
+
+    # a failing write surfaces on wait(), not silently
+    w2 = AsyncCheckpointWriter()
+    w2.submit("/proc/definitely/not/writable", params, None, 0, 0)
+    import pytest
+
+    with pytest.raises(RuntimeError):
+        w2.wait()
