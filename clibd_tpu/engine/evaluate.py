@@ -48,10 +48,14 @@ def inference_and_eval(
     unseen_dict: Dict,
     k_list: Sequence[int] = (1, 3, 5),
     query_chunk: int = 4096,
+    with_preds: bool = True,
 ) -> tuple:
     """→ (acc_dict, per_class_acc, pred_dict) with the reference's nesting:
     acc_dict[query_type][key_type][seen|unseen][micro_acc|macro_acc][k][level].
-    """
+
+    with_preds=False skips the per-query prediction-list payload (pred_dict
+    stays id/gt-only) — it is pure Python dict assembly, ~0.5 s per grid
+    cell at 1M shapes, and the in-training eval only reads acc_dict."""
     acc_dict: Dict = {}
     per_class_acc: Dict = {}
     max_k = max(k_list)
@@ -87,6 +91,10 @@ def inference_and_eval(
             _dev_queries[key] = _jax.device_put(np.asarray(arr, np.float32))
         return _dev_queries[key]
 
+    # the all-keys label conversion builds a [3N, 4] object table — once, not
+    # once per query type
+    akf_key_labels = None
+
     for query_type in ALL_TYPE_OF_FEATURES_OF_QUERY:
         if seen_dict.get(query_type) is None:
             continue
@@ -98,7 +106,10 @@ def inference_and_eval(
                 continue
             key_labels = base_key_labels
             if key_type == "all_key_features":
-                key_labels = labels_to_level_arrays(keys_dict["all_key_features_label"])
+                if akf_key_labels is None:
+                    akf_key_labels = labels_to_level_arrays(
+                        keys_dict["all_key_features_label"])
+                key_labels = akf_key_labels
 
             q_seen = seen_dict[query_type]
             q_unseen = unseen_dict.get(query_type)
@@ -131,10 +142,11 @@ def inference_and_eval(
 
             acc_dict[query_type][key_type] = entry
             per_class_acc[query_type][key_type] = {"seen": seen_pc, "unseen": unseen_pc}
-            pred_dict[query_type][key_type] = {
-                "curr_seen_pred_list": _pred_lists(seen_preds, len(seen_dict["label_list"])),
-                "curr_unseen_pred_list": _pred_lists(unseen_preds, len(unseen_dict["label_list"])),
-            }
+            if with_preds:
+                pred_dict[query_type][key_type] = {
+                    "curr_seen_pred_list": _pred_lists(seen_preds, len(seen_dict["label_list"])),
+                    "curr_unseen_pred_list": _pred_lists(unseen_preds, len(unseen_dict["label_list"])),
+                }
     return acc_dict, per_class_acc, pred_dict
 
 

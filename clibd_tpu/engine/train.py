@@ -378,7 +378,7 @@ class Trainer:
         keys_dict = run(self.eval_splits["keys"], for_key=True)
         seen_dict = run(self.eval_splits["seen"])
         unseen_dict = run(self.eval_splits["unseen"])
-        acc_dict, _, _ = inference_and_eval(keys_dict, seen_dict, unseen_dict)
+        acc_dict, _, _ = inference_and_eval(keys_dict, seen_dict, unseen_dict, with_preds=False)
         return acc_dict
 
     def resume(self, directory: str) -> int:

@@ -234,7 +234,8 @@ def _species_top1(trio, query_chunk: int = 4096) -> Dict:
 
     seen_dict, unseen_dict, keys_dict = trio
     acc_dict, _, _ = inference_and_eval(keys_dict, seen_dict, unseen_dict,
-                                        k_list=[1], query_chunk=query_chunk)
+                                        k_list=[1], query_chunk=query_chunk,
+                                        with_preds=False)
     flat: Dict = {}
     for q, by_key in acc_dict.items():
         for k, entry in by_key.items():

@@ -32,13 +32,20 @@ def top_k_micro_accuracy(
     k_list: Sequence[int] = (1, 3, 5),
 ) -> dict:
     """Returns {k: {level: acc}} like the reference."""
-    out: dict = {}
-    for k in k_list:
-        out[k] = {}
-        for level in LEVELS:
-            pred = np.asarray(pred_by_level[level])
-            gt = np.asarray(gt_by_level[level])
-            out[k][level] = float(_hits(pred, gt, k).mean()) if len(gt) else 0.0
+    out: dict = {k: {} for k in k_list}
+    max_k = max(k_list)
+    for level in LEVELS:
+        pred = np.asarray(pred_by_level[level])
+        gt = np.asarray(gt_by_level[level])
+        if len(gt) == 0:
+            for k in k_list:
+                out[k][level] = 0.0
+            continue
+        # the object-array equality over [N, max_k] is the expensive op at
+        # 40k-query scale — compute it ONCE per level and slice per k
+        eq = pred[:, :max_k] == gt[:, None]
+        for k in k_list:
+            out[k][level] = float(eq[:, :k].any(axis=1).mean())
     return out
 
 
@@ -48,25 +55,30 @@ def top_k_macro_accuracy(
     k_list: Sequence[int] = (1, 3, 5),
 ) -> tuple:
     """Returns (macro_acc {k: {level: acc}}, per_class_acc {k: {level: {label: acc}}})."""
-    macro: dict = {}
-    per_class: dict = {}
-    for k in k_list:
-        macro[k] = {}
-        per_class[k] = {}
-        for level in LEVELS:
-            pred = np.asarray(pred_by_level[level])
-            gt = np.asarray(gt_by_level[level])
-            if len(gt) == 0:
+    macro: dict = {k: {} for k in k_list}
+    per_class: dict = {k: {} for k in k_list}
+    max_k = max(k_list)
+    for level in LEVELS:
+        pred = np.asarray(pred_by_level[level])
+        gt = np.asarray(gt_by_level[level])
+        if len(gt) == 0:
+            for k in k_list:
                 macro[k][level] = 0.0
                 per_class[k][level] = {}
-                continue
-            hits = _hits(pred, gt, k)
-            classes, inv = np.unique(gt, return_inverse=True)
-            hit_counts = np.bincount(inv, weights=hits.astype(np.float64), minlength=len(classes))
-            gt_counts = np.bincount(inv, minlength=len(classes))
+            continue
+        # hoist the two expensive per-level ops out of the k loop: the
+        # object-string unique/sort and the [N, max_k] equality matrix
+        eq = pred[:, :max_k] == gt[:, None]
+        classes, inv = np.unique(gt, return_inverse=True)
+        gt_counts = np.bincount(inv, minlength=len(classes))
+        class_names = [str(c) for c in classes]
+        for k in k_list:
+            hits = eq[:, :k].any(axis=1)
+            hit_counts = np.bincount(inv, weights=hits.astype(np.float64),
+                                     minlength=len(classes))
             rates = hit_counts / gt_counts
             macro[k][level] = float(rates.mean())
-            per_class[k][level] = {str(c): float(r) for c, r in zip(classes, rates)}
+            per_class[k][level] = dict(zip(class_names, map(float, rates)))
     return macro, per_class
 
 
