@@ -77,6 +77,15 @@ def _write_train_state_host(
     os.replace(tmp, os.path.join(directory, "meta.json"))
 
 
+def _host_snapshot(params, opt_state):
+    """Device→host fetch shared by the sync and async save paths (a fix to
+    one must not silently diverge the other)."""
+    host_params = jax.tree.map(np.asarray, params)
+    host_opt = _flatten_with_paths(jax.tree.map(np.asarray, opt_state)) \
+        if opt_state is not None else None
+    return host_params, host_opt
+
+
 def save_train_state(
     directory: str,
     params,
@@ -85,9 +94,7 @@ def save_train_state(
     epoch: int = 0,
     meta: Optional[dict] = None,
 ) -> None:
-    host_params = jax.tree.map(np.asarray, params)
-    host_opt = _flatten_with_paths(jax.tree.map(np.asarray, opt_state)) \
-        if opt_state is not None else None
+    host_params, host_opt = _host_snapshot(params, opt_state)
     _write_train_state_host(directory, host_params, host_opt, step, epoch, meta)
 
 
@@ -112,9 +119,7 @@ class AsyncCheckpointWriter:
     def submit(self, directory: str, params, opt_state, step: int, epoch: int,
                meta: Optional[dict] = None) -> None:
         self.wait(directory)
-        host_params = jax.tree.map(np.asarray, params)
-        host_opt = _flatten_with_paths(jax.tree.map(np.asarray, opt_state)) \
-            if opt_state is not None else None
+        host_params, host_opt = _host_snapshot(params, opt_state)
 
         def write():
             try:
@@ -123,21 +128,29 @@ class AsyncCheckpointWriter:
             except Exception as e:  # surfaced on the next wait()
                 self._errors.append((directory, e))
 
-        t = self._threading.Thread(target=write, daemon=True)
+        # NON-daemon: the interpreter joins outstanding writes at exit, so an
+        # uncaught exception in the training loop cannot tear a half-written
+        # checkpoint set (the write-then-rename makes each file atomic; the
+        # join makes the SET complete)
+        t = self._threading.Thread(target=write, daemon=False)
         t.start()
         self._pending[directory] = t
 
     def wait(self, directory: Optional[str] = None) -> None:
-        """Join the write for one directory (or all); re-raise any failure —
-        a silently lost checkpoint must not look like a saved one."""
+        """Join the write for one directory (or all); re-raise any failures —
+        a silently lost checkpoint must not look like a saved one.  ALL
+        queued errors drain in one exception (a stale failure must not
+        resurface on a later, unrelated wait)."""
         dirs = [directory] if directory is not None else list(self._pending)
         for d in dirs:
             t = self._pending.pop(d, None)
             if t is not None:
                 t.join()
         if self._errors:
-            d, e = self._errors.pop(0)
-            raise RuntimeError(f"async checkpoint write to {d!r} failed") from e
+            errors, self._errors = self._errors, []
+            detail = "; ".join(f"{d!r}: {e!r}" for d, e in errors)
+            raise RuntimeError(f"async checkpoint write(s) failed: {detail}") \
+                from errors[0][1]
 
 
 def load_train_state(

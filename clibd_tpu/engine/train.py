@@ -420,6 +420,15 @@ class Trainer:
     def fit(self, progress: bool = False, start_epoch: int = 0) -> dict:
         cfg = self.cfg
         history = {"loss": [], "overall_acc": [], "best_epoch": None}
+        try:
+            return self._fit_loop(history, progress, start_epoch)
+        finally:
+            # join in-flight async checkpoint writes on EVERY exit path
+            # (KeyboardInterrupt mid-epoch must not tear the last/best set)
+            self.checkpointer.wait()
+
+    def _fit_loop(self, history, progress: bool, start_epoch: int) -> dict:
+        cfg = self.cfg
         for epoch in range(start_epoch, cfg.epochs):
             if self.stop_flag:
                 break
@@ -461,9 +470,6 @@ class Trainer:
                 elif self.gcfg.enable_early_stopping:
                     self.stop_flag = True
                 self.log_fn({"overall_acc": overall, "epoch": epoch})
-        # join in-flight async checkpoint writes: returning implies the
-        # last/best state on disk is complete and readable
-        self.checkpointer.wait()
         return history
 
     def close(self):

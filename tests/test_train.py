@@ -337,9 +337,12 @@ def test_async_checkpoint_writer(tmp_path):
 
     assert not [f for f in os.listdir(d) if ".tmp" in f]
 
-    # a failing write surfaces on wait(), not silently
+    # a failing write surfaces on wait(), not silently — a regular file used
+    # as a directory component fails portably (no procfs assumption)
+    blocker = tmp_path / "afile"
+    blocker.write_text("x")
     w2 = AsyncCheckpointWriter()
-    w2.submit("/proc/definitely/not/writable", params, None, 0, 0)
+    w2.submit(str(blocker / "sub"), params, None, 0, 0)
     import pytest
 
     with pytest.raises(RuntimeError):
