@@ -154,7 +154,10 @@ def cmd_train(args, overrides) -> int:
         train_loader=train_loader,
         eval_loader_factory=eval_loader_factory,
     )
-    save_config(cfg, os.path.join(out_dir, "config.yaml"))
+    from .parallel.mesh import is_main_process
+
+    if is_main_process():
+        save_config(cfg, os.path.join(out_dir, "config.yaml"))
     start_epoch = 0
     if args.resume:
         resume_dir = args.resume if args.resume is not True else os.path.join(out_dir, "last")
@@ -195,6 +198,8 @@ def cmd_eval(args, overrides) -> int:
     )
     from .config.schema import to_dict
 
+    from .parallel.mesh import is_main_process
+
     mc = cfg.model_config
     eval_on = cfg.inference_and_eval_setting.eval_on
     hdf5 = args.hdf5 or _dataset_hdf5_path(cfg)
@@ -202,6 +207,9 @@ def cmd_eval(args, overrides) -> int:
         cfg.project_root_path, "extracted_embedding", mc.dataset, mc.model_output_name
     )
     os.makedirs(folder, exist_ok=True)
+    # multi-host: every process computes (deterministic, host-sharded
+    # extraction reassembles identically) but only process 0 writes files
+    main = is_main_process()
     feat_path = os.path.join(folder, f"extracted_feature_from_{eval_on}_split.hdf5")
     labels_path = os.path.join(folder, f"labels_{eval_on}.json")
     ids_path = os.path.join(folder, f"processed_id_{eval_on}.json")
@@ -214,16 +222,15 @@ def cmd_eval(args, overrides) -> int:
         spec = BatchSpec.eval_spec(mc)
 
         def run(split, for_key=False):
-            loader = BioscanLoader(hdf5, split, spec, num_workers=cfg.pipeline.num_workers,
-                                   use_native=cfg.pipeline.use_native_decoder)
-            out = extract_split(params, mc, loader, for_key_set=for_key, progress=True)
-            loader.close()
-            return out
+            # multi-host pods shard the split across processes (allgather
+            # reassembly), like the in-training eval
+            return _extract_split_auto(params, mc, cfg, hdf5, split, spec,
+                                       for_key=for_key, progress=True)
 
         keys_dict = run("all_keys", for_key=True)
         seen_dict = run(f"{eval_on}_seen")
         unseen_dict = run(f"{eval_on}_unseen")
-        if cfg.save_inference:
+        if cfg.save_inference and main:
             save_extracted_features(feat_path, seen_dict, unseen_dict, keys_dict)
             save_labels_and_ids(labels_path, ids_path, seen_dict, unseen_dict, keys_dict)
 
@@ -233,7 +240,7 @@ def cmd_eval(args, overrides) -> int:
         query_chunk=cfg.inference_and_eval_setting.knn_query_chunk,
     )
 
-    if cfg.inference_and_eval_setting.retrieve_images:
+    if cfg.inference_and_eval_setting.retrieve_images and main:
         from .engine.retrieval_grid import retrieve_images_multi
 
         rs = cfg.inference_and_eval_setting.retrieve_settings
@@ -250,7 +257,7 @@ def cmd_eval(args, overrides) -> int:
             load_cached_results=rs.load_cached_results,
             only_failures=rs.only_failures,
         )
-    if cfg.inference_and_eval_setting.similarity_distributions:
+    if cfg.inference_and_eval_setting.similarity_distributions and main:
         from .analysis.distributions import (
             plot_similarity_distributions,
             similarity_distribution_rows,
@@ -261,7 +268,7 @@ def cmd_eval(args, overrides) -> int:
         write_distance_csv(rows, os.path.join(folder, "similarity_distances.csv"))
         plot_similarity_distributions(
             rows, os.path.join(folder, "similarity_distributions.png"))
-    if cfg.inference_and_eval_setting.plot_embeddings:
+    if cfg.inference_and_eval_setting.plot_embeddings and main:
         from .analysis.plots import generate_embedding_plot
 
         generate_embedding_plot(
@@ -291,7 +298,7 @@ def cmd_eval(args, overrides) -> int:
     print("For copy to google doc")
     for row in copy_rows:
         print(row)
-    if cfg.save_inference:
+    if cfg.save_inference and main:
         save_results("logs", acc_dict, csv_rows, raw_rows, config_snapshot=to_dict(cfg))
         for name, payload in (
             (f"per_class_acc_{eval_on}.json", per_class_acc),
@@ -322,28 +329,47 @@ def _stringify(obj):
 
 
 def cmd_extract(args, overrides) -> int:
-    """Embedding export (reference scripts/save_embedding/extract_embedding.py)."""
+    """Embedding export (reference scripts/save_embedding/extract_embedding.py).
+
+    On a multi-host pod the split is host-sharded (each process decodes and
+    encodes 1/H, allgather reassembles) and process 0 writes the file."""
     cfg = _load_cfg(args, overrides)
-    from .data.pipeline import BatchSpec, BioscanLoader
-    from .engine.extract import extract_split, save_embedding_export
+    from .data.pipeline import BatchSpec
+    from .engine.extract import save_embedding_export
+    from .parallel.mesh import is_main_process
 
     mc = cfg.model_config
     params = _resolve_params(cfg)
     hdf5 = args.hdf5 or _dataset_hdf5_path(cfg)
-    spec = BatchSpec(
-        batch_size=mc.batch_size, train=False, transport_uint8=mc.amp,
-        with_image=mc.image.enable, with_dna=mc.dna.enable, with_language=mc.language.enable,
-        dna_kmer=mc.dna.kmer, dna_tokenizer=mc.dna.tokenizer,
-        dna_stride=mc.dna.stride, dna_max_bp=mc.dna.max_bp,
-        clip_tokenizer=BatchSpec.maybe_clip_tokenizer(mc),
-    )
-    loader = BioscanLoader(hdf5, args.split, spec, num_workers=cfg.pipeline.num_workers,
-                           use_native=cfg.pipeline.use_native_decoder)
-    out = extract_split(params, mc, loader, progress=True)
-    loader.close()
-    save_embedding_export(args.out, out)
-    print(f"Saved embeddings for split {args.split!r} to {args.out}")
+    spec = BatchSpec.eval_spec(mc)
+    out = _extract_split_auto(params, mc, cfg, hdf5, args.split, spec, progress=True)
+    if is_main_process():
+        save_embedding_export(args.out, out)
+        print(f"Saved embeddings for split {args.split!r} to {args.out}")
     return 0
+
+
+def _extract_split_auto(params, mc, cfg, hdf5, split, spec, for_key=False,
+                        progress=False):
+    """extract_split with automatic multi-host sharding: single process uses
+    the plain loader; a multi-process job shards the split across hosts and
+    allgathers (extract_split_multihost) — every host returns the identical
+    full-split dict."""
+    import jax
+
+    from .data.pipeline import BioscanLoader
+    from .engine.extract import extract_split, extract_split_multihost
+
+    if jax.process_count() > 1:
+        return extract_split_multihost(
+            params, mc, hdf5, split, spec, for_key_set=for_key,
+            num_workers=cfg.pipeline.num_workers,
+            use_native=cfg.pipeline.use_native_decoder, progress=progress)
+    loader = BioscanLoader(hdf5, split, spec, num_workers=cfg.pipeline.num_workers,
+                           use_native=cfg.pipeline.use_native_decoder)
+    out = extract_split(params, mc, loader, for_key_set=for_key, progress=progress)
+    loader.close()
+    return out
 
 
 def cmd_simclr(args, overrides) -> int:
