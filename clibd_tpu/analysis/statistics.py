@@ -165,6 +165,13 @@ def write_statistics_csvs(hdf5_path: str, output_dir: str,
 
     paths["histogram_png"] = plot_records_per_class_histogram(
         freq_by_split, os.path.join(output_dir, "records_per_class_histogram.png"))
+
+    comp = species_split_composition(hdf5_path)
+    if comp["groups"]:
+        paths["species_split_composition"] = write_species_split_composition(
+            comp, os.path.join(output_dir, "species_split_composition.csv"))
+        paths["species_split_png"] = plot_species_split_distribution(
+            comp, os.path.join(output_dir, "species_split_distribution.png"))
     return paths
 
 
@@ -193,6 +200,143 @@ def unique_barcode_bin_counts(hdf5_path: str,
                 entry["unique_dna_bins"] = int(len(np.unique(g["dna_bin"][...])))
             out[split] = entry
     return out
+
+
+# data_visualization.py's composite "species splits": record-level species
+# lists concatenated across the member HDF5 groups (reference
+# scripts/result/data_visualization.py:228-234).  Members absent from a file
+# are skipped (the 1M file has val/test_unseen_keys; reduced fixtures may
+# only carry a combined unseen_keys).
+SPECIES_SPLIT_GROUPS = (
+    ("seen", ("seen_keys", "train_seen", "val_seen", "test_seen")),
+    ("val_unseen", ("val_unseen", "val_unseen_keys")),
+    ("test_unseen", ("test_unseen", "test_unseen_keys", "unseen_keys")),
+)
+
+# records-per-species bins for the stacked species-distribution figure
+# (data_visualization.py:66-67; the reference's last bin is written 161-2714
+# because 2714 is the 1M max — semantically open-ended, so None here).
+# Species with a single record fall outside every bin, as in the reference.
+DATA_VIZ_RANGES = ((2, 10), (11, 20), (21, 40), (41, 80), (81, 160), (161, None))
+
+SKIP_SPLITS = ("no_split_and_seen_train", "no_split", "all_keys", "single_species")
+
+
+def species_split_composition(hdf5_path: str,
+                              groups=SPECIES_SPLIT_GROUPS,
+                              maj_threshold: int = 9,
+                              skip: Sequence[str] = SKIP_SPLITS) -> Dict:
+    """Reference scripts/result/data_visualization.py:200-328 — species-split
+    membership analysis on the split HDF5:
+
+    - per composite group (seen / val_unseen / test_unseen): record count,
+      unique species, each member split's share of the group's records
+      (the reference's "% species in ..." printouts, which are record
+      fractions), and a records-per-species range histogram
+      (``DATA_VIZ_RANGES``) feeding the stacked distribution figure;
+    - maj/min species (>= / < ``maj_threshold`` records over all non-skipped
+      splits): what fraction of each appears in each group.
+
+    Quirk note: the reference tallies ``all_species_count_dict`` starting at
+    0 on a species' FIRST sighting (data_visualization.py:236-240), so its
+    "count" is occurrences-1 and its ">= 9" is really ">= 10 records".  Here
+    counts are true record counts; pass ``maj_threshold=10`` to reproduce
+    the reference's effective cut.
+    """
+    import h5py
+
+    group_species: Dict[str, list] = {}
+    per_split_len: Dict[str, Dict[str, int]] = {}
+    all_counts: Counter = Counter()
+    with h5py.File(hdf5_path, "r") as f:
+        for split in f.keys():
+            if split in skip or "species" not in f[split]:
+                continue
+            vals = [v.decode() if isinstance(v, bytes) else str(v)
+                    for v in f[split]["species"][...]]
+            all_counts.update(vals)
+            for gname, members in groups:
+                if split in members:
+                    group_species.setdefault(gname, []).extend(vals)
+                    per_split_len.setdefault(gname, {})[split] = len(vals)
+
+    out: Dict = {"groups": {}, "maj_min": {}}
+    for gname, _ in groups:
+        species = group_species.get(gname, [])
+        if not species:
+            continue
+        counts = Counter(species)
+        out["groups"][gname] = {
+            "records": len(species),
+            "unique_species": len(counts),
+            "per_split_record_fraction": {
+                s: n / len(species) for s, n in sorted(per_split_len[gname].items())
+            },
+            "range_histogram": range_histogram(counts, ranges=DATA_VIZ_RANGES),
+        }
+
+    group_sets = {g: set(sp) for g, sp in group_species.items()}
+    for kind, keep in (("maj", lambda c: c >= maj_threshold),
+                       ("min", lambda c: c < maj_threshold)):
+        members = [s for s, c in all_counts.items() if keep(c)]
+        entry = {"total": len(members)}
+        for gname in group_sets:
+            inside = sum(1 for s in members if s in group_sets[gname])
+            entry[gname] = inside / len(members) if members else 0.0
+        out["maj_min"][kind] = entry
+    return out
+
+
+def write_species_split_composition(comp: Dict, output_path: str) -> str:
+    """CSV form of :func:`species_split_composition` (one row per group +
+    maj/min rows), replacing the reference's print-only output."""
+    os.makedirs(os.path.dirname(os.path.abspath(output_path)), exist_ok=True)
+    bins = list(range_histogram(Counter({"x": 1}), ranges=DATA_VIZ_RANGES).keys())
+    with open(output_path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["row", "group", "records", "unique_species",
+                    "per_split_record_fraction"] + bins)
+        for gname, e in comp["groups"].items():
+            fracs = ";".join(f"{s}={v:.4f}"
+                             for s, v in e["per_split_record_fraction"].items())
+            w.writerow(["group", gname, e["records"], e["unique_species"], fracs]
+                       + [e["range_histogram"][b] for b in bins])
+        for kind, e in comp["maj_min"].items():
+            fracs = ";".join(f"{g}={v:.4f}" for g, v in sorted(e.items())
+                             if g != "total")
+            w.writerow([kind, "", e["total"], "", fracs] + [""] * len(bins))
+    return output_path
+
+
+def plot_species_split_distribution(comp: Dict, output_path: str) -> str:
+    """Stacked horizontal bar of species counts per records-per-species bin,
+    one bar per composite group (reference
+    plot_species_count_in_each_species_split, data_visualization.py:57-102)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    groups = list(comp["groups"])
+    bins = list(range_histogram(Counter({"x": 1}), ranges=DATA_VIZ_RANGES).keys())
+    cmap = plt.get_cmap("viridis")
+    fig, ax = plt.subplots(figsize=(10, 2.5 + 0.6 * len(groups)))
+    left = np.zeros(len(groups))
+    for i, b in enumerate(bins):
+        vals = np.array([comp["groups"][g]["range_histogram"][b] for g in groups],
+                        dtype=float)
+        ax.barh(groups, vals, left=left, label=b,
+                color=cmap(i / max(len(bins) - 1, 1)))
+        left += vals
+    ax.set_xlabel("Number of species")
+    ax.set_title("Distribution of species")
+    ax.legend(title="records per species", fontsize=7,
+              loc="upper left", bbox_to_anchor=(1.0, 1.0))
+    fig.tight_layout()
+    os.makedirs(os.path.dirname(os.path.abspath(output_path)), exist_ok=True)
+    fig.savefig(output_path, dpi=150)
+    plt.close(fig)
+    return output_path
 
 
 def plot_records_per_class_histogram(freq_by_split: Dict[str, Dict[str, Counter]],

@@ -146,6 +146,52 @@ def test_statistics_summary(tiny_hdf5, tmp_path, capsys):
     assert "train" in capsys.readouterr().out
 
 
+def test_species_split_composition(tiny_hdf5, tmp_path):
+    """data_visualization.py parity: composite species-split groups,
+    maj/min membership fractions, stacked distribution figure."""
+    from clibd_tpu.analysis.statistics import (
+        species_split_composition,
+        write_species_split_composition,
+        plot_species_split_distribution,
+    )
+    import h5py
+
+    comp = species_split_composition(tiny_hdf5)
+    # fixture carries seen_keys/train_seen/val_seen/test_seen + val_unseen,
+    # test_unseen + (combined) unseen_keys
+    assert set(comp["groups"]) == {"seen", "val_unseen", "test_unseen"}
+    seen = comp["groups"]["seen"]
+    assert seen["records"] == 4 * 12  # 4 member splits × 12 records
+    fr = seen["per_split_record_fraction"]
+    assert set(fr) == {"seen_keys", "train_seen", "val_seen", "test_seen"}
+    assert abs(sum(fr.values()) - 1.0) < 1e-9
+    # every species in the fixture has >= 1 record; bins start at 2 so the
+    # histogram never counts more species than the group holds
+    assert sum(seen["range_histogram"].values()) <= seen["unique_species"]
+    assert list(seen["range_histogram"]) == ["2-10", "11-20", "21-40",
+                                             "41-80", "81-160", "161+"]
+
+    # maj/min partition the global species set; fractions in [0, 1]
+    mm = comp["maj_min"]
+    with h5py.File(tiny_hdf5) as f:
+        n_global = len({v for s in f.keys()
+                        if s not in ("no_split_and_seen_train", "no_split",
+                                     "all_keys", "single_species")
+                        for v in f[s]["species"][...]})
+    assert mm["maj"]["total"] + mm["min"]["total"] == n_global
+    for kind in ("maj", "min"):
+        for g in ("seen", "val_unseen", "test_unseen"):
+            assert 0.0 <= mm[kind][g] <= 1.0
+
+    csv_p = write_species_split_composition(comp, str(tmp_path / "comp.csv"))
+    png_p = plot_species_split_distribution(comp, str(tmp_path / "comp.png"))
+    assert os.path.getsize(csv_p) > 0 and os.path.getsize(png_p) > 0
+    with open(csv_p) as f:
+        header = f.readline().strip().split(",")
+    assert header[:5] == ["row", "group", "records", "unique_species",
+                          "per_split_record_fraction"]
+
+
 def test_retrieve_images_multi_modes(tiny_hdf5, tmp_path):
     from clibd_tpu.engine.retrieval_grid import retrieve_images_multi
 
