@@ -166,7 +166,7 @@ def write_statistics_csvs(hdf5_path: str, output_dir: str,
     paths["histogram_png"] = plot_records_per_class_histogram(
         freq_by_split, os.path.join(output_dir, "records_per_class_histogram.png"))
 
-    comp = species_split_composition(hdf5_path)
+    comp = species_split_composition(hdf5_path, splits=splits)
     if comp["groups"]:
         paths["species_split_composition"] = write_species_split_composition(
             comp, os.path.join(output_dir, "species_split_composition.csv"))
@@ -225,7 +225,8 @@ SKIP_SPLITS = ("no_split_and_seen_train", "no_split", "all_keys", "single_specie
 def species_split_composition(hdf5_path: str,
                               groups=SPECIES_SPLIT_GROUPS,
                               maj_threshold: int = 9,
-                              skip: Sequence[str] = SKIP_SPLITS) -> Dict:
+                              skip: Sequence[str] = SKIP_SPLITS,
+                              splits: Optional[Sequence[str]] = None) -> Dict:
     """Reference scripts/result/data_visualization.py:200-328 — species-split
     membership analysis on the split HDF5:
 
@@ -251,6 +252,8 @@ def species_split_composition(hdf5_path: str,
     with h5py.File(hdf5_path, "r") as f:
         for split in f.keys():
             if split in skip or "species" not in f[split]:
+                continue
+            if splits is not None and split not in splits:
                 continue
             vals = [v.decode() if isinstance(v, bytes) else str(v)
                     for v in f[split]["species"][...]]

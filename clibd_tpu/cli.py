@@ -161,8 +161,12 @@ def cmd_train(args, overrides) -> int:
     start_epoch = 0
     if args.resume:
         resume_dir = args.resume if args.resume is not True else os.path.join(out_dir, "last")
-        if os.path.exists(os.path.join(str(resume_dir), "params.npz")):
-            start_epoch = trainer.resume(str(resume_dir))
+        # multi-host safe: checkpoints may exist only on process 0's disk
+        # (process-0-gated writes) — a per-host os.path.exists here would
+        # fresh-start every non-0 host against a resumed process 0
+        resumed = trainer.resume_multihost(str(resume_dir))
+        if resumed is not None:
+            start_epoch = resumed
             print(f"Resumed from {resume_dir} at epoch {start_epoch}")
     history = trainer.fit(progress=True, start_epoch=start_epoch)
     trainer.close()
@@ -214,7 +218,14 @@ def cmd_eval(args, overrides) -> int:
     labels_path = os.path.join(folder, f"labels_{eval_on}.json")
     ids_path = os.path.join(folder, f"processed_id_{eval_on}.json")
 
-    if cfg.load_inference and all(os.path.exists(p) for p in (feat_path, labels_path, ids_path)):
+    # the branch must be agreed across processes (extraction below runs
+    # collectives): only process 0 writes the cache, so on per-host disks a
+    # local exists() check would deadlock the pod — load only when EVERY
+    # host has the files
+    from .parallel.mesh import all_hosts_agree
+
+    if all_hosts_agree(cfg.load_inference and
+                       all(os.path.exists(p) for p in (feat_path, labels_path, ids_path))):
         print("Loading embeddings from file...")
         seen_dict, unseen_dict, keys_dict = load_extracted_features(feat_path, labels_path, ids_path)
     else:
@@ -235,9 +246,12 @@ def cmd_eval(args, overrides) -> int:
             save_labels_and_ids(labels_path, ids_path, seen_dict, unseen_dict, keys_dict)
 
     k_list = list(cfg.inference_and_eval_setting.k_list)
+    # pred_dict is only persisted below (save_inference, process 0) —
+    # skip the ~0.5 s/cell per-query payload assembly everywhere else
     acc_dict, per_class_acc, pred_dict = inference_and_eval(
         keys_dict, seen_dict, unseen_dict, k_list=k_list,
         query_chunk=cfg.inference_and_eval_setting.knn_query_chunk,
+        with_preds=bool(cfg.save_inference and main),
     )
 
     if cfg.inference_and_eval_setting.retrieve_images and main:

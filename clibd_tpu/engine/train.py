@@ -15,6 +15,7 @@ broadcasts disappear (single-controller JAX).
 
 from __future__ import annotations
 
+import os
 import time
 from typing import Callable, Optional
 
@@ -389,27 +390,85 @@ class Trainer:
 
         donor = self.optimizer.init(jax.device_get(self.params))
         params, opt_state, meta = load_train_state(directory, opt_state_like=donor)
-        self.params = replicate(self.mesh, params)
-        self.opt_state = replicate(self.mesh, opt_state if opt_state is not None else donor)
-        self.global_step = int(meta.get("step", 0))
-        # restore best-checkpoint tracking — otherwise the first post-resume
-        # eval always "improves" and can overwrite best/ with a worse model
-        # (and suppresses the early-stop signal)
-        import json as _json
-        import os as _os
+        return self._apply_resume_state(
+            params, opt_state if opt_state is not None else donor,
+            int(meta.get("step", 0)), int(meta.get("epoch", -1)),
+            self._read_best_meta(directory),
+        )
 
-        best_meta = _os.path.join(_os.path.dirname(directory), "best", "meta.json")
-        if _os.path.exists(best_meta):
+    def resume_multihost(self, directory: str):
+        """Resume on a multi-host pod where the checkpoint may live only on
+        process 0's disk (checkpoint writes are process-0-gated): if every
+        host sees the files, each loads locally (identical bytes on a shared
+        filesystem); otherwise process 0 loads and BROADCASTS params +
+        optimizer state + the scalar bookkeeping, so all hosts continue in
+        lockstep with identical weights and best-metric tracking (a per-host
+        `os.path.exists` here would silently fresh-start every non-0 host —
+        divergent collectives on the first train step).  Returns the epoch
+        to continue from, or None when process 0 has no checkpoint."""
+        from ..parallel.mesh import broadcast_from_main, num_hosts
+
+        local_has = os.path.exists(os.path.join(directory, "params.npz"))
+        if num_hosts() == 1:
+            return self.resume(directory) if local_has else None
+        from jax.experimental import multihost_utils
+
+        flags = multihost_utils.process_allgather(np.asarray([local_has]))
+        if bool(np.all(flags)):
+            return self.resume(directory)
+        if not bool(np.ravel(flags)[0]):
+            return None  # process 0 has nothing → fresh start everywhere
+        from .checkpoint import load_train_state
+
+        donor = self.optimizer.init(jax.device_get(self.params))
+        if local_has:
+            params, opt_state, meta = load_train_state(directory, opt_state_like=donor)
+            if opt_state is None:
+                opt_state = donor
+            best = self._read_best_meta(directory)
+            scalars = np.asarray([
+                float(meta.get("step", 0)), float(meta.get("epoch", -1)),
+                best[0] if best else np.nan, best[1] if best else -1.0,
+            ])
+        else:
+            # same-structure placeholders; values come from process 0
+            params, opt_state = jax.device_get(self.params), donor
+            scalars = np.zeros(4)
+        params = broadcast_from_main(params)
+        opt_state = broadcast_from_main(opt_state)
+        scalars = np.asarray(broadcast_from_main(scalars))
+        best = None if np.isnan(scalars[2]) else (float(scalars[2]), int(scalars[3]))
+        return self._apply_resume_state(params, opt_state,
+                                        int(scalars[0]), int(scalars[1]), best)
+
+    def _read_best_meta(self, directory: str):
+        """(best_metric, best_epoch) from the sibling best/meta.json, else
+        None."""
+        import json as _json
+
+        best_meta = os.path.join(os.path.dirname(directory), "best", "meta.json")
+        if os.path.exists(best_meta):
             with open(best_meta) as bf:
                 binfo = _json.load(bf)
             if "overall_acc" in binfo:
-                self.checkpointer.best_metric = float(binfo["overall_acc"])
-                self.checkpointer.best_epoch = int(binfo.get("epoch", -1))
+                return float(binfo["overall_acc"]), int(binfo.get("epoch", -1))
+        return None
+
+    def _apply_resume_state(self, params, opt_state, step: int,
+                            ckpt_epoch: int, best) -> int:
+        self.params = replicate(self.mesh, params)
+        self.opt_state = replicate(self.mesh, opt_state)
+        self.global_step = int(step)
+        # restore best-checkpoint tracking — otherwise the first post-resume
+        # eval always "improves" and can overwrite best/ with a worse model
+        # (and suppresses the early-stop signal)
+        if best is not None:
+            self.checkpointer.best_metric = best[0]
+            self.checkpointer.best_epoch = best[1]
         # mid-epoch resume (beyond the reference, which restarts from params
         # only): the deterministic epoch streams make the step count resolve
         # to an exact (epoch, batch) position
         spe = max(len(self.train_loader), 1)
-        ckpt_epoch = int(meta.get("epoch", -1))
         if self.global_step > (ckpt_epoch + 1) * spe:
             # checkpoint taken mid-epoch (e.g. external save): continue inside it
             self._resume_start_batch = self.global_step - (ckpt_epoch + 1) * spe

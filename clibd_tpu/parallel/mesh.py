@@ -91,6 +91,31 @@ def mesh_is_multiprocess(mesh: Mesh) -> bool:
     return len({d.process_index for d in np.asarray(mesh.devices).flat}) > 1
 
 
+def all_hosts_agree(flag: bool) -> bool:
+    """True only when EVERY process passes True (single-process: identity).
+
+    Use for any branch whose arms contain collectives: a per-host
+    filesystem check (e.g. "is the embeddings cache on disk?") must not
+    send processes down different arms, or the pod deadlocks on the first
+    collective one side never joins."""
+    if jax.process_count() == 1:
+        return bool(flag)
+    from jax.experimental import multihost_utils
+
+    flags = multihost_utils.process_allgather(np.asarray([bool(flag)]))
+    return bool(np.all(flags))
+
+
+def broadcast_from_main(tree):
+    """Process 0's pytree of host arrays to every process (single-process:
+    identity). Structure/shapes/dtypes must match across processes."""
+    if jax.process_count() == 1:
+        return tree
+    from jax.experimental import multihost_utils
+
+    return multihost_utils.broadcast_one_to_all(tree)
+
+
 def local_mesh(axis_name: str = DATA_AXIS) -> Mesh:
     """Mesh over THIS process's devices only — for per-host work (e.g. eval,
     where every host runs the full computation on the full data)."""

@@ -21,11 +21,6 @@ import numpy as np
 LEVELS = ("order", "family", "genus", "species")
 
 
-def _hits(pred: np.ndarray, gt: np.ndarray, k: int) -> np.ndarray:
-    """pred [N, max_k] object/str array, gt [N] → bool [N]."""
-    return (pred[:, :k] == gt[:, None]).any(axis=1)
-
-
 def top_k_micro_accuracy(
     pred_by_level: Dict[str, np.ndarray],
     gt_by_level: Dict[str, np.ndarray],

@@ -117,8 +117,36 @@ def main() -> int:
         jax.device_get(trainer.params), cfg, args.hdf5, "val_seen", spec,
         num_workers=0)
 
+    # multi-host resume with the checkpoint only on process 0's disk
+    # (per-process outdirs): process 0 loads, every other process receives
+    # the broadcast state — weights, optimizer state and best-metric
+    # tracking must agree everywhere afterwards
+    from clibd_tpu.parallel.mesh import all_hosts_agree
+
+    def param_sum(params):
+        return float(sum(np.asarray(x, np.float64).sum()
+                         for x in jax.tree.leaves(jax.device_get(params))))
+
+    trained_sum = param_sum(trainer.params)
+    trainer2 = Trainer(
+        gcfg, args.hdf5, args.outdir + "_resume",
+        train_split="no_split_and_seen_train",
+        eval_splits={"keys": "all_keys", "seen": "val_seen", "unseen": "val_unseen"},
+        num_workers=0,
+    )
+    resume_epoch = trainer2.resume_multihost(os.path.join(args.outdir, "last"))
+    resume_sum = param_sum(trainer2.params)
+    resume_best = trainer2.checkpointer.best_metric
+    trainer2.close()
+
     result = {
         "proc_id": args.proc_id,
+        "trained_param_sum": trained_sum,
+        "resume_epoch": resume_epoch,
+        "resume_param_sum": resume_sum,
+        "resume_best_metric": resume_best,
+        "agree_mixed": all_hosts_agree(host_id() == 0),
+        "agree_true": all_hosts_agree(True),
         "host_id": host_id(),
         "num_hosts": num_hosts(),
         "global_devices": jax.device_count(),

@@ -130,6 +130,28 @@ def test_multihost_extraction_matrix_parity(mp_results):
 
 
 @pytest.mark.slow
+def test_resume_multihost_broadcast(mp_results):
+    """resume_multihost with the checkpoint on process 0's disk only
+    (per-process outdirs): process 0 loads, process 1 receives the
+    broadcast — epochs, weights and best-metric tracking agree, and both
+    match the trained state."""
+    r0, r1 = mp_results["two"]
+    assert r0["resume_epoch"] == r1["resume_epoch"] == 2
+    for r in (r0, r1):
+        assert abs(r["resume_param_sum"] - r0["trained_param_sum"]) < 1e-6
+        assert r["resume_best_metric"] is not None
+    assert r0["resume_best_metric"] == r1["resume_best_metric"]
+    # the single-process path resumes from local disk
+    assert mp_results["one"]["resume_epoch"] == 2
+    assert abs(mp_results["one"]["resume_param_sum"]
+               - mp_results["one"]["trained_param_sum"]) < 1e-6
+    # all_hosts_agree: a per-host-divergent flag is False EVERYWHERE
+    assert r0["agree_mixed"] is False and r1["agree_mixed"] is False
+    assert r0["agree_true"] is True and r1["agree_true"] is True
+    assert mp_results["one"]["agree_true"] is True
+
+
+@pytest.mark.slow
 def test_process0_only_checkpoints(mp_results):
     """Rank-0 checkpoint gating (reference train_cl.py:264-331): with
     per-process outdirs, only process 0's directory is populated."""

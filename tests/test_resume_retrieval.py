@@ -41,6 +41,14 @@ def test_trainer_resume(tiny_hdf5, tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     t2.close()
 
+    # single-host resume_multihost: delegates to resume() when the
+    # checkpoint exists, returns None (fresh start) when it does not
+    t3 = Trainer(g, tiny_hdf5, output_dir=str(tmp_path / "run2"), **kwargs)
+    assert t3.resume_multihost(str(tmp_path / "nonexistent")) is None
+    assert t3.resume_multihost(str(tmp_path / "run" / "last")) == 2
+    assert t3.global_step == step_after
+    t3.close()
+
 
 def test_retrieve_images_grid_from_hdf5(tiny_hdf5, tmp_path, rng):
     from clibd_tpu.data.hdf5 import BioscanSplit
