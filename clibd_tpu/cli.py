@@ -36,7 +36,27 @@ def _load_cfg(args, overrides) -> GlobalConfig:
 
 def _resolve_params(cfg: GlobalConfig):
     """Checkpoint resolution chain (reference simple_clip.py:248-285):
-    configured path → model_output_dir best/last → fresh init."""
+    configured path → model_output_dir best/last → fresh init.
+
+    Multi-host: every process resolves locally, then process 0's result is
+    broadcast — on per-host disks the chain can resolve DIFFERENTLY per
+    host (checkpoint only on process 0, stale local copies, HF-cache
+    divergence), and host-sharded extraction would then allgather
+    embeddings computed with different weights: no crash, silently wrong
+    numbers."""
+    import jax
+
+    params = _resolve_params_local(cfg)
+    if jax.process_count() > 1:
+        import numpy as np
+
+        from .parallel.mesh import broadcast_from_main
+
+        params = broadcast_from_main(jax.tree.map(np.asarray, params))
+    return params
+
+
+def _resolve_params_local(cfg: GlobalConfig):
     import jax
 
     from .engine.checkpoint import load_params_any, resolve_checkpoint_path
@@ -202,7 +222,7 @@ def cmd_eval(args, overrides) -> int:
     )
     from .config.schema import to_dict
 
-    from .parallel.mesh import is_main_process
+    from .parallel.mesh import all_hosts_agree, is_main_process
 
     mc = cfg.model_config
     eval_on = cfg.inference_and_eval_setting.eval_on
@@ -222,8 +242,6 @@ def cmd_eval(args, overrides) -> int:
     # collectives): only process 0 writes the cache, so on per-host disks a
     # local exists() check would deadlock the pod — load only when EVERY
     # host has the files
-    from .parallel.mesh import all_hosts_agree
-
     if all_hosts_agree(cfg.load_inference and
                        all(os.path.exists(p) for p in (feat_path, labels_path, ids_path))):
         print("Loading embeddings from file...")

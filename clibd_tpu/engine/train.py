@@ -397,16 +397,20 @@ class Trainer:
         )
 
     def resume_multihost(self, directory: str):
-        """Resume on a multi-host pod where the checkpoint may live only on
-        process 0's disk (checkpoint writes are process-0-gated): if every
-        host sees the files, each loads locally (identical bytes on a shared
-        filesystem); otherwise process 0 loads and BROADCASTS params +
-        optimizer state + the scalar bookkeeping, so all hosts continue in
-        lockstep with identical weights and best-metric tracking (a per-host
-        `os.path.exists` here would silently fresh-start every non-0 host —
-        divergent collectives on the first train step).  Returns the epoch
-        to continue from, or None when process 0 has no checkpoint."""
-        from ..parallel.mesh import broadcast_from_main, num_hosts
+        """Resume on a multi-host pod where checkpoint writes are
+        process-0-gated: process 0 loads and BROADCASTS params + optimizer
+        state + the scalar bookkeeping, so all hosts continue in lockstep
+        with identical weights and best-metric tracking.  Local files on
+        other hosts — even when present — are deliberately ignored: a stale
+        per-host copy at the same path (older run, pre-gating version) read
+        locally would silently diverge the pod, since matching shapes keep
+        the first train-step collectives from failing.  A per-host
+        `os.path.exists` gate would be equally wrong in the other direction
+        (non-0 hosts fresh-starting against a resumed process 0).  Returns
+        the epoch to continue from, or None when process 0 has no
+        checkpoint (fresh start everywhere — agreed via allgather, not
+        local disk).  Single process delegates to the local resume()."""
+        from ..parallel.mesh import broadcast_from_main, host_id, num_hosts
 
         local_has = os.path.exists(os.path.join(directory, "params.npz"))
         if num_hosts() == 1:
@@ -414,32 +418,32 @@ class Trainer:
         from jax.experimental import multihost_utils
 
         flags = multihost_utils.process_allgather(np.asarray([local_has]))
-        if bool(np.all(flags)):
-            return self.resume(directory)
         if not bool(np.ravel(flags)[0]):
             return None  # process 0 has nothing → fresh start everywhere
         from .checkpoint import load_train_state
 
         donor = self.optimizer.init(jax.device_get(self.params))
-        if local_has:
+        if host_id() == 0:
             params, opt_state, meta = load_train_state(directory, opt_state_like=donor)
             if opt_state is None:
                 opt_state = donor
             best = self._read_best_meta(directory)
-            scalars = np.asarray([
-                float(meta.get("step", 0)), float(meta.get("epoch", -1)),
-                best[0] if best else np.nan, best[1] if best else -1.0,
-            ])
+            # int32/float32 split: broadcast canonicalizes to 32-bit (x64
+            # off) — packing step/epoch as floats would corrupt large steps
+            ints = np.asarray([int(meta.get("step", 0)), int(meta.get("epoch", -1)),
+                               best[1] if best else -1, 1 if best else 0], np.int32)
+            metric = np.asarray([best[0] if best else 0.0], np.float32)
         else:
             # same-structure placeholders; values come from process 0
             params, opt_state = jax.device_get(self.params), donor
-            scalars = np.zeros(4)
-        params = broadcast_from_main(params)
-        opt_state = broadcast_from_main(opt_state)
-        scalars = np.asarray(broadcast_from_main(scalars))
-        best = None if np.isnan(scalars[2]) else (float(scalars[2]), int(scalars[3]))
+            ints, metric = np.zeros(4, np.int32), np.zeros(1, np.float32)
+        # one combined broadcast: a single collective rendezvous
+        params, opt_state, ints, metric = broadcast_from_main(
+            (params, opt_state, ints, metric))
+        ints = np.asarray(ints)
+        best = (float(np.asarray(metric)[0]), int(ints[2])) if int(ints[3]) else None
         return self._apply_resume_state(params, opt_state,
-                                        int(scalars[0]), int(scalars[1]), best)
+                                        int(ints[0]), int(ints[1]), best)
 
     def _read_best_meta(self, directory: str):
         """(best_metric, best_epoch) from the sibling best/meta.json, else

@@ -139,12 +139,52 @@ def main() -> int:
     resume_best = trainer2.checkpointer.best_metric
     trainer2.close()
 
+    # stale-local-copy scenario: every process has a file at the resume
+    # path, but non-0 hosts hold a STALE state (older run at the same
+    # path).  resume_multihost must ignore the local bytes and take
+    # process 0's broadcast — matching shapes would otherwise let the pod
+    # silently train on divergent weights.
+    import shutil
+
+    from clibd_tpu.engine.checkpoint import save_train_state
+
+    stale_dir = os.path.join(args.outdir + "_stale", "last")
+    trainer3 = Trainer(
+        gcfg, args.hdf5, args.outdir + "_stale",
+        train_split="no_split_and_seen_train",
+        eval_splits={"keys": "all_keys", "seen": "val_seen", "unseen": "val_unseen"},
+        num_workers=0,
+    )
+    if host_id() == 0:
+        shutil.copytree(os.path.join(args.outdir, "last"), stale_dir,
+                        dirs_exist_ok=True)
+    else:
+        # fresh-init params + a wrong epoch/step: all of it must be ignored
+        save_train_state(stale_dir, jax.device_get(trainer3.params),
+                         step=999, epoch=7)
+    stale_epoch = trainer3.resume_multihost(stale_dir)
+    stale_sum = param_sum(trainer3.params)
+    trainer3.close()
+
+    # checkpoint-resolution divergence (cli._resolve_params): configure the
+    # chain so only process 0's disk has the trained checkpoint — the
+    # broadcast must give every process identical weights
+    from clibd_tpu.cli import _resolve_params
+
+    rcfg = build_global_cfg(args.hdf5)
+    rcfg.model_config.load_ckpt = True
+    rcfg.model_config.ckpt_path = os.path.join(args.outdir, "last")
+    resolved_sum = param_sum(_resolve_params(rcfg))
+
     result = {
         "proc_id": args.proc_id,
         "trained_param_sum": trained_sum,
         "resume_epoch": resume_epoch,
         "resume_param_sum": resume_sum,
         "resume_best_metric": resume_best,
+        "stale_resume_epoch": stale_epoch,
+        "stale_resume_param_sum": stale_sum,
+        "resolved_param_sum": resolved_sum,
         "agree_mixed": all_hosts_agree(host_id() == 0),
         "agree_true": all_hosts_agree(True),
         "host_id": host_id(),

@@ -152,6 +152,29 @@ def test_resume_multihost_broadcast(mp_results):
 
 
 @pytest.mark.slow
+def test_resume_multihost_ignores_stale_local_copy(mp_results):
+    """Every process HAS a file at the resume path, but process 1's is a
+    stale state with a wrong epoch/step: resume_multihost must take
+    process 0's broadcast everywhere (matching shapes would otherwise let
+    the pod silently train on divergent weights)."""
+    r0, r1 = mp_results["two"]
+    assert r0["stale_resume_epoch"] == r1["stale_resume_epoch"] == 2  # not 8
+    for r in (r0, r1):
+        assert abs(r["stale_resume_param_sum"] - r0["trained_param_sum"]) < 1e-6
+
+
+@pytest.mark.slow
+def test_resolve_params_broadcast(mp_results):
+    """cli._resolve_params on per-host disks: the checkpoint chain resolves
+    only on process 0 (others would fresh-init) — the broadcast must give
+    every process the trained weights, or host-sharded extraction
+    allgathers embeddings computed with different models."""
+    r0, r1 = mp_results["two"]
+    for r in (r0, r1):
+        assert abs(r["resolved_param_sum"] - r0["trained_param_sum"]) < 1e-6
+
+
+@pytest.mark.slow
 def test_process0_only_checkpoints(mp_results):
     """Rank-0 checkpoint gating (reference train_cl.py:264-331): with
     per-process outdirs, only process 0's directory is populated."""
