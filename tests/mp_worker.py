@@ -176,6 +176,33 @@ def main() -> int:
     rcfg.model_config.ckpt_path = os.path.join(args.outdir, "last")
     resolved_sum = param_sum(_resolve_params(rcfg))
 
+    # the FULL cmd_eval under multi-process, per-host disks: run 1 extracts
+    # (host-sharded) and only process 0 writes the embedding cache; run 2
+    # with load_inference=true then sees the cache on process 0's disk ONLY
+    # — the all_hosts_agree gate must send every process down the
+    # re-extraction branch (a local exists() check would deadlock the pod
+    # here), and both runs must print identical accuracy tables
+    from clibd_tpu.cli import main as cli_main
+    from clibd_tpu.config.loader import save_config
+
+    ecfg = rcfg
+    ecfg.project_root_path = args.outdir + "_eval"  # per-process disk
+    ecfg.inference_and_eval_setting.eval_on = "val"
+    ecfg.inference_and_eval_setting.plot_embeddings = False
+    ecfg.load_inference = True
+    gpath = os.path.join(args.outdir + "_eval", "mp_eval.yaml")
+    os.makedirs(ecfg.project_root_path, exist_ok=True)
+    save_config(ecfg, gpath)
+    eval_rcs = []
+    for _ in range(2):
+        eval_rcs.append(cli_main(["eval", "--global-config", gpath,
+                                  "--hdf5", args.hdf5]))
+    cache = os.path.join(ecfg.project_root_path, "extracted_embedding",
+                         "bioscan_1m", "mp_tiny",
+                         "extracted_feature_from_val_split.hdf5")
+    acc_path = os.path.join(os.path.dirname(cache), "acc_dict_val.json")
+    acc_payload = open(acc_path).read() if os.path.exists(acc_path) else None
+
     result = {
         "proc_id": args.proc_id,
         "trained_param_sum": trained_sum,
@@ -185,6 +212,9 @@ def main() -> int:
         "stale_resume_epoch": stale_epoch,
         "stale_resume_param_sum": stale_sum,
         "resolved_param_sum": resolved_sum,
+        "eval_rcs": eval_rcs,
+        "eval_cache_exists": os.path.exists(cache),
+        "eval_acc_payload": acc_payload,
         "agree_mixed": all_hosts_agree(host_id() == 0),
         "agree_true": all_hosts_agree(True),
         "host_id": host_id(),

@@ -164,6 +164,35 @@ def test_resume_multihost_ignores_stale_local_copy(mp_results):
 
 
 @pytest.mark.slow
+def test_cmd_eval_multiprocess_cache_divergence(mp_results):
+    """The FULL cmd_eval under 2 processes with per-host disks: run 1
+    extracts host-sharded and only process 0 writes the embedding cache;
+    run 2 (load_inference=true) sees the cache on process 0's disk only —
+    the all_hosts_agree gate must send both processes down the
+    re-extraction branch instead of deadlocking, and the accuracy payload
+    must come out of process 0 both times."""
+    r0, r1 = mp_results["two"]
+    assert r0["eval_rcs"] == [0, 0] and r1["eval_rcs"] == [0, 0]
+    # process-0-gated writes on per-process disks
+    assert r0["eval_cache_exists"] is True
+    assert r1["eval_cache_exists"] is False
+    assert r0["eval_acc_payload"] is not None
+    assert r1["eval_acc_payload"] is None
+    # single-process run produces the same grid STRUCTURE (weights differ
+    # at ~1e-7 between the 1- and 2-process training runs, which can flip a
+    # kNN neighbor on the tiny fixture — exact value parity for extraction
+    # itself is asserted matrix-level in test_multihost_extraction_matrix_parity)
+    import json as _json
+
+    one = mp_results["one"]
+    assert one["eval_rcs"] == [0, 0]
+    a0, a1 = _json.loads(r0["eval_acc_payload"]), _json.loads(one["eval_acc_payload"])
+    assert a0.keys() == a1.keys()
+    for split in a0:
+        assert a0[split].keys() == a1[split].keys()
+
+
+@pytest.mark.slow
 def test_resolve_params_broadcast(mp_results):
     """cli._resolve_params on per-host disks: the checkpoint chain resolves
     only on process 0 (others would fresh-init) — the broadcast must give
