@@ -675,14 +675,15 @@ def cmd_method_nn(args, overrides) -> int:
     """Seen/unseen threshold-fusion eval (reference scripts/method_nn.py):
     image-query-vs-seen-keys similarity routes confident queries, DNA search
     against unseen keys handles the rest; threshold maximizes the harmonic
-    mean of seen/unseen species top-1."""
+    mean of seen/unseen species top-1.  With --linear, side A is a linear
+    probe over image features instead (reference scripts/method_linear.py)."""
     cfg = _load_cfg(args, overrides)
     import numpy as np
 
     from .data.pipeline import BatchSpec, BioscanLoader
     from .engine.extract import extract_split
-    from .engine.fusion import method_nn
-    from .utils.metrics import labels_to_level_arrays
+    from .engine.fusion import method_linear, method_nn
+    from .utils.metrics import LEVELS, labels_to_level_arrays
 
     mc = cfg.model_config
     params = _resolve_params(cfg)
@@ -703,21 +704,44 @@ def cmd_method_nn(args, overrides) -> int:
 
     seen_q = run(f"{eval_on}_seen")
     unseen_q = run(f"{eval_on}_unseen")
-    seen_keys = run("seen_keys")
     unseen_keys = run(args.unseen_keys_split)
 
-    result = method_nn(
-        {"image": seen_q["encoded_image_feature"], "dna": seen_q["encoded_dna_feature"]},
-        {"image": unseen_q["encoded_image_feature"], "dna": unseen_q["encoded_dna_feature"]},
-        seen_keys["encoded_image_feature"],
-        labels_to_level_arrays(seen_keys["label_list"]),
-        unseen_keys["encoded_dna_feature"],
-        labels_to_level_arrays(unseen_keys["label_list"]),
-        labels_to_level_arrays(seen_q["label_list"]),
-        labels_to_level_arrays(unseen_q["label_list"]),
+    seen_q_feats = {"image": seen_q["encoded_image_feature"], "dna": seen_q["encoded_dna_feature"]}
+    unseen_q_feats = {"image": unseen_q["encoded_image_feature"], "dna": unseen_q["encoded_dna_feature"]}
+    common_kw = dict(
         max_k=max(cfg.inference_and_eval_setting.k_list),
         k_list=list(cfg.inference_and_eval_setting.k_list),
     )
+    if args.linear:
+        train = run(args.train_split)
+        train_labels = train["label_list"]
+        species_to_levels: dict = {}
+        for lab in train_labels:
+            species_to_levels.setdefault(lab["species"], {lv: lab[lv] for lv in LEVELS})
+        result = method_linear(
+            train["encoded_image_feature"],
+            np.asarray([lab["species"] for lab in train_labels], dtype=object),
+            seen_q_feats, unseen_q_feats,
+            unseen_keys["encoded_dna_feature"],
+            labels_to_level_arrays(unseen_keys["label_list"]),
+            labels_to_level_arrays(seen_q["label_list"]),
+            labels_to_level_arrays(unseen_q["label_list"]),
+            species_to_levels,
+            probe_steps=args.probe_steps,
+            **common_kw,
+        )
+    else:
+        seen_keys = run("seen_keys")
+        result = method_nn(
+            seen_q_feats, unseen_q_feats,
+            seen_keys["encoded_image_feature"],
+            labels_to_level_arrays(seen_keys["label_list"]),
+            unseen_keys["encoded_dna_feature"],
+            labels_to_level_arrays(unseen_keys["label_list"]),
+            labels_to_level_arrays(seen_q["label_list"]),
+            labels_to_level_arrays(unseen_q["label_list"]),
+            **common_kw,
+        )
     summary = {
         "best_threshold": result["best_threshold"],
         "seen_species_top1": result["seen"]["micro_acc"][1]["species"],
@@ -1184,6 +1208,13 @@ def main(argv: Optional[List[str]] = None) -> int:
     p_mnn = sub.add_parser("method-nn", help="seen/unseen threshold fusion (scripts/method_nn.py)")
     common(p_mnn)
     p_mnn.add_argument("--unseen-keys-split", default="unseen_keys")
+    p_mnn.add_argument("--linear", action="store_true",
+                       help="method_linear variant: side A = linear probe "
+                            "over image features (scripts/method_linear.py)")
+    p_mnn.add_argument("--probe-steps", type=int, default=500)
+    p_mnn.add_argument("--train-split", default="seen_keys",
+                       help="split whose image features train the probe "
+                            "(must cover every seen species)")
 
     p_zs = sub.add_parser("zeroshot", help="CLIP/BioCLIP zero-shot eval (scripts/bioclip/)")
     common(p_zs)

@@ -239,3 +239,19 @@ def test_cli_method_nn(tiny_hdf5, tiny_exp_yaml, tmp_path, monkeypatch, capsys):
     result = json.loads(out)
     assert 0.0 <= result["best_threshold"] <= 1.0
     assert 0.0 <= result["seen_species_top1"] <= 1.0
+
+
+def test_cli_method_linear(tiny_hdf5, tiny_exp_yaml, tmp_path, monkeypatch, capsys):
+    monkeypatch.chdir(tmp_path)
+    rc = main([
+        "method-nn", "-e", tiny_exp_yaml, "--hdf5", tiny_hdf5,
+        "--linear", "--probe-steps", "20",
+        "pipeline.num_workers=0",
+        "inference_and_eval_setting.eval_on=test",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    result = json.loads(out)
+    assert 0.0 <= result["best_threshold"] <= 1.0
+    assert 0.0 <= result["seen_species_top1"] <= 1.0
+    assert 0.0 <= result["unseen_species_top1"] <= 1.0
