@@ -130,6 +130,73 @@ def plot_multi_experiment_all_in_one(
     return output_path
 
 
+def plot_line_plot_pair(
+    experiments: Dict[str, Dict],
+    output_path: str,
+    query_type: str = "encoded_dna_feature",
+    key_type: str = "encoded_dna_feature",
+    k=1,
+    metric: str = "macro_acc",
+    title: Optional[str] = None,
+) -> Optional[str]:
+    """Paper-figure style single-axes plot for ONE query→key pair (reference
+    scripts/result/plots/line_plot_for_multiple_experiments_{dna_to_dna,
+    image_to_dna,image_to_image}.py): macro-accuracy (%) over the 4 taxonomy
+    levels, one color per experiment, solid = seen / dashed = unseen, minor
+    gridlines every 5%, split color/style legends.  The reference hardcodes
+    its numbers inline; here they come from accuracy.json dicts."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    colors = ("#e15759", "#f28e2b", "#4e79a7", "#59a14f", "#b07aa1", "#76b7b2")
+    fig, ax = plt.subplots(figsize=(6, 4))
+    plotted = []
+    for (name, acc), color in zip(experiments.items(), colors):
+        for split, style in (("seen", "-"), ("unseen", "--")):
+            ys = _series(acc, query_type, key_type, split, metric, k)
+            if ys is None:
+                continue
+            ax.plot(range(len(LEVELS)), [y * 100 for y in ys], "o" + style,
+                    color=color, linewidth=3)
+            if name not in plotted:
+                plotted.append(name)
+    if not plotted:
+        plt.close(fig)
+        return None
+    ax.set_xticks(range(len(LEVELS)))
+    ax.set_xticklabels(LEVELS)
+    ax.set_ylim(0, 100)
+    ax.set_ylabel(f"{'Macro' if 'macro' in metric else 'Micro'}-accuracy (%)",
+                  fontsize=14)
+    short = {"encoded_image_feature": "Image", "encoded_dna_feature": "DNA",
+             "encoded_language_feature": "Text"}
+    ax.set_title(title or f"{short.get(query_type, query_type)} to "
+                          f"{short.get(key_type, key_type)}", fontsize=16)
+    for y in range(0, 101, 5):
+        ax.axhline(y=y, color="grey", linewidth=0.4 if y % 10 == 0 else 0.2)
+    color_handles = [plt.Line2D([], [], color=c, linewidth=3, label=n)
+                     for n, c in zip(plotted, colors)]
+    style_handles = [plt.Line2D([], [], color="black", linestyle=s, linewidth=3, label=lab)
+                     for s, lab in (("-", "Seen"), ("--", "Unseen"))]
+    first = ax.legend(handles=color_handles, loc="lower left", fontsize=8)
+    ax.add_artist(first)
+    ax.legend(handles=style_handles, loc="lower left", bbox_to_anchor=(0.51, 0), fontsize=8)
+    fig.tight_layout()
+    os.makedirs(os.path.dirname(os.path.abspath(output_path)), exist_ok=True)
+    fig.savefig(output_path, dpi=150)
+    plt.close(fig)
+    return output_path
+
+
+LINE_PLOT_PAIRS = (
+    ("encoded_dna_feature", "encoded_dna_feature"),
+    ("encoded_image_feature", "encoded_dna_feature"),
+    ("encoded_image_feature", "encoded_image_feature"),
+)
+
+
 def load_experiment_acc_dicts(paths: Dict[str, str]) -> Dict[str, Dict]:
     """{name: accuracy.json path} → {name: acc_dict}."""
     out = {}

@@ -746,6 +746,10 @@ def cmd_method_nn(args, overrides) -> int:
         "best_threshold": result["best_threshold"],
         "seen_species_top1": result["seen"]["micro_acc"][1]["species"],
         "unseen_species_top1": result["unseen"]["micro_acc"][1]["species"],
+        # fraction of queries routed to the correct side (the seen/unseen
+        # species pools are disjoint) — method_linear_on_INSECT.py:412-425
+        "seen_routing_top1": result["seen"]["routing_acc"][1],
+        "unseen_routing_top1": result["unseen"]["routing_acc"][1],
     }
     print(json.dumps(_stringify(summary)))
     return 0
@@ -936,6 +940,17 @@ def cmd_compare_experiments(args, overrides) -> int:
             paths.append(plot_poster_accuracy(
                 acc, os.path.join(args.out, f"poster_{name}.pdf"),
                 experiment_name=name, k=args.k))
+    if args.line_plots:
+        from .analysis.compare import LINE_PLOT_PAIRS, plot_line_plot_pair
+
+        short = {"encoded_image_feature": "image", "encoded_dna_feature": "dna"}
+        for q, key in LINE_PLOT_PAIRS:
+            p = plot_line_plot_pair(
+                experiments, os.path.join(
+                    args.out, f"line_plot_{short[q]}_to_{short[key]}.png"),
+                query_type=q, key_type=key, k=args.k)
+            if p:
+                paths.append(p)
     for p in paths:
         print(p)
     return 0
@@ -1251,6 +1266,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     p_cmp.add_argument("--poster", action="store_true",
                        help="also write one poster-style per-level figure per experiment "
                             "(plot_for_5m_poster.py)")
+    p_cmp.add_argument("--line-plots", action="store_true",
+                       help="also write the paper-figure line plots (one per "
+                            "dna→dna / image→dna / image→image pair, seen "
+                            "solid / unseen dashed; scripts/result/plots/)")
     p_cmp.set_defaults(overrides=[])
 
     p_am = sub.add_parser("attention-maps",

@@ -99,12 +99,29 @@ def search_threshold(
     return best_threshold
 
 
+def routing_accuracy(
+    fused_species: np.ndarray,
+    side_species: Sequence[str],
+    k_list: Sequence[int] = (1, 3, 5),
+) -> Dict[int, float]:
+    """Fraction of queries whose fused top-k species contain at least one
+    member of `side_species` — i.e. were (at least partly) routed to the
+    correct side, since the seen/unseen species pools are disjoint (reference
+    check_for_acc_about_correct_predict_seen_or_unseen,
+    scripts/BZSL/method_linear_on_INSECT.py:412-425)."""
+    member = np.isin(np.asarray(fused_species, dtype=object), list(side_species))
+    return {k: float(member[:, :k].any(axis=1).mean()) for k in k_list
+            if k <= member.shape[1]}
+
+
 def evaluate_with_threshold(
     split_data: List[dict],
     threshold: float,
     k_list: Sequence[int] = (1, 3, 5),
 ) -> List[dict]:
-    """→ per split {'micro_acc', 'macro_acc', 'per_class_acc', 'best_threshold'}."""
+    """→ per split {'micro_acc', 'macro_acc', 'per_class_acc', 'best_threshold'}
+    (+ 'routing_acc' when the split carries its correct side's species pool
+    as 'side_species')."""
     out = []
     for split in split_data:
         fused = fuse_predictions(
@@ -112,14 +129,16 @@ def evaluate_with_threshold(
         )
         micro = top_k_micro_accuracy(fused, split["gt"], k_list=k_list)
         macro, per_class = top_k_macro_accuracy(fused, split["gt"], k_list=k_list)
-        out.append(
-            {
-                "micro_acc": micro,
-                "macro_acc": macro,
-                "per_class_acc": per_class,
-                "best_threshold": threshold,
-            }
-        )
+        result = {
+            "micro_acc": micro,
+            "macro_acc": macro,
+            "per_class_acc": per_class,
+            "best_threshold": threshold,
+        }
+        if "side_species" in split:
+            result["routing_acc"] = routing_accuracy(
+                fused["species"], split["side_species"], k_list=k_list)
+        out.append(result)
     return out
 
 
@@ -151,12 +170,14 @@ def method_nn(
         sims, idx = knn_search(query, keys, k=max_k, keys_normalized=True)
         return predictions_to_level_arrays(idx, key_labels), sims
 
+    side_pools = (set(seen_keys_labels["species"]), set(unseen_keys_labels["species"]))
     split_data = []
-    for qf, gt in ((seen_query_feats, seen_gt), (unseen_query_feats, unseen_gt)):
+    for (qf, gt), pool in zip(((seen_query_feats, seen_gt), (unseen_query_feats, unseen_gt)), side_pools):
         preds_seen, scores_seen = side(qf["image"], seen_keys_prep, seen_keys_labels)
         preds_unseen, _ = side(qf["dna"], unseen_keys_prep, unseen_keys_labels)
         split_data.append(
-            {"preds_seen": preds_seen, "scores_seen": scores_seen, "preds_unseen": preds_unseen, "gt": gt}
+            {"preds_seen": preds_seen, "scores_seen": scores_seen,
+             "preds_unseen": preds_unseen, "gt": gt, "side_species": pool}
         )
 
     if threshold is None:
@@ -263,13 +284,15 @@ def method_linear(
         for level in LEVELS
     }
 
+    side_pools = (set(classes), set(unseen_keys_labels["species"]))
     split_data = []
-    for qf, gt in ((seen_query_feats, seen_gt), (unseen_query_feats, unseen_gt)):
+    for (qf, gt), pool in zip(((seen_query_feats, seen_gt), (unseen_query_feats, unseen_gt)), side_pools):
         preds_seen, conf = classifier_predictions(qf["image"], w, b, class_labels_by_level, max_k)
         _, idx = knn_search(qf["dna"], unseen_keys_feats, k=max_k)
         preds_unseen = predictions_to_level_arrays(idx, unseen_keys_labels)
         split_data.append(
-            {"preds_seen": preds_seen, "scores_seen": conf, "preds_unseen": preds_unseen, "gt": gt}
+            {"preds_seen": preds_seen, "scores_seen": conf,
+             "preds_unseen": preds_unseen, "gt": gt, "side_species": pool}
         )
 
     if threshold is None:

@@ -117,6 +117,21 @@ def test_multi_experiment_comparison(tmp_path):
     assert len(paths) == 2
 
 
+def test_line_plot_pair(tmp_path):
+    from clibd_tpu.analysis.compare import plot_line_plot_pair
+
+    exps = {"a": _fake_acc(0.0), "b": _fake_acc(0.1)}
+    p = plot_line_plot_pair(exps, str(tmp_path / "lp.png"),
+                            query_type="encoded_image_feature",
+                            key_type="encoded_image_feature")
+    assert p and os.path.getsize(p) > 0
+    # absent pair → None, no file
+    assert plot_line_plot_pair(exps, str(tmp_path / "none.png"),
+                               query_type="encoded_dna_feature",
+                               key_type="encoded_dna_feature") is None
+    assert not (tmp_path / "none.png").exists()
+
+
 def test_statistics_summary(tiny_hdf5, tmp_path, capsys):
     from clibd_tpu.analysis.statistics import (
         count_frequencies,

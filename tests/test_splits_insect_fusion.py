@@ -238,3 +238,19 @@ def test_method_linear_end_to_end(rng):
     assert out["seen"]["micro_acc"][1]["species"] >= 0.8
     # and the dna-exact unseen queries should route to search
     assert out["unseen"]["micro_acc"][1]["species"] >= 0.8
+    # routing accuracy bounds micro accuracy from above: a correctly-labeled
+    # query is by definition routed to the correct (disjoint) species pool
+    for split in ("seen", "unseen"):
+        for k, acc in out[split]["micro_acc"].items():
+            assert out[split]["routing_acc"][k] >= acc["species"] - 1e-9
+
+
+def test_routing_accuracy_vectorized():
+    from clibd_tpu.engine.fusion import routing_accuracy
+
+    fused = np.asarray([["a", "x", "b"],   # top-1 hit
+                        ["x", "y", "z"],   # no hit
+                        ["x", "b", "x"]],  # hit at k=2
+                       dtype=object)
+    acc = routing_accuracy(fused, {"a", "b"}, k_list=[1, 2, 3, 5])
+    assert acc == {1: pytest.approx(1 / 3), 2: pytest.approx(2 / 3), 3: pytest.approx(2 / 3)}
