@@ -35,6 +35,27 @@ def avg_acc_by_key_count(count_list: Sequence[int], acc_list: Sequence[float]) -
     return {c: float(np.mean(v)) for c, v in sorted(buckets.items())}
 
 
+def average_acc_for_species_membership(
+    per_class_acc: Dict[str, float],
+    species_list: Sequence[str],
+) -> Dict[str, Optional[float]]:
+    """Average per-class accuracy split by membership in `species_list`
+    (e.g. the 1M training-species list), after the reference's lowercase/
+    underscore normalization (logs/check_per_class_acc.py:9-37).
+    → {'in_list': avg|None, 'not_in_list': avg|None, counts...}."""
+    norm = lambda s: s.lower().replace(" ", "_")
+    members = {norm(s) for s in species_list}
+    in_list, out_list = [], []
+    for species, acc in per_class_acc.items():
+        (in_list if norm(species) in members else out_list).append(float(acc))
+    return {
+        "in_list": float(np.mean(in_list)) if in_list else None,
+        "not_in_list": float(np.mean(out_list)) if out_list else None,
+        "n_in_list": len(in_list),
+        "n_not_in_list": len(out_list),
+    }
+
+
 def per_class_acc_vs_key_count(
     per_class_acc: Dict[str, float],
     key_label_dicts: Sequence[dict],

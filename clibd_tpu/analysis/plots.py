@@ -228,3 +228,114 @@ def plot_confusion_matrix(
         plt.close(fig)
         return output_path
     return fig
+
+
+# ---------------------------------------------------------------------------
+# Subset confusion matrices (reference scripts/result/create_confusion_matrix
+# .py:42-113): 10 most-common and 10 most-confused classes per (split,
+# query→key, taxonomic level), annotated row-normalized heatmaps
+# ---------------------------------------------------------------------------
+
+CONFUSION_PAIRS = (
+    ("encoded_image_feature", "encoded_image_feature"),
+    ("encoded_dna_feature", "encoded_dna_feature"),
+    ("encoded_image_feature", "encoded_dna_feature"),
+)
+
+
+def _annotated_heatmap(cm, classes, title, output_path):
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(10, 10))
+    im = ax.imshow(cm, cmap="Blues", vmin=0.0, vmax=max(1.0, float(cm.max())))
+    mid = (cm.max() + cm.min()) / 2 if cm.size else 0.5
+    for i in range(cm.shape[0]):
+        for j in range(cm.shape[1]):
+            ax.text(j, i, f"{cm[i, j]:.2f}", ha="center", va="center", fontsize=7,
+                    color="white" if cm[i, j] > mid else "black")
+    ax.set_xticks(range(len(classes)), classes, rotation=45, ha="right", fontsize=7)
+    ax.set_yticks(range(len(classes)), classes, fontsize=7)
+    ax.set_xlabel("Predicted label"); ax.set_ylabel("True label")
+    ax.set_title(title, fontsize=10)
+    fig.colorbar(im, shrink=0.7)
+    fig.tight_layout()
+    os.makedirs(os.path.dirname(os.path.abspath(output_path)), exist_ok=True)
+    fig.savefig(output_path, dpi=150)
+    plt.close(fig)
+    return output_path
+
+
+def most_common_class_indices(cm: np.ndarray, top_n: int = 10) -> np.ndarray:
+    """Classes ranked by raw correct-prediction count (the reference ranks by
+    the unnormalized diagonal, create_confusion_matrix.py:65-67)."""
+    return np.argsort(-np.diag(cm), kind="stable")[:top_n]
+
+
+def most_confused_class_indices(cm_normalized: np.ndarray, top_n: int = 10) -> list:
+    """Classes involved in the largest off-diagonal normalized confusions
+    (create_confusion_matrix.py:79-91): walk cell pairs in descending order,
+    collect both endpoints until >= top_n unique classes, sorted, truncated."""
+    masked = cm_normalized.copy()
+    np.fill_diagonal(masked, -np.inf)
+    order = np.dstack(np.unravel_index(np.argsort(-masked, axis=None, kind="stable"),
+                                       masked.shape))[0]
+    unique: set = set()
+    for i, j in order:
+        unique.update((int(i), int(j)))
+        if len(unique) >= top_n:
+            break
+    return sorted(unique)[:top_n]
+
+
+def plot_subset_confusion_matrices(
+    pred_dict: dict,
+    output_dir: str,
+    query_key_pairs=CONFUSION_PAIRS,
+    levels=("order", "family", "genus", "species"),
+    top_n: int = 10,
+) -> List[str]:
+    """For each (seen/unseen split, query→key pair, taxonomic level) present
+    in a cached pred_dict payload, write the most-common-classes and
+    most-confused-classes heatmaps (reference plot_confusion_matrix,
+    create_confusion_matrix.py:99-113)."""
+    from sklearn.metrics import confusion_matrix
+
+    short = {"encoded_image_feature": "image", "encoded_dna_feature": "DNA",
+             "encoded_language_feature": "text"}
+    paths = []
+    for split in ("seen", "unseen"):
+        gt_list = pred_dict.get(f"{split}_gt_label")
+        if not gt_list:
+            continue
+        for query, key in query_key_pairs:
+            cell = pred_dict.get(query, {}).get(key)
+            if not cell:
+                continue
+            pred_list = cell[f"curr_{split}_pred_list"]
+            for level in levels:
+                y_pred = [p[level][0] for p in pred_list]
+                y_true = [g[level] for g in gt_list]
+                classes = sorted(set(y_true))
+                cm = confusion_matrix(y_true, y_pred, labels=classes)
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    cm_norm = np.nan_to_num(cm.astype(np.float64) /
+                                            cm.sum(axis=1, keepdims=True))
+                pair = f"{short.get(query, query)}_to_{short.get(key, key)}"
+                common = most_common_class_indices(cm, top_n)
+                paths.append(_annotated_heatmap(
+                    cm_norm[np.ix_(common, common)],
+                    [classes[i] for i in common],
+                    f"Most common classes {split} {pair} at {level}",
+                    os.path.join(output_dir,
+                                 f"confusion_common_{split}_{pair}_{level}.png")))
+                confused = most_confused_class_indices(cm_norm, top_n)
+                paths.append(_annotated_heatmap(
+                    cm_norm[np.ix_(confused, confused)],
+                    [classes[i] for i in confused],
+                    f"Most confused classes {split} {pair} at {level}",
+                    os.path.join(output_dir,
+                                 f"confusion_confused_{split}_{pair}_{level}.png")))
+    return paths

@@ -695,53 +695,77 @@ def cmd_method_nn(args, overrides) -> int:
         clip_tokenizer=BatchSpec.maybe_clip_tokenizer(mc),
     )
 
+    _cache: dict = {}
+
     def run(split):
-        loader = BioscanLoader(hdf5, split, spec, num_workers=cfg.pipeline.num_workers,
+        if split not in _cache:
+            loader = BioscanLoader(hdf5, split, spec, num_workers=cfg.pipeline.num_workers,
                                    use_native=cfg.pipeline.use_native_decoder)
-        out = extract_split(params, mc, loader, progress=True)
-        loader.close()
-        return out
+            _cache[split] = extract_split(params, mc, loader, progress=True)
+            loader.close()
+        return _cache[split]
 
-    seen_q = run(f"{eval_on}_seen")
-    unseen_q = run(f"{eval_on}_unseen")
-    unseen_keys = run(args.unseen_keys_split)
+    def run_concat(splits):
+        """Comma-separated splits → one concatenated key set (the reference
+        always concatenates val_unseen_keys + test_unseen_keys,
+        method_nn.py:181-203; the pooled `unseen_keys` group is that union)."""
+        outs = [run(s) for s in splits.split(",")]
+        if len(outs) == 1:
+            return outs[0]
+        return {
+            "encoded_dna_feature": np.concatenate([o["encoded_dna_feature"] for o in outs]),
+            "label_list": [lab for o in outs for lab in o["label_list"]],
+        }
 
-    seen_q_feats = {"image": seen_q["encoded_image_feature"], "dna": seen_q["encoded_dna_feature"]}
-    unseen_q_feats = {"image": unseen_q["encoded_image_feature"], "dna": unseen_q["encoded_dna_feature"]}
+    unseen_keys = run_concat(args.unseen_keys_split)
     common_kw = dict(
         max_k=max(cfg.inference_and_eval_setting.k_list),
         k_list=list(cfg.inference_and_eval_setting.k_list),
+        side_b_query=args.side_b_query,
     )
-    if args.linear:
-        train = run(args.train_split)
-        train_labels = train["label_list"]
-        species_to_levels: dict = {}
-        for lab in train_labels:
-            species_to_levels.setdefault(lab["species"], {lv: lab[lv] for lv in LEVELS})
-        result = method_linear(
-            train["encoded_image_feature"],
-            np.asarray([lab["species"] for lab in train_labels], dtype=object),
-            seen_q_feats, unseen_q_feats,
-            unseen_keys["encoded_dna_feature"],
-            labels_to_level_arrays(unseen_keys["label_list"]),
-            labels_to_level_arrays(seen_q["label_list"]),
-            labels_to_level_arrays(unseen_q["label_list"]),
-            species_to_levels,
-            probe_steps=args.probe_steps,
-            **common_kw,
-        )
-    else:
+
+    def fuse(seen_q, unseen_q, threshold):
+        seen_q_feats = {"image": seen_q["encoded_image_feature"], "dna": seen_q["encoded_dna_feature"]}
+        unseen_q_feats = {"image": unseen_q["encoded_image_feature"], "dna": unseen_q["encoded_dna_feature"]}
+        gts = (labels_to_level_arrays(seen_q["label_list"]),
+               labels_to_level_arrays(unseen_q["label_list"]))
+        if args.linear:
+            train = run(args.train_split)
+            train_labels = train["label_list"]
+            species_to_levels: dict = {}
+            for lab in train_labels:
+                species_to_levels.setdefault(lab["species"], {lv: lab[lv] for lv in LEVELS})
+            return method_linear(
+                train["encoded_image_feature"],
+                np.asarray([lab["species"] for lab in train_labels], dtype=object),
+                seen_q_feats, unseen_q_feats,
+                unseen_keys["encoded_dna_feature"],
+                labels_to_level_arrays(unseen_keys["label_list"]),
+                *gts, species_to_levels,
+                probe_steps=args.probe_steps, threshold=threshold,
+                **common_kw,
+            )
         seen_keys = run("seen_keys")
-        result = method_nn(
+        return method_nn(
             seen_q_feats, unseen_q_feats,
             seen_keys["encoded_image_feature"],
             labels_to_level_arrays(seen_keys["label_list"]),
             unseen_keys["encoded_dna_feature"],
             labels_to_level_arrays(unseen_keys["label_list"]),
-            labels_to_level_arrays(seen_q["label_list"]),
-            labels_to_level_arrays(unseen_q["label_list"]),
+            *gts, threshold=threshold,
             **common_kw,
         )
+
+    # the reference searches the threshold on the VAL queries, then applies
+    # it to the eval_on split (method_nn.py:318-358); when eval_on == val the
+    # second pass re-evaluates the same queries with the searched threshold,
+    # which is identical to the first — skip it
+    if eval_on == "val":
+        result = fuse(run("val_seen"), run("val_unseen"), None)
+    else:
+        val_result = fuse(run("val_seen"), run("val_unseen"), None)
+        result = fuse(run(f"{eval_on}_seen"), run(f"{eval_on}_unseen"),
+                      val_result["best_threshold"])
     summary = {
         "best_threshold": result["best_threshold"],
         "seen_species_top1": result["seen"]["micro_acc"][1]["species"],
@@ -951,6 +975,21 @@ def cmd_compare_experiments(args, overrides) -> int:
                 query_type=q, key_type=key, k=args.k)
             if p:
                 paths.append(p)
+    for p in paths:
+        print(p)
+    return 0
+
+
+def cmd_confusion_matrices(args, overrides) -> int:
+    """Subset confusion-matrix heatmaps (10 most-common / 10 most-confused
+    classes per split × query→key pair × taxonomic level) from a cached
+    pred_dict_<split>.json written by `clibd eval` (reference
+    scripts/result/create_confusion_matrix.py)."""
+    from .analysis.plots import plot_subset_confusion_matrices
+
+    with open(args.pred_json) as f:
+        pred_dict = json.load(f)
+    paths = plot_subset_confusion_matrices(pred_dict, args.out, top_n=args.top_n)
     for p in paths:
         print(p)
     return 0
@@ -1222,7 +1261,15 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     p_mnn = sub.add_parser("method-nn", help="seen/unseen threshold fusion (scripts/method_nn.py)")
     common(p_mnn)
-    p_mnn.add_argument("--unseen-keys-split", default="unseen_keys")
+    p_mnn.add_argument("--unseen-keys-split", default="unseen_keys",
+                       help="comma-separated splits concatenated into the "
+                            "unseen key set (the reference pools "
+                            "val_unseen_keys,test_unseen_keys — the "
+                            "unseen_keys group is that union)")
+    p_mnn.add_argument("--side-b-query", default="image", choices=("image", "dna"),
+                       help="query modality for the unseen-DNA-key search; "
+                            "the reference uses the image query on both "
+                            "sides (cross-modal side B)")
     p_mnn.add_argument("--linear", action="store_true",
                        help="method_linear variant: side A = linear probe "
                             "over image features (scripts/method_linear.py)")
@@ -1256,6 +1303,14 @@ def main(argv: Optional[List[str]] = None) -> int:
     p_stats.add_argument("--out", required=True)
     p_stats.add_argument("--splits-list", nargs="*", default=None)
     p_stats.set_defaults(overrides=[])
+
+    p_cmx = sub.add_parser("confusion-matrices",
+                           help="most-common/most-confused class heatmaps from a "
+                                "cached pred_dict JSON (create_confusion_matrix.py)")
+    p_cmx.add_argument("--pred-json", required=True,
+                       help="pred_dict_<split>.json written by `clibd eval`")
+    p_cmx.add_argument("--out", default="confusion_matrix")
+    p_cmx.add_argument("--top-n", type=int, default=10)
 
     p_cmp = sub.add_parser("compare-experiments", help="multi-experiment comparison plots (scripts/result/)")
     p_cmp.add_argument("experiments", nargs="+", help="name=accuracy.json pairs")
@@ -1365,6 +1420,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         "fetch-taxonomy": cmd_fetch_taxonomy,
         "stats-summary": cmd_stats_summary,
         "compare-experiments": cmd_compare_experiments,
+        "confusion-matrices": cmd_confusion_matrices,
         "attention-maps": cmd_attention_maps,
         "subset-hdf5": cmd_subset_hdf5,
         "generate-split-csv": cmd_generate_split_csv,

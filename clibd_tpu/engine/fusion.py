@@ -154,9 +154,15 @@ def method_nn(
     max_k: int = 5,
     threshold: Optional[float] = None,
     k_list: Sequence[int] = (1, 3, 5),
+    side_b_query: str = "image",
 ) -> dict:
     """Full method_nn pipeline: image-query vs seen IMAGE keys (side A,
-    similarity = confidence) + dna-query vs unseen DNA keys (side B).
+    similarity = confidence) + image-query vs unseen DNA keys (side B,
+    cross-modal — the shared embedding space is the point; reference
+    method_1_inference_and_eval_for_seen_and_unseen runs BOTH sides on the
+    image query, method_nn.py:177-203 with key_type='image' then 'dna').
+    side_b_query='dna' is this framework's extension for when query
+    barcodes are available.
 
     *_query_feats: {'image': [N,D], 'dna': [N,D]}."""
     from ..ops.knn import knn_search, prepare_keys
@@ -174,7 +180,7 @@ def method_nn(
     split_data = []
     for (qf, gt), pool in zip(((seen_query_feats, seen_gt), (unseen_query_feats, unseen_gt)), side_pools):
         preds_seen, scores_seen = side(qf["image"], seen_keys_prep, seen_keys_labels)
-        preds_unseen, _ = side(qf["dna"], unseen_keys_prep, unseen_keys_labels)
+        preds_unseen, _ = side(qf[side_b_query], unseen_keys_prep, unseen_keys_labels)
         split_data.append(
             {"preds_seen": preds_seen, "scores_seen": scores_seen,
              "preds_unseen": preds_unseen, "gt": gt, "side_species": pool}
@@ -267,10 +273,14 @@ def method_linear(
     threshold: Optional[float] = None,
     k_list: Sequence[int] = (1, 3, 5),
     probe_steps: int = 500,
+    side_b_query: str = "image",
 ) -> dict:
     """Full method_linear: linear classifier over seen species (trained on
     image features of the training/key set) routes confident queries; the
-    rest fall back to DNA search against unseen keys."""
+    rest fall back to image-query search against unseen DNA keys
+    (cross-modal, like method_nn — reference method_linear.py:157-163 feeds
+    *_query_image_feature into make_prediction on both sides).
+    side_b_query='dna' switches side B to DNA queries."""
     from ..ops.knn import knn_search
     from ..utils.metrics import predictions_to_level_arrays
 
@@ -288,7 +298,7 @@ def method_linear(
     split_data = []
     for (qf, gt), pool in zip(((seen_query_feats, seen_gt), (unseen_query_feats, unseen_gt)), side_pools):
         preds_seen, conf = classifier_predictions(qf["image"], w, b, class_labels_by_level, max_k)
-        _, idx = knn_search(qf["dna"], unseen_keys_feats, k=max_k)
+        _, idx = knn_search(qf[side_b_query], unseen_keys_feats, k=max_k)
         preds_unseen = predictions_to_level_arrays(idx, unseen_keys_labels)
         split_data.append(
             {"preds_seen": preds_seen, "scores_seen": conf,

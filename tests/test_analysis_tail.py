@@ -396,3 +396,42 @@ def test_poster_plot(tmp_path):
     p = plot_poster_accuracy(acc, str(tmp_path / "poster.pdf"),
                              experiment_name="Image + DNA + Taxonomy")
     assert os.path.getsize(p) > 0
+
+
+def test_subset_confusion_matrices(tmp_path):
+    from clibd_tpu.analysis.plots import (
+        most_common_class_indices,
+        most_confused_class_indices,
+        plot_subset_confusion_matrices,
+    )
+
+    # 4 classes: c0 dominant (most correct), c2<->c3 heavily confused
+    cm = np.array([[9, 0, 0, 1],
+                   [1, 5, 0, 0],
+                   [0, 0, 2, 6],
+                   [0, 0, 7, 1]], dtype=np.int64)
+    common = most_common_class_indices(cm, top_n=2)
+    assert list(common) == [0, 1]
+    cm_norm = cm / cm.sum(axis=1, keepdims=True)
+    confused = most_confused_class_indices(cm_norm, top_n=2)
+    assert confused == [2, 3]
+
+    # end-to-end from a pred_dict payload (the cached JSON layout)
+    rng = np.random.default_rng(0)
+    n = 40
+    gt = [{lv: f"{lv}{i % 4}" for lv in ("order", "family", "genus", "species")}
+          for i in range(n)]
+    preds = [{lv: [f"{lv}{(i + (1 if i % 5 == 0 else 0)) % 4}"]
+              for lv in ("order", "family", "genus", "species")} for i in range(n)]
+    pred_dict = {
+        "seen_gt_label": gt,
+        "unseen_gt_label": [],
+        "encoded_image_feature": {"encoded_image_feature": {
+            "curr_seen_pred_list": preds, "curr_unseen_pred_list": []}},
+    }
+    paths = plot_subset_confusion_matrices(
+        pred_dict, str(tmp_path / "cmx"),
+        query_key_pairs=(("encoded_image_feature", "encoded_image_feature"),),
+        levels=("species",), top_n=3)
+    assert len(paths) == 2  # common + confused, seen split only
+    assert all(os.path.getsize(p) > 0 for p in paths)

@@ -4,6 +4,8 @@ check_unique_barcode_and_bin_number}.py)."""
 
 import os
 
+import pytest
+
 import numpy as np
 
 from clibd_tpu.analysis.per_class import (
@@ -51,3 +53,16 @@ def test_unique_counts_and_pretrain_overlap(tiny_hdf5):
     assert ov["pretrain_classes"] >= 1
     assert set(ov) == {"pretrain_classes", "seen_in_pretrain",
                        "unseen_in_pretrain", "overlap_in_pretrain"}
+
+
+def test_average_acc_for_species_membership():
+    from clibd_tpu.analysis.per_class import average_acc_for_species_membership
+
+    pca = {"Aedes aegypti": 0.9, "Culex pipiens": 0.5, "Apis mellifera": 0.1}
+    # list uses the reference's lowercase/underscore form already
+    out = average_acc_for_species_membership(pca, ["aedes_aegypti", "culex_pipiens"])
+    assert out["in_list"] == pytest.approx(0.7)
+    assert out["not_in_list"] == pytest.approx(0.1)
+    assert out["n_in_list"] == 2 and out["n_not_in_list"] == 1
+    # empty side → None, not NaN
+    assert average_acc_for_species_membership(pca, [])["in_list"] is None

@@ -183,8 +183,11 @@ def test_method_nn_end_to_end(rng):
     unseen_keys = rng.standard_normal((6, d)).astype(np.float32)
     seen_labels = {lv: np.asarray([f"s{lv}{i}" for i in range(10)], dtype=object) for lv in LEVELS}
     unseen_labels = {lv: np.asarray([f"u{lv}{i}" for i in range(6)], dtype=object) for lv in LEVELS}
+    # side B queries with the IMAGE feature (reference parity: both sides
+    # run on the image query, cross-modal vs DNA keys) — make the unseen
+    # image queries land on their unseen DNA keys
     seen_q = {"image": seen_keys[:5], "dna": rng.standard_normal((5, d)).astype(np.float32)}
-    unseen_q = {"image": rng.standard_normal((4, d)).astype(np.float32) * 0.01, "dna": unseen_keys[:4]}
+    unseen_q = {"image": unseen_keys[:4], "dna": rng.standard_normal((4, d)).astype(np.float32)}
     seen_gt = {lv: seen_labels[lv][:5] for lv in LEVELS}
     unseen_gt = {lv: unseen_labels[lv][:4] for lv in LEVELS}
 
@@ -195,6 +198,15 @@ def test_method_nn_end_to_end(rng):
     assert 0.0 <= out["best_threshold"] <= 1.0
     assert out["seen"]["micro_acc"][1]["species"] >= 0.0
     assert out["unseen"]["micro_acc"][1]["species"] >= 0.0
+
+    # the dna side-B extension routes via the DNA query instead
+    unseen_q_dna = {"image": rng.standard_normal((4, d)).astype(np.float32) * 0.01,
+                    "dna": unseen_keys[:4]}
+    out_dna = method_nn(
+        seen_q, unseen_q_dna, seen_keys, seen_labels, unseen_keys, unseen_labels,
+        seen_gt, unseen_gt, max_k=3, k_list=[1, 3], side_b_query="dna",
+    )
+    assert out_dna["unseen"]["micro_acc"][1]["species"] >= 0.0
 
 
 def test_method_linear_end_to_end(rng):
@@ -219,12 +231,15 @@ def test_method_linear_end_to_end(rng):
         "dna": rng.standard_normal((12, d)).astype(np.float32),
     }
     seen_gt = {lv: np.asarray([species_to_levels[f"sp{c}"][lv] for c in qy], dtype=object) for lv in LEVELS}
-    # unseen side: dna queries match unseen keys exactly
+    # unseen side: image queries point at their unseen DNA keys (cross-modal
+    # side B, reference parity) but with tiny magnitude, so the probe's
+    # logits stay near-uniform (low confidence → routed to side B) while the
+    # inner-product argmax — magnitude-invariant — still lands on the key
     unseen_keys = rng.standard_normal((6, d)).astype(np.float32)
     unseen_labels = {lv: np.asarray([f"u{lv}{i}" for i in range(6)], dtype=object) for lv in LEVELS}
     unseen_q = {
-        "image": rng.standard_normal((5, d)).astype(np.float32) * 0.01,
-        "dna": unseen_keys[:5],
+        "image": unseen_keys[:5] * 1e-3,
+        "dna": rng.standard_normal((5, d)).astype(np.float32) * 0.01,
     }
     unseen_gt = {lv: unseen_labels[lv][:5] for lv in LEVELS}
 
