@@ -676,13 +676,21 @@ def cmd_method_nn(args, overrides) -> int:
     image-query-vs-seen-keys similarity routes confident queries, DNA search
     against unseen keys handles the rest; threshold maximizes the harmonic
     mean of seen/unseen species top-1.  With --linear, side A is a linear
-    probe over image features instead (reference scripts/method_linear.py)."""
+    probe over image features instead (reference scripts/method_linear.py);
+    --probe full additionally fine-tunes the whole image encoder + head
+    like the reference (method_linear.py:458-490)."""
     cfg = _load_cfg(args, overrides)
     import numpy as np
 
     from .data.pipeline import BatchSpec, BioscanLoader
     from .engine.extract import extract_split
-    from .engine.fusion import method_linear, method_nn
+    from .engine.fusion import (
+        class_labels_by_level_from_map,
+        method_from_classifier,
+        method_linear,
+        method_nn,
+        predictions_from_logits,
+    )
     from .utils.metrics import LEVELS, labels_to_level_arrays
 
     mc = cfg.model_config
@@ -724,23 +732,97 @@ def cmd_method_nn(args, overrides) -> int:
         side_b_query=args.side_b_query,
     )
 
-    def fuse(seen_q, unseen_q, threshold):
+    _species_map: dict = {}
+
+    def train_species_map():
+        """(sorted classes, species→levels) from the probe-training split."""
+        if not _species_map:
+            train_labels = run(args.train_split)["label_list"]
+            species_to_levels: dict = {}
+            for lab in train_labels:
+                species_to_levels.setdefault(lab["species"], {lv: lab[lv] for lv in LEVELS})
+            _species_map["classes"] = sorted(species_to_levels)
+            _species_map["levels"] = species_to_levels
+        return _species_map["classes"], _species_map["levels"]
+
+    _ft: dict = {}
+
+    def finetuned_logits(split):
+        """Logits of the fully fine-tuned image classifier on a query split
+        (reference method_linear.py:458-516: deepcopy image encoder + new
+        head, every param trainable, AdamW 1e-4 + OneCycleLR)."""
+        import jax
+        import optax
+
+        from .engine.finetune import init_classifier_head, make_finetune_step, species_to_index
+        from .engine.schedules import one_cycle_lr
+
+        if "predict" not in _ft:
+            classes, _ = train_species_map()
+            train_loader = BioscanLoader(
+                hdf5, args.train_split,
+                BatchSpec(batch_size=mc.batch_size, train=True, with_image=True,
+                          with_dna=False, with_language=False),
+                num_workers=cfg.pipeline.num_workers,
+                use_native=cfg.pipeline.use_native_decoder, seed=mc.default_seed)
+            targets = species_to_index(train_loader.label_dicts(), classes)
+            ft_params = dict(params)
+            ft_params["classifier"] = init_classifier_head(
+                jax.random.PRNGKey(mc.default_seed), mc.output_dim, len(classes))
+            total_steps = max(1, len(train_loader) * args.probe_epochs)
+            labels_tree = {k: jax.tree.map(
+                lambda _: "train" if k in ("image_encoder", "classifier") else "frozen", v)
+                for k, v in ft_params.items()}
+            optimizer = optax.multi_transform(
+                {"train": optax.adamw(one_cycle_lr(1e-4, total_steps)),
+                 "frozen": optax.set_to_zero()}, labels_tree)
+            opt_state = optimizer.init(ft_params)
+            step, predict = make_finetune_step(mc, optimizer, modality="image",
+                                               train_encoder=True)
+            for epoch in range(args.probe_epochs):
+                for batch in train_loader.batches(epoch=epoch):
+                    fb = {"image": batch["image"], "target": targets[batch["index"]]}
+                    ft_params, opt_state, _loss = step(ft_params, opt_state, fb)
+            train_loader.close()
+            _ft["params"], _ft["predict"] = ft_params, predict
+        if split not in _ft:
+            loader = BioscanLoader(
+                hdf5, split,
+                BatchSpec(batch_size=mc.batch_size, train=False, with_image=True,
+                          with_dna=False, with_language=False),
+                num_workers=cfg.pipeline.num_workers,
+                use_native=cfg.pipeline.use_native_decoder)
+            chunks = [np.asarray(_ft["predict"](_ft["params"], {"image": b["image"]}))
+                      for b in loader.batches(shuffle=False)]
+            loader.close()
+            _ft[split] = np.concatenate(chunks)
+        return _ft[split]
+
+    def fuse(seen_split, unseen_split, threshold):
+        seen_q, unseen_q = run(seen_split), run(unseen_split)
         seen_q_feats = {"image": seen_q["encoded_image_feature"], "dna": seen_q["encoded_dna_feature"]}
         unseen_q_feats = {"image": unseen_q["encoded_image_feature"], "dna": unseen_q["encoded_dna_feature"]}
         gts = (labels_to_level_arrays(seen_q["label_list"]),
                labels_to_level_arrays(unseen_q["label_list"]))
+        unseen_key_kw = (unseen_keys["encoded_dna_feature"],
+                         labels_to_level_arrays(unseen_keys["label_list"]))
+        if args.linear and args.probe == "full":
+            classes, species_to_levels = train_species_map()
+            class_labels = class_labels_by_level_from_map(classes, species_to_levels)
+            side_a = [predictions_from_logits(finetuned_logits(s), class_labels,
+                                              common_kw["max_k"])
+                      for s in (seen_split, unseen_split)]
+            return method_from_classifier(
+                side_a, seen_q_feats, unseen_q_feats, *unseen_key_kw, *gts,
+                classes, threshold=threshold, **common_kw)
         if args.linear:
             train = run(args.train_split)
             train_labels = train["label_list"]
-            species_to_levels: dict = {}
-            for lab in train_labels:
-                species_to_levels.setdefault(lab["species"], {lv: lab[lv] for lv in LEVELS})
+            _, species_to_levels = train_species_map()
             return method_linear(
                 train["encoded_image_feature"],
                 np.asarray([lab["species"] for lab in train_labels], dtype=object),
-                seen_q_feats, unseen_q_feats,
-                unseen_keys["encoded_dna_feature"],
-                labels_to_level_arrays(unseen_keys["label_list"]),
+                seen_q_feats, unseen_q_feats, *unseen_key_kw,
                 *gts, species_to_levels,
                 probe_steps=args.probe_steps, threshold=threshold,
                 **common_kw,
@@ -750,8 +832,7 @@ def cmd_method_nn(args, overrides) -> int:
             seen_q_feats, unseen_q_feats,
             seen_keys["encoded_image_feature"],
             labels_to_level_arrays(seen_keys["label_list"]),
-            unseen_keys["encoded_dna_feature"],
-            labels_to_level_arrays(unseen_keys["label_list"]),
+            *unseen_key_kw,
             *gts, threshold=threshold,
             **common_kw,
         )
@@ -761,10 +842,10 @@ def cmd_method_nn(args, overrides) -> int:
     # second pass re-evaluates the same queries with the searched threshold,
     # which is identical to the first — skip it
     if eval_on == "val":
-        result = fuse(run("val_seen"), run("val_unseen"), None)
+        result = fuse("val_seen", "val_unseen", None)
     else:
-        val_result = fuse(run("val_seen"), run("val_unseen"), None)
-        result = fuse(run(f"{eval_on}_seen"), run(f"{eval_on}_unseen"),
+        val_result = fuse("val_seen", "val_unseen", None)
+        result = fuse(f"{eval_on}_seen", f"{eval_on}_unseen",
                       val_result["best_threshold"])
     summary = {
         "best_threshold": result["best_threshold"],
@@ -1274,6 +1355,12 @@ def main(argv: Optional[List[str]] = None) -> int:
                        help="method_linear variant: side A = linear probe "
                             "over image features (scripts/method_linear.py)")
     p_mnn.add_argument("--probe-steps", type=int, default=500)
+    p_mnn.add_argument("--probe", default="frozen", choices=("frozen", "full"),
+                       help="frozen: linear probe on extracted features; "
+                            "full: fine-tune the whole image encoder + head "
+                            "(reference method_linear.py:458-490)")
+    p_mnn.add_argument("--probe-epochs", type=int, default=5,
+                       help="epochs for --probe full fine-tuning")
     p_mnn.add_argument("--train-split", default="seen_keys",
                        help="split whose image features train the probe "
                             "(must cover every seen species)")

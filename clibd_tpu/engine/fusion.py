@@ -240,16 +240,13 @@ def train_linear_probe(
     return np.asarray(params["w"]), np.asarray(params["b"])
 
 
-def classifier_predictions(
-    features: np.ndarray,
-    w: np.ndarray,
-    b: np.ndarray,
+def predictions_from_logits(
+    logits: np.ndarray,
     class_labels_by_level: Dict[str, np.ndarray],
     max_k: int = 5,
 ):
     """→ (preds {level: [N, k]}, confidences [N, k]) — softmax probability of
     each of the top-k classes, the method_linear confidence signal."""
-    logits = features @ w + b
     logits = logits - logits.max(axis=1, keepdims=True)
     probs = np.exp(logits)
     probs /= probs.sum(axis=1, keepdims=True)
@@ -257,6 +254,69 @@ def classifier_predictions(
     conf = np.take_along_axis(probs, order, axis=1)
     preds = {level: np.asarray(labels, dtype=object)[order] for level, labels in class_labels_by_level.items()}
     return preds, conf
+
+
+def classifier_predictions(
+    features: np.ndarray,
+    w: np.ndarray,
+    b: np.ndarray,
+    class_labels_by_level: Dict[str, np.ndarray],
+    max_k: int = 5,
+):
+    """Linear-probe variant of predictions_from_logits."""
+    return predictions_from_logits(features @ w + b, class_labels_by_level, max_k)
+
+
+def class_labels_by_level_from_map(
+    classes: Sequence[str], species_to_levels: Dict[str, dict]
+) -> Dict[str, np.ndarray]:
+    """Per-level label array for an ordered class list (classifier column i →
+    its taxon labels)."""
+    return {
+        level: np.asarray([species_to_levels[s][level] for s in classes], dtype=object)
+        for level in LEVELS
+    }
+
+
+def method_from_classifier(
+    classifier_side_a: Sequence[tuple],
+    seen_query_feats: Dict[str, np.ndarray],
+    unseen_query_feats: Dict[str, np.ndarray],
+    unseen_keys_feats: np.ndarray,
+    unseen_keys_labels: Dict[str, np.ndarray],
+    seen_gt: Dict[str, np.ndarray],
+    unseen_gt: Dict[str, np.ndarray],
+    seen_species_pool,
+    max_k: int = 5,
+    threshold: Optional[float] = None,
+    k_list: Sequence[int] = (1, 3, 5),
+    side_b_query: str = "image",
+) -> dict:
+    """Fusion core shared by the frozen-feature probe and the fine-tuned
+    classifier: side A comes in as precomputed per-split (preds, confidence)
+    pairs; side B is the query-vs-unseen-DNA-keys search."""
+    from ..ops.knn import knn_search
+    from ..utils.metrics import predictions_to_level_arrays
+
+    side_pools = (set(seen_species_pool), set(unseen_keys_labels["species"]))
+    split_data = []
+    for (preds_seen, conf), qf, gt, pool in zip(
+        classifier_side_a,
+        (seen_query_feats, unseen_query_feats),
+        (seen_gt, unseen_gt),
+        side_pools,
+    ):
+        _, idx = knn_search(qf[side_b_query], unseen_keys_feats, k=max_k)
+        preds_unseen = predictions_to_level_arrays(idx, unseen_keys_labels)
+        split_data.append(
+            {"preds_seen": preds_seen, "scores_seen": conf,
+             "preds_unseen": preds_unseen, "gt": gt, "side_species": pool}
+        )
+
+    if threshold is None:
+        threshold = search_threshold(split_data, k_list=k_list)
+    seen_out, unseen_out = evaluate_with_threshold(split_data, threshold, k_list=k_list)
+    return {"seen": seen_out, "unseen": unseen_out, "best_threshold": threshold}
 
 
 def method_linear(
@@ -280,32 +340,26 @@ def method_linear(
     rest fall back to image-query search against unseen DNA keys
     (cross-modal, like method_nn — reference method_linear.py:157-163 feeds
     *_query_image_feature into make_prediction on both sides).
-    side_b_query='dna' switches side B to DNA queries."""
-    from ..ops.knn import knn_search
-    from ..utils.metrics import predictions_to_level_arrays
+    side_b_query='dna' switches side B to DNA queries.
 
+    The reference fine-tunes the WHOLE image encoder + a new head
+    (method_linear.py:458-490); that variant is `cli method-nn --linear
+    --probe full`, which trains via engine/finetune and feeds the resulting
+    (preds, confidence) into method_from_classifier. This function is the
+    cheap frozen-feature probe."""
     classes = sorted(set(train_species))
     class_index = {s: i for i, s in enumerate(classes)}
     y = np.asarray([class_index[s] for s in train_species])
     w, b = train_linear_probe(train_features, y, len(classes), steps=probe_steps)
 
-    class_labels_by_level = {
-        level: np.asarray([species_to_levels[s][level] for s in classes], dtype=object)
-        for level in LEVELS
-    }
-
-    side_pools = (set(classes), set(unseen_keys_labels["species"]))
-    split_data = []
-    for (qf, gt), pool in zip(((seen_query_feats, seen_gt), (unseen_query_feats, unseen_gt)), side_pools):
-        preds_seen, conf = classifier_predictions(qf["image"], w, b, class_labels_by_level, max_k)
-        _, idx = knn_search(qf[side_b_query], unseen_keys_feats, k=max_k)
-        preds_unseen = predictions_to_level_arrays(idx, unseen_keys_labels)
-        split_data.append(
-            {"preds_seen": preds_seen, "scores_seen": conf,
-             "preds_unseen": preds_unseen, "gt": gt, "side_species": pool}
-        )
-
-    if threshold is None:
-        threshold = search_threshold(split_data, k_list=k_list)
-    seen_out, unseen_out = evaluate_with_threshold(split_data, threshold, k_list=k_list)
-    return {"seen": seen_out, "unseen": unseen_out, "best_threshold": threshold}
+    class_labels_by_level = class_labels_by_level_from_map(classes, species_to_levels)
+    side_a = [
+        classifier_predictions(qf["image"], w, b, class_labels_by_level, max_k)
+        for qf in (seen_query_feats, unseen_query_feats)
+    ]
+    return method_from_classifier(
+        side_a, seen_query_feats, unseen_query_feats,
+        unseen_keys_feats, unseen_keys_labels, seen_gt, unseen_gt,
+        classes, max_k=max_k, threshold=threshold, k_list=k_list,
+        side_b_query=side_b_query,
+    )

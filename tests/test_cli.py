@@ -255,3 +255,19 @@ def test_cli_method_linear(tiny_hdf5, tiny_exp_yaml, tmp_path, monkeypatch, caps
     assert 0.0 <= result["best_threshold"] <= 1.0
     assert 0.0 <= result["seen_species_top1"] <= 1.0
     assert 0.0 <= result["unseen_species_top1"] <= 1.0
+
+
+def test_cli_method_linear_full_probe(tiny_hdf5, tiny_exp_yaml, tmp_path, monkeypatch, capsys):
+    """--probe full: side A is the fully fine-tuned image classifier
+    (reference method_linear.py:458-516)."""
+    monkeypatch.chdir(tmp_path)
+    rc = main([
+        "method-nn", "-e", tiny_exp_yaml, "--hdf5", tiny_hdf5,
+        "--linear", "--probe", "full", "--probe-epochs", "1",
+        "pipeline.num_workers=0",
+        "inference_and_eval_setting.eval_on=val",
+    ])
+    assert rc == 0
+    result = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert 0.0 <= result["best_threshold"] <= 1.0
+    assert 0.0 <= result["seen_routing_top1"] <= 1.0
