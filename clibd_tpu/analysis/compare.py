@@ -150,18 +150,25 @@ def plot_line_plot_pair(
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    colors = ("#e15759", "#f28e2b", "#4e79a7", "#59a14f", "#b07aa1", "#76b7b2")
+    base_colors = ("#e15759", "#f28e2b", "#4e79a7", "#59a14f", "#b07aa1", "#76b7b2")
     fig, ax = plt.subplots(figsize=(6, 4))
-    plotted = []
-    for (name, acc), color in zip(experiments.items(), colors):
+    # Colors are assigned by enumeration position (cycling past 6) but the
+    # legend is built from the (name, color) pairs actually drawn, so an
+    # experiment missing this query→key pair can't shift later experiments'
+    # legend colors off their lines.
+    plotted = []  # (name, color) in draw order
+    for i, (name, acc) in enumerate(experiments.items()):
+        color = base_colors[i % len(base_colors)]
+        drew = False
         for split, style in (("seen", "-"), ("unseen", "--")):
             ys = _series(acc, query_type, key_type, split, metric, k)
             if ys is None:
                 continue
             ax.plot(range(len(LEVELS)), [y * 100 for y in ys], "o" + style,
                     color=color, linewidth=3)
-            if name not in plotted:
-                plotted.append(name)
+            drew = True
+        if drew:
+            plotted.append((name, color))
     if not plotted:
         plt.close(fig)
         return None
@@ -177,7 +184,7 @@ def plot_line_plot_pair(
     for y in range(0, 101, 5):
         ax.axhline(y=y, color="grey", linewidth=0.4 if y % 10 == 0 else 0.2)
     color_handles = [plt.Line2D([], [], color=c, linewidth=3, label=n)
-                     for n, c in zip(plotted, colors)]
+                     for n, c in plotted]
     style_handles = [plt.Line2D([], [], color="black", linestyle=s, linewidth=3, label=lab)
                      for s, lab in (("-", "Seen"), ("--", "Unseen"))]
     first = ax.legend(handles=color_handles, loc="lower left", fontsize=8)

@@ -318,7 +318,15 @@ def plot_subset_confusion_matrices(
             for level in levels:
                 y_pred = [p[level][0] for p in pred_list]
                 y_true = [g[level] for g in gt_list]
-                classes = sorted(set(y_true))
+                # Deliberate deviation from the reference (which passes only
+                # set(y_true) as labels, create_confusion_matrix.py:110):
+                # sklearn drops every sample whose prediction falls outside
+                # the label set, so e.g. unseen-split queries predicted as
+                # seen species vanish and the row normalization inflates the
+                # diagonal.  Using the union keeps those confusions (pred-only
+                # classes get all-zero rows that never rank as most-common,
+                # since their diagonal count is 0).
+                classes = sorted(set(y_true) | set(y_pred))
                 cm = confusion_matrix(y_true, y_pred, labels=classes)
                 with np.errstate(invalid="ignore", divide="ignore"):
                     cm_norm = np.nan_to_num(cm.astype(np.float64) /

@@ -596,12 +596,7 @@ def cmd_finetune(args, overrides) -> int:
     from .data.insect import INSECTDataset, INSECTLoader
     from .data.pipeline import BatchSpec
     from .engine.checkpoint import save_train_state
-    from .engine.finetune import (
-        init_classifier_head,
-        make_finetune_step,
-        species_to_index,
-        topk_accuracy,
-    )
+    from .engine.finetune import fit_classifier, species_to_index, topk_accuracy
 
     mc = cfg.model_config
     params = _resolve_params(cfg)
@@ -626,35 +621,11 @@ def cmd_finetune(args, overrides) -> int:
     train_targets = species_to_index(train_loader.label_dicts(), unique_species)
     eval_targets = species_to_index(eval_loader.label_dicts(), unique_species)
 
-    params["classifier"] = init_classifier_head(
-        jax.random.PRNGKey(mc.default_seed), mc.output_dim, len(unique_species)
-    )
-    # mask the optimizer to the actually-trained subtree: a bare adamw over
-    # the full tree would apply decoupled weight decay to the frozen encoder
-    # and the unused modality's encoder every step (drifting them from their
-    # checkpoint values despite zero grads) and allocate m/v moments for the
-    # whole model
-    enc_key = f"{args.modality}_encoder"
-
-    def _label(key):
-        train = key == "classifier" or (key == enc_key and not args.freeze_encoder)
-        return "train" if train else "frozen"
-
-    labels = {k: jax.tree.map(lambda _: _label(k), v) for k, v in params.items()}
-    optimizer = optax.multi_transform(
-        {"train": optax.adamw(args.lr), "frozen": optax.set_to_zero()}, labels)
-    opt_state = optimizer.init(params)
-    step, predict = make_finetune_step(mc, optimizer, modality=args.modality,
-                                       train_encoder=not args.freeze_encoder)
-
-    for epoch in range(args.epochs):
-        losses = []
-        for batch in train_loader.batches(epoch=epoch):
-            fb = {args.modality: batch[args.modality],
-                  "target": train_targets[batch["index"]]}
-            params, opt_state, loss = step(params, opt_state, fb)
-            losses.append(float(loss))
-        print(f"epoch {epoch}: loss {np.mean(losses):.4f}")
+    params, predict, _losses = fit_classifier(
+        params, mc, train_loader, train_targets, len(unique_species),
+        tx=optax.adamw(args.lr), epochs=args.epochs, modality=args.modality,
+        train_encoder=not args.freeze_encoder, seed=mc.default_seed,
+        verbose=True)
 
     logits, targets = [], []
     for batch in eval_loader.batches(shuffle=False):
@@ -735,9 +706,19 @@ def cmd_method_nn(args, overrides) -> int:
     _species_map: dict = {}
 
     def train_species_map():
-        """(sorted classes, species→levels) from the probe-training split."""
+        """(sorted classes, species→levels) from the probe-training split —
+        a raw HDF5 label read, NOT an embedding extraction: the --probe full
+        branch consumes only the labels, and the frozen branch reads its
+        features via run() separately."""
         if not _species_map:
-            train_labels = run(args.train_split)["label_list"]
+            from .data.hdf5 import BioscanSplit
+
+            if args.train_split in _cache:
+                train_labels = _cache[args.train_split]["label_list"]
+            else:
+                reader = BioscanSplit(hdf5, args.train_split)
+                train_labels = reader.label_dicts()
+                reader.close()
             species_to_levels: dict = {}
             for lab in train_labels:
                 species_to_levels.setdefault(lab["species"], {lv: lab[lv] for lv in LEVELS})
@@ -751,10 +732,9 @@ def cmd_method_nn(args, overrides) -> int:
         """Logits of the fully fine-tuned image classifier on a query split
         (reference method_linear.py:458-516: deepcopy image encoder + new
         head, every param trainable, AdamW 1e-4 + OneCycleLR)."""
-        import jax
         import optax
 
-        from .engine.finetune import init_classifier_head, make_finetune_step, species_to_index
+        from .engine.finetune import fit_classifier, species_to_index
         from .engine.schedules import one_cycle_lr
 
         if "predict" not in _ft:
@@ -766,23 +746,12 @@ def cmd_method_nn(args, overrides) -> int:
                 num_workers=cfg.pipeline.num_workers,
                 use_native=cfg.pipeline.use_native_decoder, seed=mc.default_seed)
             targets = species_to_index(train_loader.label_dicts(), classes)
-            ft_params = dict(params)
-            ft_params["classifier"] = init_classifier_head(
-                jax.random.PRNGKey(mc.default_seed), mc.output_dim, len(classes))
             total_steps = max(1, len(train_loader) * args.probe_epochs)
-            labels_tree = {k: jax.tree.map(
-                lambda _: "train" if k in ("image_encoder", "classifier") else "frozen", v)
-                for k, v in ft_params.items()}
-            optimizer = optax.multi_transform(
-                {"train": optax.adamw(one_cycle_lr(1e-4, total_steps)),
-                 "frozen": optax.set_to_zero()}, labels_tree)
-            opt_state = optimizer.init(ft_params)
-            step, predict = make_finetune_step(mc, optimizer, modality="image",
-                                               train_encoder=True)
-            for epoch in range(args.probe_epochs):
-                for batch in train_loader.batches(epoch=epoch):
-                    fb = {"image": batch["image"], "target": targets[batch["index"]]}
-                    ft_params, opt_state, _loss = step(ft_params, opt_state, fb)
+            ft_params, predict, _losses = fit_classifier(
+                params, mc, train_loader, targets, len(classes),
+                tx=optax.adamw(one_cycle_lr(1e-4, total_steps)),
+                epochs=args.probe_epochs, modality="image",
+                train_encoder=True, seed=mc.default_seed)
             train_loader.close()
             _ft["params"], _ft["predict"] = ft_params, predict
         if split not in _ft:
@@ -816,15 +785,25 @@ def cmd_method_nn(args, overrides) -> int:
                 side_a, seen_q_feats, unseen_q_feats, *unseen_key_kw, *gts,
                 classes, threshold=threshold, **common_kw)
         if args.linear:
-            train = run(args.train_split)
-            train_labels = train["label_list"]
             _, species_to_levels = train_species_map()
+            # fit the probe once: the threshold-search pass and the eval
+            # pass train on identical inputs (same split, same steps), so a
+            # second 500-step AdamW fit would be pure duplicated work
+            if "probe" not in _ft:
+                from .engine.fusion import fit_frozen_probe
+
+                train = run(args.train_split)
+                _ft["probe"] = fit_frozen_probe(
+                    train["encoded_image_feature"],
+                    np.asarray([lab["species"] for lab in train["label_list"]],
+                               dtype=object),
+                    probe_steps=args.probe_steps)
             return method_linear(
-                train["encoded_image_feature"],
-                np.asarray([lab["species"] for lab in train_labels], dtype=object),
+                None, None,
                 seen_q_feats, unseen_q_feats, *unseen_key_kw,
                 *gts, species_to_levels,
                 probe_steps=args.probe_steps, threshold=threshold,
+                trained_probe=_ft["probe"],
                 **common_kw,
             )
         seen_keys = run("seen_keys")

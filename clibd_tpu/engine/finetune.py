@@ -63,6 +63,56 @@ def make_finetune_step(
     return step, predict
 
 
+def fit_classifier(
+    params: dict,
+    cfg: ExperimentConfig,
+    loader,
+    targets: np.ndarray,
+    num_classes: int,
+    tx,
+    epochs: int,
+    modality: str = "image",
+    train_encoder: bool = True,
+    seed: int = 0,
+    verbose: bool = False,
+):
+    """Shared supervised-classification fit used by `cli finetune` (INSECT,
+    fine_tune_*.py) and `cli method-nn --linear --probe full`
+    (method_linear.py:458-516): fresh classifier head, optimizer masked to
+    the trained subtree (a bare adamw over the full tree would weight-decay
+    frozen encoders away from their checkpoint values despite zero grads,
+    and allocate m/v moments for the whole model), per-epoch batch loop.
+
+    → (trained params, jitted predict(params, batch) → logits,
+       per-epoch mean losses)."""
+    params = dict(params)
+    params["classifier"] = init_classifier_head(
+        jax.random.PRNGKey(seed), cfg.output_dim, num_classes)
+    enc_key = f"{modality}_encoder"
+
+    def _label(key):
+        train = key == "classifier" or (key == enc_key and train_encoder)
+        return "train" if train else "frozen"
+
+    labels = {k: jax.tree.map(lambda _: _label(k), v) for k, v in params.items()}
+    optimizer = optax.multi_transform(
+        {"train": tx, "frozen": optax.set_to_zero()}, labels)
+    opt_state = optimizer.init(params)
+    step, predict = make_finetune_step(cfg, optimizer, modality=modality,
+                                       train_encoder=train_encoder)
+    epoch_losses = []
+    for epoch in range(epochs):
+        losses = []
+        for batch in loader.batches(epoch=epoch):
+            fb = {modality: batch[modality], "target": targets[batch["index"]]}
+            params, opt_state, loss = step(params, opt_state, fb)
+            losses.append(float(loss))
+        epoch_losses.append(float(np.mean(losses)))
+        if verbose:
+            print(f"epoch {epoch}: loss {epoch_losses[-1]:.4f}")
+    return params, predict, epoch_losses
+
+
 def topk_accuracy(logits: np.ndarray, targets: np.ndarray, k_values: Sequence[int] = (1, 3, 5)) -> Dict[int, float]:
     """Reference evaluate_epoch semantics (fine_tuning_epoch.py:39-103)."""
     order = np.argsort(-logits, axis=1)[:, : max(k_values)]

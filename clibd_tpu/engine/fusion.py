@@ -319,6 +319,19 @@ def method_from_classifier(
     return {"seen": seen_out, "unseen": unseen_out, "best_threshold": threshold}
 
 
+def fit_frozen_probe(
+    train_features: np.ndarray,
+    train_species: np.ndarray,
+    probe_steps: int = 500,
+) -> tuple:
+    """Fit method_linear's frozen-feature probe once → (w, b, sorted classes)."""
+    classes = sorted(set(train_species))
+    class_index = {s: i for i, s in enumerate(classes)}
+    y = np.asarray([class_index[s] for s in train_species])
+    w, b = train_linear_probe(train_features, y, len(classes), steps=probe_steps)
+    return w, b, classes
+
+
 def method_linear(
     train_features: np.ndarray,
     train_species: np.ndarray,
@@ -334,6 +347,7 @@ def method_linear(
     k_list: Sequence[int] = (1, 3, 5),
     probe_steps: int = 500,
     side_b_query: str = "image",
+    trained_probe: Optional[tuple] = None,
 ) -> dict:
     """Full method_linear: linear classifier over seen species (trained on
     image features of the training/key set) routes confident queries; the
@@ -346,11 +360,17 @@ def method_linear(
     (method_linear.py:458-490); that variant is `cli method-nn --linear
     --probe full`, which trains via engine/finetune and feeds the resulting
     (preds, confidence) into method_from_classifier. This function is the
-    cheap frozen-feature probe."""
-    classes = sorted(set(train_species))
-    class_index = {s: i for i, s in enumerate(classes)}
-    y = np.asarray([class_index[s] for s in train_species])
-    w, b = train_linear_probe(train_features, y, len(classes), steps=probe_steps)
+    cheap frozen-feature probe.
+
+    `trained_probe` short-circuits the probe fit with a precomputed
+    (w, b, classes) triple — the threshold-search pass and the eval pass see
+    identical training inputs, so callers evaluating two splits should fit
+    once via fit_frozen_probe() and pass the result to both calls."""
+    if trained_probe is not None:
+        w, b, classes = trained_probe
+    else:
+        w, b, classes = fit_frozen_probe(train_features, train_species,
+                                         probe_steps=probe_steps)
 
     class_labels_by_level = class_labels_by_level_from_map(classes, species_to_levels)
     side_a = [

@@ -131,6 +131,49 @@ def test_line_plot_pair(tmp_path):
                                key_type="encoded_dna_feature") is None
     assert not (tmp_path / "none.png").exists()
 
+    # an experiment with NO data for the pair must not shift later
+    # experiments' legend colors off their lines, and >6 experiments must
+    # all be drawn (colors cycle instead of truncating)
+    import matplotlib.pyplot as plt
+
+    many = {"empty": {}}
+    many.update({f"e{i}": _fake_acc(0.01 * i) for i in range(7)})
+    p2 = plot_line_plot_pair(many, str(tmp_path / "many.png"),
+                             query_type="encoded_image_feature",
+                             key_type="encoded_image_feature")
+    assert p2 and os.path.getsize(p2) > 0
+
+    captured = {}
+    orig_subplots = plt.subplots
+
+    def spy_subplots(*a, **k):
+        fig, ax = orig_subplots(*a, **k)
+        captured["ax"] = ax
+        return fig, ax
+
+    plt.subplots = spy_subplots
+    try:
+        plot_line_plot_pair(many, str(tmp_path / "many2.png"),
+                            query_type="encoded_image_feature",
+                            key_type="encoded_image_feature")
+    finally:
+        plt.subplots = orig_subplots
+    ax = captured["ax"]
+    # 7 drawn experiments × 2 splits = 14 lines; legend lists all 7 with
+    # e0's color being the SECOND palette color (index 1: "empty" consumed
+    # index 0 but drew nothing and is absent from the legend)
+    data_lines = [l for l in ax.get_lines() if l.get_linewidth() == 3]
+    assert len(data_lines) == 14
+    # first legend (colors) was pinned with add_artist; collect all texts
+    legend_texts = {t.get_text() for leg in ax.artists + [ax.legend_]
+                    if hasattr(leg, "get_texts") for t in leg.get_texts()}
+    assert {f"e{i}" for i in range(7)} <= legend_texts
+    assert "empty" not in legend_texts
+    color_leg = next(leg for leg in ax.artists if hasattr(leg, "get_texts")
+                     and leg.get_texts() and leg.get_texts()[0].get_text() == "e0")
+    e0_legend_color = color_leg.get_lines()[0].get_color()
+    assert e0_legend_color == data_lines[0].get_color()
+
 
 def test_statistics_summary(tiny_hdf5, tmp_path, capsys):
     from clibd_tpu.analysis.statistics import (
@@ -435,3 +478,35 @@ def test_subset_confusion_matrices(tmp_path):
         levels=("species",), top_n=3)
     assert len(paths) == 2  # common + confused, seen split only
     assert all(os.path.getsize(p) > 0 for p in paths)
+
+    # predictions OUTSIDE the split's ground-truth class set (e.g. unseen
+    # queries predicted as seen species) must stay in the matrix: with a
+    # gt-only label set sklearn drops those samples and the row
+    # normalization inflates the diagonal
+    gt2 = [{lv: "u0" for lv in ("order", "family", "genus", "species")}
+           for _ in range(10)]
+    # 8/10 predicted as a class not among the ground truths, 2 correct
+    preds2 = [{lv: ["seenX" if i < 8 else "u0"]
+               for lv in ("order", "family", "genus", "species")}
+              for i in range(10)]
+    pred_dict2 = {
+        "seen_gt_label": [],
+        "unseen_gt_label": gt2,
+        "encoded_image_feature": {"encoded_dna_feature": {
+            "curr_seen_pred_list": [], "curr_unseen_pred_list": preds2}},
+    }
+    out2 = plot_subset_confusion_matrices(
+        pred_dict2, str(tmp_path / "cmx2"),
+        query_key_pairs=(("encoded_image_feature", "encoded_dna_feature"),),
+        levels=("species",), top_n=2)
+    assert len(out2) == 2
+    # and the normalized diagonal for u0 is 0.2, not 1.0 — checked via the
+    # same code path's building blocks
+    from sklearn.metrics import confusion_matrix
+
+    y_true = ["u0"] * 10
+    y_pred = ["seenX"] * 8 + ["u0"] * 2
+    classes = sorted(set(y_true) | set(y_pred))
+    cm2 = confusion_matrix(y_true, y_pred, labels=classes)
+    row = cm2[classes.index("u0")].astype(float)
+    assert row.sum() == 10 and row[classes.index("u0")] / row.sum() == 0.2
