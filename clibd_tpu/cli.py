@@ -550,6 +550,38 @@ def cmd_extract_single(args, overrides) -> int:
     return 0
 
 
+def cmd_serve(args, overrides) -> int:
+    """Resident inference server (engine/serve.py): loads the checkpoint
+    once, pre-compiles the bucketed forward programs, then serves
+    /embed + /search over HTTP with micro-batched device calls."""
+    cfg = _load_cfg(args, overrides)
+
+    from .engine.serve import InferenceService, make_server
+
+    mc = cfg.model_config
+    params = _resolve_params(cfg)
+    buckets = tuple(b for b in (1, 2, 4, 8, 16, 32) if b <= args.max_batch)
+    service = InferenceService(
+        params, mc, keys_path=args.keys,
+        buckets=buckets or (args.max_batch,),
+        window_ms=args.window_ms, max_batch=args.max_batch)
+    if not args.no_warm:
+        print("compiling bucketed forward programs ...", flush=True)
+        service.pre_warm()
+    server = make_server(service, host=args.host, port=args.port)
+    print(f"serving on http://{args.host}:{server.server_address[1]} "
+          f"(keys: {service.keys.n if service.keys else 'none'})", flush=True)
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.shutdown()
+        server.server_close()
+        service.close()
+    return 0
+
+
 def cmd_flatten_csv(args, overrides) -> int:
     from .analysis.tables import flatten_results_csv
 
@@ -1299,6 +1331,21 @@ def main(argv: Optional[List[str]] = None) -> int:
     p_single.add_argument("--barcode", default=None)
     p_single.add_argument("--out", default=None)
 
+    p_serve = sub.add_parser(
+        "serve", help="resident HTTP inference server (micro-batched embed + "
+                      "top-k search; the backend-export use case of "
+                      "save_embedding/extract_embedding_for_backend.py, resident)")
+    common(p_serve)
+    p_serve.add_argument("--host", default="127.0.0.1")
+    p_serve.add_argument("--port", type=int, default=8000)
+    p_serve.add_argument("--keys", default=None,
+                         help="save_embedding_export HDF5 gallery for /search")
+    p_serve.add_argument("--window-ms", type=float, default=4.0,
+                         help="micro-batch coalescing window")
+    p_serve.add_argument("--max-batch", type=int, default=32)
+    p_serve.add_argument("--no-warm", action="store_true",
+                         help="skip compiling all (modality, bucket) programs at startup")
+
     p_flat = sub.add_parser("flatten-csv", help="flatten results.csv (scripts/flattenCsv.py)")
     p_flat.add_argument("--input", required=True)
     p_flat.add_argument("--out", default="flat.csv")
@@ -1478,6 +1525,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         "build-hdf5": cmd_build_hdf5,
         "bzsl-extract": cmd_bzsl_extract,
         "extract-single": cmd_extract_single,
+        "serve": cmd_serve,
         "finetune": cmd_finetune,
         "method-nn": cmd_method_nn,
         "zeroshot": cmd_zeroshot,

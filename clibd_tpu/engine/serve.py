@@ -1,0 +1,396 @@
+"""Online inference service — resident TPU serving of a trained CLIBD model.
+
+The reference ships the pieces a website backend needs (scripts/save_embedding/
+extract_embedding_for_backend.py:1-129 streams per-record embeddings to an
+appendable HDF5; extract_embedding_for_single_image.py embeds one record per
+process invocation) but no resident server: every request would pay process
+start + checkpoint load + XLA compile.  Serving on TPU wants the opposite
+shape — ONE resident process holding compiled programs, and concurrent
+requests coalesced into a single padded device call: each dispatch pays a
+fixed per-call floor (~1.2 ms through this environment's tunnel), so a batch
+of 32 costs barely more wall time than a batch of 1.
+
+Design:
+
+- ``InferenceService`` loads params once and jits one forward per
+  (modality, bucket-size).  Batches are padded up to the next bucket, so the
+  set of compiled shapes is fixed at startup — nothing recompiles at serve
+  time, and results are sliced back per request (batch rows are independent
+  through ViT/BERT: LayerNorm is per-token, attention per-sample, so padding
+  rows cannot perturb real rows).
+- Micro-batching: callers enqueue ``(payload, Future)`` from any thread; a
+  single batcher thread drains up to ``max_batch`` requests arriving within
+  ``window_ms`` of the first, runs ONE device call per modality present, and
+  resolves the futures.  Host-side decode (JPEG → tensor) happens on the
+  caller's thread, off the batcher's critical path.
+- Optional key set: a ``save_embedding_export`` HDF5 (the backend-export
+  schema) is preloaded and L2-normalized on device once (``prepare_keys``);
+  ``search`` runs exact kNN (ops/knn, the reference's IndexFlatIP semantics)
+  and maps indices to the 4-level taxonomy.
+
+The HTTP layer (``make_server``) is stdlib ``ThreadingHTTPServer`` — each
+connection gets a thread, which is exactly the concurrency source the
+batcher coalesces.
+"""
+
+from __future__ import annotations
+
+import base64
+import binascii
+import json
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, List, Optional
+
+import numpy as np
+
+LEVELS = ("order", "family", "genus", "species")
+
+
+def _next_bucket(n: int, buckets) -> int:
+    for b in buckets:
+        if b >= n:
+            return b
+    return buckets[-1]
+
+
+@dataclass
+class ServeStats:
+    """Lock-protected rolling telemetry (exposed at GET /stats)."""
+
+    requests: int = 0
+    batches: int = 0
+    errors: int = 0
+    batch_size_sum: int = 0
+    latencies_ms: List[float] = field(default_factory=list)
+    _lock: threading.Lock = field(default_factory=threading.Lock, repr=False)
+    max_latencies: int = 4096
+
+    def record_batch(self, size: int) -> None:
+        with self._lock:
+            self.batches += 1
+            self.batch_size_sum += size
+
+    def record_request(self, latency_ms: float) -> None:
+        with self._lock:
+            self.requests += 1
+            self.latencies_ms.append(latency_ms)
+            if len(self.latencies_ms) > self.max_latencies:
+                del self.latencies_ms[: len(self.latencies_ms) // 2]
+
+    def record_error(self) -> None:
+        with self._lock:
+            self.errors += 1
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            lat = sorted(self.latencies_ms)
+            pct = lambda p: (lat[min(len(lat) - 1, int(p * len(lat)))] if lat else None)  # noqa: E731
+            return {
+                "requests": self.requests,
+                "batches": self.batches,
+                "errors": self.errors,
+                "mean_batch_size": (self.batch_size_sum / self.batches) if self.batches else None,
+                "p50_ms": pct(0.50),
+                "p95_ms": pct(0.95),
+            }
+
+
+class KeySet:
+    """Preloaded retrieval gallery from a save_embedding_export HDF5
+    (engine/extract.py backend-export schema): per-modality key matrices
+    normalized on device once + the 4-level label table."""
+
+    def __init__(self, path: str):
+        import h5py
+
+        from ..ops.knn import prepare_keys
+
+        self.features: Dict[str, object] = {}
+        with h5py.File(path, "r") as f:
+            for t in ("encoded_image_feature", "encoded_dna_feature",
+                      "encoded_language_feature"):
+                if t in f:
+                    self.features[t] = prepare_keys(f[t][:])
+            self.labels = {
+                level: [x.decode() for x in f[f"{level}_list"][:]] for level in LEVELS
+            }
+        if not self.features:
+            raise ValueError(f"{path} contains no encoded_*_feature datasets")
+        self.n = len(self.labels["species"])
+
+    def search(self, queries: np.ndarray, key_type: str, k: int):
+        from ..ops.knn import knn_search
+
+        if key_type not in self.features:
+            raise KeyError(
+                f"key set has no {key_type} (available: {sorted(self.features)})")
+        sims, idx = knn_search(queries, self.features[key_type],
+                               k=min(k, self.n), keys_normalized=True)
+        return sims, idx
+
+
+class InferenceService:
+    """Resident model + micro-batching executor (see module docstring)."""
+
+    def __init__(
+        self,
+        params: dict,
+        model_cfg,
+        keys_path: Optional[str] = None,
+        buckets=(1, 2, 4, 8, 16, 32),
+        window_ms: float = 4.0,
+        max_batch: Optional[int] = None,
+        image_size: int = 224,
+        resize_to: int = 256,
+    ):
+        import jax
+
+        from ..models.clibd import clibd_apply
+
+        self.params = params
+        self.mc = model_cfg
+        self.image_size = image_size
+        self.resize_to = resize_to
+        self.buckets = tuple(sorted(buckets))
+        self.window_s = window_ms / 1000.0
+        self.max_batch = max_batch or self.buckets[-1]
+        self.stats = ServeStats()
+        self.keys = KeySet(keys_path) if keys_path else None
+
+        mc = model_cfg
+
+        def _embed(modality):
+            def fn(p, x):
+                kw = {f"{modality}_input": x}
+                return clibd_apply(p, mc, **kw)[modality]
+
+            return jax.jit(fn)
+
+        # one jitted program per modality; bucketed shapes warm lazily (the
+        # first request at a new bucket pays the compile; pre_warm() moves
+        # that to startup)
+        self._apply = {"image": _embed("image"), "dna": _embed("dna")}
+        self._queue: queue.Queue = queue.Queue()
+        self._closed = threading.Event()
+        self._batcher = threading.Thread(target=self._run_batcher,
+                                         name="clibd-serve-batcher", daemon=True)
+        self._batcher.start()
+
+    # -- host-side request preprocessing (caller's thread) ------------------
+
+    def preprocess_image(self, image_bytes: bytes) -> np.ndarray:
+        from ..data.transforms import eval_transform
+
+        return np.asarray(eval_transform(image_bytes, size=self.image_size,
+                                         resize_to=self.resize_to))
+
+    def preprocess_dna(self, barcode: str) -> np.ndarray:
+        from ..data.tokenizers import tokenize_dna_batch
+
+        return np.asarray(
+            tokenize_dna_batch([barcode], k=self.mc.dna.kmer, max_bp=self.mc.dna.max_bp)
+        )[0]
+
+    # -- public API ----------------------------------------------------------
+
+    def embed(self, image_bytes: Optional[bytes] = None,
+              dna: Optional[str] = None, timeout: float = 60.0) -> dict:
+        """Embed one record (either or both modalities). Thread-safe; blocks
+        until the micro-batch containing this request completes."""
+        if image_bytes is None and dna is None:
+            raise ValueError("provide image bytes and/or a DNA barcode")
+        t0 = time.perf_counter()
+        item = {"future": Future()}
+        if image_bytes is not None:
+            item["image"] = self.preprocess_image(image_bytes)
+        if dna is not None:
+            item["dna"] = self.preprocess_dna(dna)
+        self._queue.put(item)
+        out = item["future"].result(timeout=timeout)
+        self.stats.record_request((time.perf_counter() - t0) * 1e3)
+        return out
+
+    def search(self, image_bytes: Optional[bytes] = None,
+               dna: Optional[str] = None, k: int = 5,
+               against: Optional[str] = None, timeout: float = 60.0) -> dict:
+        """Embed + exact top-k against the preloaded key set.  `against`
+        picks the gallery feature ('image'/'dna'/'language'); default is the
+        query's own modality (cross-modal search — e.g. an image query
+        against DNA keys, the CLIBD headline use — via against='dna')."""
+        if self.keys is None:
+            raise RuntimeError("no key set loaded (start with keys_path=...)")
+        emb = self.embed(image_bytes=image_bytes, dna=dna, timeout=timeout)
+        out = {}
+        for modality in ("image", "dna"):
+            if emb.get(modality) is None:
+                continue
+            key_type = f"encoded_{against or modality}_feature"
+            sims, idx = self.keys.search(emb[modality][None, :], key_type, k)
+            out[modality] = {
+                "key_type": key_type,
+                "scores": sims[0].tolist(),
+                "predictions": [
+                    {level: self.keys.labels[level][j] for level in LEVELS}
+                    for j in idx[0].tolist()
+                ],
+            }
+        out["embeddings"] = {m: v.tolist() for m, v in emb.items() if v is not None}
+        return out
+
+    def pre_warm(self) -> None:
+        """Compile every (modality, bucket) program before accepting traffic.
+
+        Materializes each output with np.asarray, NOT jax.block_until_ready:
+        on tunneled platforms block_until_ready can be a no-op, which would
+        let pre_warm return while all the compiles are still queued — the
+        first real request then absorbs every one of them."""
+        for b in self.buckets:
+            if "image_encoder" in self.params or "clip_vision" in self.params:
+                # eval_transform yields HWC float32 — match it exactly or the
+                # first real request would recompile
+                s = self.image_size
+                x = np.zeros((b, s, s, 3), np.float32)
+                np.asarray(self._apply["image"](self.params, x))
+            if "dna_encoder" in self.params:
+                d = np.zeros((b, len(self.preprocess_dna("A" * 10))), np.int32)
+                np.asarray(self._apply["dna"](self.params, d))
+
+    def close(self) -> None:
+        self._closed.set()
+        self._queue.put(None)  # wake the batcher
+        self._batcher.join(timeout=10)
+
+    # -- batcher -------------------------------------------------------------
+
+    def _drain(self, first) -> list:
+        """first request + everything arriving within window_ms, ≤ max_batch."""
+        items = [first]
+        deadline = time.monotonic() + self.window_s
+        while len(items) < self.max_batch:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            try:
+                nxt = self._queue.get(timeout=remaining)
+            except queue.Empty:
+                break
+            if nxt is None:
+                break
+            items.append(nxt)
+        return items
+
+    def _run_batcher(self) -> None:
+        while not self._closed.is_set():
+            first = self._queue.get()
+            if first is None:
+                continue
+            items = self._drain(first)
+            try:
+                self._execute(items)
+            except Exception as e:  # resolve futures so callers don't hang
+                self.stats.record_error()
+                for it in items:
+                    if not it["future"].done():
+                        it["future"].set_exception(e)
+
+    def _execute(self, items: list) -> None:
+        self.stats.record_batch(len(items))
+        results = [dict() for _ in items]
+        for modality in ("image", "dna"):
+            rows = [(i, it[modality]) for i, it in enumerate(items) if modality in it]
+            if not rows:
+                continue
+            n = len(rows)
+            b = _next_bucket(n, self.buckets)
+            x = np.zeros((b,) + rows[0][1].shape, rows[0][1].dtype)
+            for j, (_, arr) in enumerate(rows):
+                x[j] = arr
+            out = np.asarray(self._apply[modality](self.params, x))
+            for j, (i, _) in enumerate(rows):
+                results[i][modality] = out[j]
+        for it, res in zip(items, results):
+            res.setdefault("image", None)
+            res.setdefault("dna", None)
+            it["future"].set_result(res)
+
+
+# ---------------------------------------------------------------------------
+# HTTP layer
+# ---------------------------------------------------------------------------
+
+
+def make_server(service: InferenceService, host: str = "127.0.0.1",
+                port: int = 8000) -> ThreadingHTTPServer:
+    """HTTP front end:
+
+    - GET  /healthz               → {"status": "ok", "keys": N|null}
+    - GET  /stats                 → ServeStats snapshot
+    - POST /embed  {"image_b64"?, "dna"?}            → embeddings
+    - POST /search {"image_b64"?, "dna"?, "k"?, "against"?} → top-k taxonomy
+    """
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet by default
+            pass
+
+        def _send(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._send(200, {"status": "ok",
+                                 "keys": service.keys.n if service.keys else None,
+                                 "buckets": list(service.buckets)})
+            elif self.path == "/stats":
+                self._send(200, service.stats.snapshot())
+            else:
+                self._send(404, {"error": f"unknown path {self.path}"})
+
+        def do_POST(self):
+            if self.path not in ("/embed", "/search"):
+                self._send(404, {"error": f"unknown path {self.path}"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                image_bytes = None
+                if req.get("image_b64"):
+                    image_bytes = base64.b64decode(req["image_b64"], validate=True)
+                dna = req.get("dna")
+                if image_bytes is None and dna is None:
+                    self._send(400, {"error": "provide image_b64 and/or dna"})
+                    return
+                if self.path == "/embed":
+                    out = service.embed(image_bytes=image_bytes, dna=dna)
+                    self._send(200, {
+                        m: (v.tolist() if v is not None else None)
+                        for m, v in out.items()})
+                else:
+                    out = service.search(image_bytes=image_bytes, dna=dna,
+                                         k=int(req.get("k", 5)),
+                                         against=req.get("against"))
+                    self._send(200, out)
+            except (ValueError, KeyError, binascii.Error, json.JSONDecodeError) as e:
+                service.stats.record_error()
+                self._send(400, {"error": str(e)})
+            except Exception as e:  # noqa: BLE001 — a failed request must
+                # never kill the connection without a response (and the
+                # stack belongs in the server log, not just the socket)
+                import traceback
+
+                traceback.print_exc()
+                service.stats.record_error()
+                code = 503 if isinstance(e, RuntimeError) else 500
+                self._send(code, {"error": f"{type(e).__name__}: {e}"})
+
+    return ThreadingHTTPServer((host, port), Handler)

@@ -1,0 +1,228 @@
+"""Resident inference server (engine/serve.py + `cli serve`): padded
+micro-batching must be bit-equivalent to direct clibd_apply, concurrent
+requests must coalesce into fewer device calls, and the HTTP layer must
+round-trip embed/search/stats and reject malformed input."""
+
+import base64
+import json
+import threading
+import urllib.error
+import urllib.request
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+import pytest
+
+from tests.fixtures import random_jpeg_bytes
+
+
+def _tiny_cfg():
+    from clibd_tpu.config.schema import BertConfig, GlobalConfig, ViTConfig
+
+    cfg = GlobalConfig()
+    mc = cfg.model_config
+    mc.output_dim = 16
+    mc.image.vit = ViTConfig(image_size=64, patch_size=16, hidden_size=32,
+                             num_layers=1, num_heads=4, mlp_dim=64)
+    mc.dna.bert = BertConfig(vocab_size=1027, hidden_size=32, num_layers=1,
+                             num_heads=4, intermediate_size=64,
+                             max_position_embeddings=140, with_mlm_head=True)
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def served(tmp_path_factory):
+    import jax
+
+    from clibd_tpu.engine.extract import save_embedding_export
+    from clibd_tpu.engine.serve import InferenceService
+    from clibd_tpu.models import init_clibd_params
+
+    cfg = _tiny_cfg()
+    mc = cfg.model_config
+    params = init_clibd_params(jax.random.PRNGKey(0), mc)
+
+    # gallery: 6 records whose image/DNA features are random unit vectors,
+    # except row 0, which we will overwrite with a real query embedding so
+    # top-1 is known
+    rng = np.random.default_rng(1)
+    n, d = 6, mc.output_dim
+    feats = rng.normal(size=(n, d)).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=1, keepdims=True)
+
+    jpeg = random_jpeg_bytes(rng, h=64, w=80)
+    svc = InferenceService(params, mc, window_ms=200.0, max_batch=4,
+                           buckets=(1, 2, 4), image_size=64, resize_to=72)
+    emb0 = svc.embed(image_bytes=jpeg)
+    feats[0] = emb0["image"]
+
+    keys_path = tmp_path_factory.mktemp("serve") / "keys.hdf5"
+    save_embedding_export(str(keys_path), {
+        "encoded_image_feature": feats,
+        "encoded_dna_feature": feats[::-1].copy(),
+        "encoded_language_feature": None,
+        "label_list": [{lv: f"{lv}{i}" for lv in
+                        ("order", "family", "genus", "species")}
+                       for i in range(n)],
+        "file_name_list": [f"f{i}.jpg" for i in range(n)],
+    })
+    svc.close()
+
+    service = InferenceService(params, mc, keys_path=str(keys_path),
+                               window_ms=200.0, max_batch=4, buckets=(1, 2, 4),
+                               image_size=64, resize_to=72)
+    yield {"service": service, "params": params, "mc": mc, "jpeg": jpeg,
+           "rng": rng}
+    service.close()
+
+
+def test_embed_matches_direct_apply(served):
+    """Bucket padding must not perturb real rows (LN is per-token, attention
+    per-sample): service output == unbatched clibd_apply."""
+    from clibd_tpu.data.tokenizers import tokenize_dna_batch
+    from clibd_tpu.models.clibd import clibd_apply
+
+    svc, params, mc = served["service"], served["params"], served["mc"]
+    jpeg = served["jpeg"]
+    barcode = "ACGTACGTAAACCCGGGTTTACGT"
+
+    out = svc.embed(image_bytes=jpeg, dna=barcode)
+    # jit-vs-eager bf16 fusion differences are ~1e-3; the loose check pins
+    # semantics, the exact row-isolation check below pins padding
+    img_direct = clibd_apply(
+        params, mc, image_input=svc.preprocess_image(jpeg)[None])["image"][0]
+    dna_direct = clibd_apply(
+        params, mc,
+        dna_input=tokenize_dna_batch([barcode], k=mc.dna.kmer,
+                                     max_bp=mc.dna.max_bp))["dna"][0]
+    np.testing.assert_allclose(out["image"], np.asarray(img_direct), atol=5e-3)
+    np.testing.assert_allclose(out["dna"], np.asarray(dna_direct), atol=5e-3)
+    assert abs(float(np.linalg.norm(out["image"])) - 1.0) < 1e-5
+
+    # row isolation inside ONE compiled program: the same query row must be
+    # bit-identical whether its padding neighbors are zeros or other images
+    x0 = svc.preprocess_image(jpeg)
+    x_other = svc.preprocess_image(random_jpeg_bytes(
+        np.random.default_rng(7), h=64, w=80))
+    batch_zeros = np.stack([x0, np.zeros_like(x0), np.zeros_like(x0),
+                            np.zeros_like(x0)])
+    batch_mixed = np.stack([x0, x_other, x_other, x_other])
+    out_zeros = np.asarray(svc._apply["image"](params, batch_zeros))
+    out_mixed = np.asarray(svc._apply["image"](params, batch_mixed))
+    np.testing.assert_array_equal(out_zeros[0], out_mixed[0])
+
+
+def test_concurrent_requests_coalesce(served):
+    """4 concurrent embeds inside one 200 ms window → fewer device batches
+    than requests (the micro-batching reason-to-exist)."""
+    svc, rng = served["service"], served["rng"]
+    jpegs = [random_jpeg_bytes(rng, h=64, w=80) for _ in range(4)]
+    b0 = svc.stats.batches
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        outs = list(pool.map(lambda j: svc.embed(image_bytes=j), jpegs))
+    assert all(o["image"] is not None for o in outs)
+    batches = svc.stats.batches - b0
+    assert 1 <= batches < 4, f"no coalescing happened ({batches} batches)"
+    # distinct inputs must keep distinct outputs (no slicing mixup)
+    assert not np.allclose(outs[0]["image"], outs[1]["image"])
+
+
+def test_search_finds_planted_key(served):
+    svc, jpeg = served["service"], served["jpeg"]
+    out = svc.search(image_bytes=jpeg, k=3)
+    top = out["image"]["predictions"][0]
+    assert top["species"] == "species0"
+    assert out["image"]["scores"][0] == pytest.approx(1.0, abs=1e-4)
+    assert out["image"]["key_type"] == "encoded_image_feature"
+    # cross-modal: image query against the DNA gallery (feats reversed, so
+    # the planted row lands at the end)
+    out2 = svc.search(image_bytes=jpeg, k=1, against="dna")
+    assert out2["image"]["key_type"] == "encoded_dna_feature"
+    assert out2["image"]["predictions"][0]["species"] == "species5"
+
+
+def test_search_without_keys_raises():
+    import jax
+
+    from clibd_tpu.engine.serve import InferenceService
+    from clibd_tpu.models import init_clibd_params
+
+    cfg = _tiny_cfg()
+    svc = InferenceService(init_clibd_params(jax.random.PRNGKey(0), cfg.model_config),
+                           cfg.model_config, window_ms=1.0, buckets=(1,),
+                           image_size=64, resize_to=72)
+    try:
+        with pytest.raises(RuntimeError, match="no key set"):
+            svc.search(dna="ACGT")
+        with pytest.raises(ValueError, match="image bytes and/or"):
+            svc.embed()
+    finally:
+        svc.close()
+
+
+def test_http_roundtrip(served):
+    from clibd_tpu.engine.serve import make_server
+
+    svc, jpeg = served["service"], served["jpeg"]
+    server = make_server(svc, host="127.0.0.1", port=0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+
+    def call(path, payload=None, method=None):
+        url = f"http://127.0.0.1:{port}{path}"
+        data = json.dumps(payload).encode() if payload is not None else None
+        req = urllib.request.Request(url, data=data, method=method)
+        with urllib.request.urlopen(req, timeout=30) as r:
+            return r.status, json.loads(r.read())
+
+    try:
+        status, health = call("/healthz")
+        assert status == 200 and health["status"] == "ok" and health["keys"] == 6
+
+        b64 = base64.b64encode(jpeg).decode()
+        status, emb = call("/embed", {"image_b64": b64, "dna": "ACGTACGT"})
+        assert status == 200
+        assert len(emb["image"]) == served["mc"].output_dim
+        assert len(emb["dna"]) == served["mc"].output_dim
+
+        status, res = call("/search", {"image_b64": b64, "k": 2})
+        assert status == 200
+        assert res["image"]["predictions"][0]["species"] == "species0"
+
+        status, stats = call("/stats")
+        assert status == 200 and stats["requests"] >= 2
+
+        # malformed: no modality → 400; invalid b64 → 400; unknown path → 404
+        for path, payload, want in (("/embed", {}, 400),
+                                    ("/embed", {"image_b64": "!!!"}, 400),
+                                    ("/nope", {"dna": "A"}, 404)):
+            try:
+                call(path, payload)
+                assert False, f"expected HTTPError for {path}"
+            except urllib.error.HTTPError as e:
+                assert e.code == want
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+def test_cli_serve_parser_wiring(monkeypatch):
+    """`serve` subcommand parses and dispatches (no server started)."""
+    import clibd_tpu.cli as cli
+
+    seen = {}
+
+    def fake_serve(args, overrides):
+        seen.update(vars(args))
+        seen["overrides"] = overrides
+        return 0
+
+    monkeypatch.setattr(cli, "cmd_serve", fake_serve)
+    rc = cli.main(["serve", "-e", "x.yaml", "--port", "0",
+                   "--keys", "k.hdf5", "--window-ms", "2",
+                   "--max-batch", "8", "pipeline.num_workers=0"])
+    assert rc == 0
+    assert seen["command"] == "serve" and seen["max_batch"] == 8
+    assert seen["window_ms"] == 2.0 and seen["keys"] == "k.hdf5"
+    assert seen["overrides"] == ["pipeline.num_workers=0"]
