@@ -560,11 +560,14 @@ def cmd_serve(args, overrides) -> int:
 
     mc = cfg.model_config
     params = _resolve_params(cfg)
-    buckets = tuple(b for b in (1, 2, 4, 8, 16, 32) if b <= args.max_batch)
+    # derive the image geometry from the checkpoint's ViT (pre_warm would
+    # crash at startup on a mismatch, but derive rather than assume 224)
+    image_size = mc.image.vit.image_size
     service = InferenceService(
         params, mc, keys_path=args.keys,
-        buckets=buckets or (args.max_batch,),
-        window_ms=args.window_ms, max_batch=args.max_batch)
+        buckets=tuple(b for b in (1, 2, 4, 8, 16, 32) if b <= args.max_batch),
+        window_ms=args.window_ms, max_batch=args.max_batch,
+        image_size=image_size, resize_to=round(image_size * 256 / 224))
     if not args.no_warm:
         print("compiling bucketed forward programs ...", flush=True)
         service.pre_warm()

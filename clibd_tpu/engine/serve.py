@@ -48,7 +48,7 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-LEVELS = ("order", "family", "genus", "species")
+from ..config.schema import LEVELS
 
 
 def _next_bucket(n: int, buckets) -> int:
@@ -156,9 +156,13 @@ class InferenceService:
         self.mc = model_cfg
         self.image_size = image_size
         self.resize_to = resize_to
-        self.buckets = tuple(sorted(buckets))
         self.window_s = window_ms / 1000.0
-        self.max_batch = max_batch or self.buckets[-1]
+        self.max_batch = max_batch or max(buckets)
+        # buckets must reach max_batch: _drain can hand _execute up to
+        # max_batch rows, and a batch larger than the largest bucket would
+        # overflow the padded array
+        self.buckets = tuple(sorted({b for b in buckets if b <= self.max_batch}
+                                    | {self.max_batch}))
         self.stats = ServeStats()
         self.keys = KeySet(keys_path) if keys_path else None
 
@@ -204,10 +208,21 @@ class InferenceService:
         until the micro-batch containing this request completes."""
         if image_bytes is None and dna is None:
             raise ValueError("provide image bytes and/or a DNA barcode")
+        # validate modality support and decodability HERE, on the caller's
+        # thread: a failure inside the batcher would poison every innocent
+        # co-batched request with the same exception
+        if image_bytes is not None and not (
+                "image_encoder" in self.params or "clip_vision" in self.params):
+            raise ValueError("this checkpoint has no image encoder")
+        if dna is not None and "dna_encoder" not in self.params:
+            raise ValueError("this checkpoint has no DNA encoder")
         t0 = time.perf_counter()
         item = {"future": Future()}
         if image_bytes is not None:
-            item["image"] = self.preprocess_image(image_bytes)
+            try:
+                item["image"] = self.preprocess_image(image_bytes)
+            except Exception as e:
+                raise ValueError(f"undecodable image: {e}") from e
         if dna is not None:
             item["dna"] = self.preprocess_dna(dna)
         self._queue.put(item)
@@ -264,6 +279,15 @@ class InferenceService:
         self._closed.set()
         self._queue.put(None)  # wake the batcher
         self._batcher.join(timeout=10)
+        # fail whatever the batcher didn't get to — otherwise those callers
+        # block in future.result() until their timeout
+        while True:
+            try:
+                item = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if item is not None and not item["future"].done():
+                item["future"].set_exception(RuntimeError("server shutting down"))
 
     # -- batcher -------------------------------------------------------------
 
@@ -363,6 +387,9 @@ def make_server(service: InferenceService, host: str = "127.0.0.1",
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 req = json.loads(self.rfile.read(n) or b"{}")
+                if not isinstance(req, dict):
+                    self._send(400, {"error": "body must be a JSON object"})
+                    return
                 image_bytes = None
                 if req.get("image_b64"):
                     image_bytes = base64.b64decode(req["image_b64"], validate=True)

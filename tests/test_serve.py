@@ -141,6 +141,78 @@ def test_search_finds_planted_key(served):
     assert out2["image"]["predictions"][0]["species"] == "species5"
 
 
+def test_bucket_list_always_reaches_max_batch(served):
+    """max_batch beyond the largest bucket must not overflow the padded
+    array: buckets are extended to include max_batch."""
+    import jax
+
+    from clibd_tpu.engine.serve import InferenceService
+    from clibd_tpu.models import init_clibd_params
+
+    cfg = _tiny_cfg()
+    svc = InferenceService(init_clibd_params(jax.random.PRNGKey(0), cfg.model_config),
+                           cfg.model_config, window_ms=300.0,
+                           buckets=(1, 2), max_batch=3,
+                           image_size=64, resize_to=72)
+    try:
+        assert svc.buckets == (1, 2, 3)
+        rng = np.random.default_rng(3)
+        jpegs = [random_jpeg_bytes(rng, h=64, w=80) for _ in range(3)]
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            outs = list(pool.map(lambda j: svc.embed(image_bytes=j), jpegs))
+        assert all(o["image"] is not None for o in outs)
+    finally:
+        svc.close()
+
+
+def test_unsupported_modality_and_bad_image_rejected_upfront(served):
+    """Modality/decodability failures must raise on the caller's thread
+    (ValueError → HTTP 400), never poison a co-batched device call."""
+    import jax
+
+    from clibd_tpu.engine.serve import InferenceService
+    from clibd_tpu.models import init_clibd_params
+
+    cfg = _tiny_cfg()
+    cfg.model_config.dna.enable = False
+    params = init_clibd_params(jax.random.PRNGKey(0), cfg.model_config)
+    params.pop("dna_encoder", None)
+    svc = InferenceService(params, cfg.model_config, window_ms=1.0,
+                           buckets=(1,), image_size=64, resize_to=72)
+    try:
+        with pytest.raises(ValueError, match="no DNA encoder"):
+            svc.embed(dna="ACGT")
+        with pytest.raises(ValueError, match="undecodable image"):
+            svc.embed(image_bytes=b"definitely not a jpeg")
+    finally:
+        svc.close()
+
+
+def test_close_fails_queued_requests():
+    """Requests still queued at close() get an immediate RuntimeError, not a
+    60 s future timeout."""
+    from concurrent.futures import Future
+
+    import jax
+
+    from clibd_tpu.engine.serve import InferenceService
+    from clibd_tpu.models import init_clibd_params
+
+    cfg = _tiny_cfg()
+    svc = InferenceService(init_clibd_params(jax.random.PRNGKey(0), cfg.model_config),
+                           cfg.model_config, window_ms=1.0, buckets=(1,),
+                           image_size=64, resize_to=72)
+    # stop the batcher first so the planted item stays queued
+    svc._closed.set()
+    svc._queue.put(None)
+    svc._batcher.join(timeout=10)
+    orphan = {"future": Future(), "dna": svc.preprocess_dna("ACGT")}
+    svc._queue.put(orphan)
+    svc.close()
+    with pytest.raises(RuntimeError, match="shutting down"):
+        orphan["future"].result(timeout=1)
+
+
 def test_search_without_keys_raises():
     import jax
 
@@ -193,9 +265,13 @@ def test_http_roundtrip(served):
         status, stats = call("/stats")
         assert status == 200 and stats["requests"] >= 2
 
-        # malformed: no modality → 400; invalid b64 → 400; unknown path → 404
+        # malformed: no modality → 400; invalid b64 → 400; valid b64 of
+        # non-image bytes → 400; non-object JSON body → 400; unknown → 404
+        bad_img = base64.b64encode(b"not an image").decode()
         for path, payload, want in (("/embed", {}, 400),
                                     ("/embed", {"image_b64": "!!!"}, 400),
+                                    ("/embed", {"image_b64": bad_img}, 400),
+                                    ("/embed", [1, 2], 400),
                                     ("/nope", {"dna": "A"}, 404)):
             try:
                 call(path, payload)
