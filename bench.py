@@ -87,5 +87,28 @@ def main() -> None:
     )
 
 
+def _watchdog(seconds: float) -> None:
+    """Fail loudly and boundedly if the tunneled chip is unreachable
+    (observed 2026-08-17 evening: jax.devices() hangs indefinitely during a
+    tunnel outage) — a hung bench is worse than an honest error line."""
+    import threading
+
+    def fire():
+        print(json.dumps({
+            "metric": "image+DNA embeddings/sec/chip",
+            "value": 0.0,
+            "unit": "samples/s/chip",
+            "vs_baseline": 0.0,
+            "error": f"TPU unreachable: no result within {int(seconds)}s "
+                     "(tunnel outage — see BENCH history for real values)",
+        }), flush=True)
+        os._exit(2)
+
+    t = threading.Timer(seconds, fire)
+    t.daemon = True
+    t.start()
+
+
 if __name__ == "__main__":
+    _watchdog(float(os.environ.get("CLIBD_BENCH_TIMEOUT_S", 1500)))
     main()
