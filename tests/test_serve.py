@@ -283,6 +283,64 @@ def test_http_roundtrip(served):
         server.server_close()
 
 
+def test_cmd_serve_builds_service_and_shuts_down(tmp_path, monkeypatch):
+    """cmd_serve end-to-end minus serve_forever: builds the service from the
+    experiment config (image geometry derived from the ViT config), starts
+    the real HTTP server, and tears both down cleanly."""
+    import clibd_tpu.cli as cli
+    from clibd_tpu.engine import serve as serve_mod
+
+    exp = tmp_path / "tiny.yaml"
+    exp.write_text(
+        "model_output_name: serve_test\n"
+        "dataset: bioscan_1m\n"
+        "batch_size: 4\n"
+        "output_dim: 16\n"
+        "load_ckpt: false\n"
+        "image:\n  vit:\n    image_size: 64\n    patch_size: 16\n"
+        "    hidden_size: 32\n    num_layers: 1\n    num_heads: 4\n"
+        "    mlp_dim: 64\n"
+        "dna:\n  bert:\n    vocab_size: 1027\n    hidden_size: 32\n"
+        "    num_layers: 1\n    num_heads: 4\n    intermediate_size: 64\n"
+        "    max_position_embeddings: 140\n    with_mlm_head: true\n")
+
+    built = {}
+    orig_make_server = serve_mod.make_server
+
+    def spy_make_server(service, host="127.0.0.1", port=8000):
+        built["service"] = service
+        server = orig_make_server(service, host=host, port=port)
+
+        class Wrap:
+            server_address = server.server_address
+
+            def serve_forever(self):
+                raise KeyboardInterrupt  # immediate clean exit
+
+            def shutdown(self):
+                # the real serve_forever never ran, so real shutdown()
+                # would block forever on its is-shut-down event
+                pass
+
+            def server_close(self):
+                server.server_close()
+
+        return Wrap()
+
+    # cmd_serve does `from .engine.serve import make_server` at call time,
+    # so patching the serve module is enough
+    monkeypatch.setattr(serve_mod, "make_server", spy_make_server)
+    rc = cli.main(["serve", "-e", str(exp), "--port", "0", "--no-warm",
+                   "--max-batch", "3",
+                   f"model_output_dir={tmp_path}/out",
+                   f"project_root_path={tmp_path}"])
+    assert rc == 0
+    svc = built["service"]
+    assert svc.image_size == 64 and svc.resize_to == round(64 * 256 / 224)
+    assert svc.buckets == (1, 2, 3) and svc.keys is None
+    assert svc._closed.is_set()  # cmd_serve's finally closed the service
+
+
 def test_cli_serve_parser_wiring(monkeypatch):
     """`serve` subcommand parses and dispatches (no server started)."""
     import clibd_tpu.cli as cli
