@@ -563,11 +563,17 @@ def cmd_serve(args, overrides) -> int:
     # derive the image geometry from the checkpoint's ViT (pre_warm would
     # crash at startup on a mismatch, but derive rather than assume 224)
     image_size = mc.image.vit.image_size
+    keys_mesh = None
+    if args.shard_keys:
+        from .parallel.mesh import local_mesh
+
+        keys_mesh = local_mesh()
     service = InferenceService(
         params, mc, keys_path=args.keys,
         buckets=tuple(b for b in (1, 2, 4, 8, 16, 32) if b <= args.max_batch),
         window_ms=args.window_ms, max_batch=args.max_batch,
-        image_size=image_size, resize_to=round(image_size * 256 / 224))
+        image_size=image_size, resize_to=round(image_size * 256 / 224),
+        keys_mesh=keys_mesh)
     if not args.no_warm:
         print("compiling bucketed forward programs ...", flush=True)
         service.pre_warm()
@@ -1348,6 +1354,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     p_serve.add_argument("--max-batch", type=int, default=32)
     p_serve.add_argument("--no-warm", action="store_true",
                          help="skip compiling all (modality, bucket) programs at startup")
+    p_serve.add_argument("--shard-keys", action="store_true",
+                         help="shard the gallery rows over all local devices "
+                              "(for galleries larger than one chip's HBM)")
 
     p_flat = sub.add_parser("flatten-csv", help="flatten results.csv (scripts/flattenCsv.py)")
     p_flat.add_argument("--input", required=True)

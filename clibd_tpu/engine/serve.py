@@ -103,19 +103,25 @@ class ServeStats:
 class KeySet:
     """Preloaded retrieval gallery from a save_embedding_export HDF5
     (engine/extract.py backend-export schema): per-modality key matrices
-    normalized on device once + the 4-level label table."""
+    normalized on device once + the 4-level label table.
 
-    def __init__(self, path: str):
+    mesh: shard the gallery rows over the mesh 'data' axis — the resident
+    layout for galleries exceeding one chip's HBM (5M × 768 fp32 ≈ 15 GB);
+    searches use the key-sharded exact top-k (ops/knn, candidates
+    all-gathered and re-ranked)."""
+
+    def __init__(self, path: str, mesh=None):
         import h5py
 
         from ..ops.knn import prepare_keys
 
+        self.mesh = mesh
         self.features: Dict[str, object] = {}
         with h5py.File(path, "r") as f:
             for t in ("encoded_image_feature", "encoded_dna_feature",
                       "encoded_language_feature"):
                 if t in f:
-                    self.features[t] = prepare_keys(f[t][:])
+                    self.features[t] = prepare_keys(f[t][:], mesh=mesh)
             self.labels = {
                 level: [x.decode() for x in f[f"{level}_list"][:]] for level in LEVELS
             }
@@ -130,7 +136,8 @@ class KeySet:
             raise KeyError(
                 f"key set has no {key_type} (available: {sorted(self.features)})")
         sims, idx = knn_search(queries, self.features[key_type],
-                               k=min(k, self.n), keys_normalized=True)
+                               k=min(k, self.n), keys_normalized=True,
+                               mesh=self.mesh, shard="keys", n_valid_keys=self.n)
         return sims, idx
 
 
@@ -147,6 +154,7 @@ class InferenceService:
         max_batch: Optional[int] = None,
         image_size: int = 224,
         resize_to: int = 256,
+        keys_mesh=None,
     ):
         import jax
 
@@ -164,7 +172,7 @@ class InferenceService:
         self.buckets = tuple(sorted({b for b in buckets if b <= self.max_batch}
                                     | {self.max_batch}))
         self.stats = ServeStats()
-        self.keys = KeySet(keys_path) if keys_path else None
+        self.keys = KeySet(keys_path, mesh=keys_mesh) if keys_path else None
 
         mc = model_cfg
 

@@ -85,11 +85,82 @@ def _knn_sharded(queries, keys, k, query_chunk, normalize, keys_normalized, mesh
     return sims[:n], idx[:n]
 
 
-def prepare_keys(keys) -> jnp.ndarray:
+@functools.lru_cache(maxsize=8)
+def _knn_keysharded_fn(mesh, k: int, query_chunk: int, normalize: bool,
+                       keys_normalized: bool, n_valid: int):
+    """KEY-axis sharding: each device holds 1/D of the gallery and computes
+    its local top-k; the k candidates per shard are all-gathered ([N, D·k])
+    and re-ranked — exact global top-k with collectives only over
+    candidates, never scores.  This is how a gallery that exceeds one
+    chip's HBM (5M × 768 fp32 ≈ 15 GB vs 16 GB v5e) is served: weights of
+    the score matmul stay fully sharded, memory per chip is 1/D."""
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import DATA_AXIS
+
+    def local(q, keys):
+        if normalize:
+            q = l2_normalize(q.astype(jnp.float32))
+            if not keys_normalized:
+                keys = l2_normalize(keys.astype(jnp.float32))
+        local_rows = keys.shape[0]
+        offset = jax.lax.axis_index(DATA_AXIS) * local_rows
+        # rows past n_valid are padding (keys padded to a multiple of D) —
+        # exclude them BEFORE the local top-k, or a zero pad row could
+        # outrank a genuinely negative similarity
+        valid = (offset + jnp.arange(local_rows)) < n_valid
+        n = q.shape[0]
+        pad = (-n) % query_chunk
+        qp = jnp.pad(q, ((0, pad), (0, 0)))
+        chunks = qp.reshape(-1, query_chunk, q.shape[1])
+
+        def search_chunk(qc):
+            scores = jnp.dot(qc, keys.T, precision=jax.lax.Precision.HIGHEST)
+            scores = jnp.where(valid[None, :], scores, -jnp.inf)
+            return jax.lax.top_k(scores, k)
+
+        sims, idx = jax.lax.map(search_chunk, chunks)
+        sims = sims.reshape(-1, k)[:n]
+        idx = idx.reshape(-1, k)[:n] + offset
+        sims_all = jax.lax.all_gather(sims, DATA_AXIS, axis=1, tiled=True)
+        idx_all = jax.lax.all_gather(idx, DATA_AXIS, axis=1, tiled=True)
+        top_sims, pos = jax.lax.top_k(sims_all, k)
+        return top_sims, jnp.take_along_axis(idx_all, pos, axis=1)
+
+    # check_vma=False: the outputs ARE replicated (every device ranks the
+    # same all-gathered candidate set deterministically) but the static
+    # replication checker can't infer that through top_k/take_along_axis
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(None, None), P(DATA_AXIS, None)),
+        out_specs=(P(None, None), P(None, None)),
+        check_vma=False,
+    ))
+
+
+def prepare_keys(keys, mesh=None) -> jnp.ndarray:
     """Upload + L2-normalize a key matrix ONCE for reuse across the eval
     grid (each (query_type × split) search over the same key_type would
-    otherwise re-transfer and re-normalize the identical ~40k×768 matrix)."""
-    return jax.jit(lambda x: l2_normalize(x.astype(jnp.float32)))(jnp.asarray(keys))
+    otherwise re-transfer and re-normalize the identical ~40k×768 matrix).
+
+    mesh: shard the key rows over the mesh 'data' axis (padding to a
+    multiple of the mesh size) — pass the ORIGINAL row count to
+    knn_search(n_valid_keys=...) so pad rows never rank.  This is the
+    resident layout for galleries larger than one chip's HBM."""
+    if mesh is None or mesh.size <= 1:
+        return jax.jit(lambda x: l2_normalize(x.astype(jnp.float32)))(jnp.asarray(keys))
+    from jax.sharding import NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    from ..parallel.mesh import DATA_AXIS
+
+    keys = np.asarray(keys, np.float32)
+    pad = (-keys.shape[0]) % mesh.size
+    if pad:
+        keys = np.concatenate([keys, np.zeros((pad, keys.shape[1]), np.float32)])
+    sharding = NamedSharding(mesh, P(DATA_AXIS, None))
+    dev = jax.device_put(keys, sharding)
+    return jax.jit(lambda x: l2_normalize(x), out_shardings=sharding)(dev)
 
 
 def knn_search(
@@ -100,19 +171,41 @@ def knn_search(
     normalize: bool = True,
     keys_normalized: bool = False,
     mesh=None,
+    shard: str = "queries",
+    n_valid_keys: int = None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """→ (similarities [N,k] fp32, indices [N,k] int32), sorted descending.
 
     Exact (non-approximate) search, like the reference's IndexFlatIP.
     keys_normalized=True: keys came from prepare_keys (device-resident,
     already unit-norm) — skip their normalization.
-    mesh: shard the QUERY axis over the mesh's 'data' axis (keys replicated,
-    no collectives needed) — multi-chip eval-grid speedup."""
+    mesh + shard='queries': shard the QUERY axis over the mesh's 'data'
+    axis (keys replicated, no collectives) — multi-chip eval-grid speedup
+    for many queries.
+    mesh + shard='keys': shard the KEY axis (each chip holds 1/D of the
+    gallery, local top-k, all-gather candidates, re-rank) — for galleries
+    larger than one chip's HBM and few-query serving.  Pass prepare_keys(
+    keys, mesh=...) output plus n_valid_keys=<original row count> (pad rows
+    are masked before ranking)."""
     queries = jnp.asarray(queries, jnp.float32)
     keys = jnp.asarray(keys, jnp.float32)
     query_chunk = int(min(query_chunk, max(queries.shape[0], 1)))
-    k = int(min(k, keys.shape[0]))
-    if mesh is not None and mesh.size > 1:
+    n_valid = int(n_valid_keys if n_valid_keys is not None else keys.shape[0])
+    k = int(min(k, n_valid))
+    if mesh is not None and mesh.size > 1 and shard == "keys":
+        if keys.shape[0] % mesh.size:
+            raise ValueError(
+                f"key rows ({keys.shape[0]}) must be a multiple of the mesh "
+                f"size ({mesh.size}) — use prepare_keys(keys, mesh=mesh)")
+        if keys.shape[0] // mesh.size < k:
+            # local shard smaller than k: degenerate — replicate instead
+            sims, idx = _knn_jit(queries, keys[:n_valid], k, query_chunk,
+                                 normalize, keys_normalized)
+        else:
+            fn = _knn_keysharded_fn(mesh, k, query_chunk, normalize,
+                                    keys_normalized, n_valid)
+            sims, idx = fn(queries, keys)
+    elif mesh is not None and mesh.size > 1:
         sims, idx = _knn_sharded(queries, keys, k, query_chunk, normalize,
                                  keys_normalized, mesh)
     else:

@@ -88,3 +88,44 @@ def test_knn_sharded_matches_single(rng):
     s3, i3 = knn_search(q, prep, k=5, keys_normalized=True, mesh=mesh)
     np.testing.assert_array_equal(i1, i3)
     np.testing.assert_allclose(s1, s3, atol=1e-6)
+
+
+def test_knn_key_sharded_matches_single(rng):
+    """KEY-sharded search (gallery split over the mesh, local top-k +
+    candidate all-gather + re-rank) == single-device search, including a
+    key count NOT divisible by the mesh size (pad rows masked), ties at
+    duplicate keys, and the degenerate tiny-gallery fallback."""
+    import jax
+
+    from clibd_tpu.ops.knn import knn_search, prepare_keys
+    from clibd_tpu.parallel.mesh import create_mesh
+
+    mesh = create_mesh(jax.devices()[:8])
+    q = rng.standard_normal((7, 16)).astype(np.float32)
+    keys = rng.standard_normal((203, 16)).astype(np.float32)  # 203 % 8 != 0
+
+    s1, i1 = knn_search(q, keys, k=5)
+    prep = prepare_keys(keys, mesh=mesh)
+    assert prep.shape[0] == 208  # padded to a multiple of 8
+    s2, i2 = knn_search(q, prep, k=5, keys_normalized=True, mesh=mesh,
+                        shard="keys", n_valid_keys=keys.shape[0])
+    np.testing.assert_allclose(s1, s2, atol=1e-6)
+    # indices may differ only where scores tie; none expected for gaussians
+    np.testing.assert_array_equal(i1, i2)
+    assert int(i2.max()) < keys.shape[0]  # pad rows never surface
+
+    # un-prepared sharded call must demand aligned rows
+    try:
+        knn_search(q, keys, k=5, mesh=mesh, shard="keys")
+        assert False, "expected ValueError for misaligned key rows"
+    except ValueError:
+        pass
+
+    # degenerate: local shard (2 rows) < k → exact fallback, same results
+    tiny = rng.standard_normal((16, 16)).astype(np.float32)
+    tp = prepare_keys(tiny, mesh=mesh)
+    s3, i3 = knn_search(q, tp, k=5, keys_normalized=True, mesh=mesh,
+                        shard="keys", n_valid_keys=16)
+    s4, i4 = knn_search(q, tiny, k=5)
+    np.testing.assert_allclose(s3, s4, atol=1e-6)
+    np.testing.assert_array_equal(i3, i4)

@@ -213,6 +213,40 @@ def test_close_fails_queued_requests():
         orphan["future"].result(timeout=1)
 
 
+def test_sharded_gallery_search_matches_replicated(served, tmp_path):
+    """KeySet(mesh=...) — gallery rows sharded over the 8-device CPU mesh —
+    returns the same top-k as the replicated gallery (the layout for
+    galleries larger than one chip's HBM)."""
+    import jax
+
+    from clibd_tpu.engine.extract import save_embedding_export
+    from clibd_tpu.engine.serve import KeySet
+    from clibd_tpu.parallel.mesh import create_mesh
+
+    rng = np.random.default_rng(5)
+    n, d = 21, 16  # 21 % 8 != 0 → exercises pad-row masking
+    feats = rng.normal(size=(n, d)).astype(np.float32)
+    path = tmp_path / "big_keys.hdf5"
+    save_embedding_export(str(path), {
+        "encoded_image_feature": feats,
+        "encoded_dna_feature": None, "encoded_language_feature": None,
+        "label_list": [{lv: f"{lv}{i}" for lv in
+                        ("order", "family", "genus", "species")}
+                       for i in range(n)],
+        "file_name_list": [f"f{i}.jpg" for i in range(n)],
+    })
+    mesh = create_mesh(jax.devices()[:8])
+    flat = KeySet(str(path))
+    sharded = KeySet(str(path), mesh=mesh)
+    q = rng.normal(size=(3, d)).astype(np.float32)
+    q /= np.linalg.norm(q, axis=1, keepdims=True)
+    s1, i1 = flat.search(q, "encoded_image_feature", k=4)
+    s2, i2 = sharded.search(q, "encoded_image_feature", k=4)
+    np.testing.assert_allclose(s1, s2, atol=1e-6)
+    np.testing.assert_array_equal(i1, i2)
+    assert int(i2.max()) < n
+
+
 def test_search_without_keys_raises():
     import jax
 
