@@ -573,7 +573,7 @@ def cmd_serve(args, overrides) -> int:
         buckets=tuple(b for b in (1, 2, 4, 8, 16, 32) if b <= args.max_batch),
         window_ms=args.window_ms, max_batch=args.max_batch,
         image_size=image_size, resize_to=round(image_size * 256 / 224),
-        keys_mesh=keys_mesh)
+        keys_mesh=keys_mesh, language_vocab=args.language_vocab)
     if not args.no_warm:
         print("compiling bucketed forward programs ...", flush=True)
         service.pre_warm()
@@ -1357,6 +1357,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     p_serve.add_argument("--shard-keys", action="store_true",
                          help="shard the gallery rows over all local devices "
                               "(for galleries larger than one chip's HBM)")
+    p_serve.add_argument("--language-vocab", default=None,
+                         help="WordPiece vocab.txt enabling taxonomy-text "
+                              "queries (text → language embedding)")
 
     p_flat = sub.add_parser("flatten-csv", help="flatten results.csv (scripts/flattenCsv.py)")
     p_flat.add_argument("--input", required=True)

@@ -155,6 +155,8 @@ class InferenceService:
         image_size: int = 224,
         resize_to: int = 256,
         keys_mesh=None,
+        language_vocab: Optional[str] = None,
+        text_max_len: int = 20,
     ):
         import jax
 
@@ -173,6 +175,12 @@ class InferenceService:
                                     | {self.max_batch}))
         self.stats = ServeStats()
         self.keys = KeySet(keys_path, mesh=keys_mesh) if keys_path else None
+        self.text_max_len = text_max_len
+        self._tok = None
+        if language_vocab:
+            from ..data.tokenizers import WordPieceTokenizer
+
+            self._tok = WordPieceTokenizer(language_vocab)
 
         mc = model_cfg
 
@@ -186,7 +194,8 @@ class InferenceService:
         # one jitted program per modality; bucketed shapes warm lazily (the
         # first request at a new bucket pays the compile; pre_warm() moves
         # that to startup)
-        self._apply = {"image": _embed("image"), "dna": _embed("dna")}
+        self._apply = {"image": _embed("image"), "dna": _embed("dna"),
+                       "language": _embed("language")}
         self._queue: queue.Queue = queue.Queue()
         self._closed = threading.Event()
         self._batcher = threading.Thread(target=self._run_batcher,
@@ -208,14 +217,22 @@ class InferenceService:
             tokenize_dna_batch([barcode], k=self.mc.dna.kmer, max_bp=self.mc.dna.max_bp)
         )[0]
 
+    def preprocess_text(self, text: str) -> Dict[str, np.ndarray]:
+        """Taxonomy-string query → WordPiece token dict (the same layout the
+        HDF5 builders pre-tokenize, builders.py language_tokens_*)."""
+        toks = self._tok.encode_batch([text], max_length=self.text_max_len)
+        return {k: np.asarray(v[0]) for k, v in toks.items()}
+
     # -- public API ----------------------------------------------------------
 
     def embed(self, image_bytes: Optional[bytes] = None,
-              dna: Optional[str] = None, timeout: float = 60.0) -> dict:
-        """Embed one record (either or both modalities). Thread-safe; blocks
+              dna: Optional[str] = None, text: Optional[str] = None,
+              timeout: float = 60.0) -> dict:
+        """Embed one record (any subset of modalities). Thread-safe; blocks
         until the micro-batch containing this request completes."""
-        if image_bytes is None and dna is None:
-            raise ValueError("provide image bytes and/or a DNA barcode")
+        if image_bytes is None and dna is None and text is None:
+            raise ValueError("provide image bytes, a DNA barcode, and/or a "
+                             "taxonomy text")
         # validate modality support and decodability HERE, on the caller's
         # thread: a failure inside the batcher would poison every innocent
         # co-batched request with the same exception
@@ -224,6 +241,12 @@ class InferenceService:
             raise ValueError("this checkpoint has no image encoder")
         if dna is not None and "dna_encoder" not in self.params:
             raise ValueError("this checkpoint has no DNA encoder")
+        if text is not None:
+            if "language_encoder" not in self.params:
+                raise ValueError("this checkpoint has no language encoder")
+            if self._tok is None:
+                raise ValueError(
+                    "text queries need a WordPiece vocab (serve --language-vocab)")
         t0 = time.perf_counter()
         item = {"future": Future()}
         if image_bytes is not None:
@@ -233,23 +256,27 @@ class InferenceService:
                 raise ValueError(f"undecodable image: {e}") from e
         if dna is not None:
             item["dna"] = self.preprocess_dna(dna)
+        if text is not None:
+            item["language"] = self.preprocess_text(text)
         self._queue.put(item)
         out = item["future"].result(timeout=timeout)
         self.stats.record_request((time.perf_counter() - t0) * 1e3)
         return out
 
     def search(self, image_bytes: Optional[bytes] = None,
-               dna: Optional[str] = None, k: int = 5,
-               against: Optional[str] = None, timeout: float = 60.0) -> dict:
+               dna: Optional[str] = None, text: Optional[str] = None,
+               k: int = 5, against: Optional[str] = None,
+               timeout: float = 60.0) -> dict:
         """Embed + exact top-k against the preloaded key set.  `against`
         picks the gallery feature ('image'/'dna'/'language'); default is the
         query's own modality (cross-modal search — e.g. an image query
         against DNA keys, the CLIBD headline use — via against='dna')."""
         if self.keys is None:
             raise RuntimeError("no key set loaded (start with keys_path=...)")
-        emb = self.embed(image_bytes=image_bytes, dna=dna, timeout=timeout)
+        emb = self.embed(image_bytes=image_bytes, dna=dna, text=text,
+                         timeout=timeout)
         out = {}
-        for modality in ("image", "dna"):
+        for modality in ("image", "dna", "language"):
             if emb.get(modality) is None:
                 continue
             key_type = f"encoded_{against or modality}_feature"
@@ -282,6 +309,11 @@ class InferenceService:
             if "dna_encoder" in self.params:
                 d = np.zeros((b, len(self.preprocess_dna("A" * 10))), np.int32)
                 np.asarray(self._apply["dna"](self.params, d))
+            if "language_encoder" in self.params and self._tok is not None:
+                t = self.preprocess_text("warm up")
+                np.asarray(self._apply["language"](
+                    self.params, {k: np.zeros((b,) + v.shape, v.dtype)
+                                  for k, v in t.items()}))
 
     def close(self) -> None:
         self._closed.set()
@@ -330,24 +362,34 @@ class InferenceService:
                     if not it["future"].done():
                         it["future"].set_exception(e)
 
+    @staticmethod
+    def _pad_stack(rows, b):
+        """[(i, arr-or-dict)] → padded batch of bucket size b (dicts are
+        padded per field — the language tokenizer emits a token dict)."""
+        first = rows[0][1]
+        if isinstance(first, dict):
+            return {k: InferenceService._pad_stack(
+                [(i, d[k]) for i, d in rows], b) for k in first}
+        x = np.zeros((b,) + first.shape, first.dtype)
+        for j, (_, arr) in enumerate(rows):
+            x[j] = arr
+        return x
+
     def _execute(self, items: list) -> None:
         self.stats.record_batch(len(items))
         results = [dict() for _ in items]
-        for modality in ("image", "dna"):
+        for modality in ("image", "dna", "language"):
             rows = [(i, it[modality]) for i, it in enumerate(items) if modality in it]
             if not rows:
                 continue
-            n = len(rows)
-            b = _next_bucket(n, self.buckets)
-            x = np.zeros((b,) + rows[0][1].shape, rows[0][1].dtype)
-            for j, (_, arr) in enumerate(rows):
-                x[j] = arr
+            b = _next_bucket(len(rows), self.buckets)
+            x = self._pad_stack(rows, b)
             out = np.asarray(self._apply[modality](self.params, x))
             for j, (i, _) in enumerate(rows):
                 results[i][modality] = out[j]
         for it, res in zip(items, results):
-            res.setdefault("image", None)
-            res.setdefault("dna", None)
+            for modality in ("image", "dna", "language"):
+                res.setdefault(modality, None)
             it["future"].set_result(res)
 
 
@@ -362,8 +404,9 @@ def make_server(service: InferenceService, host: str = "127.0.0.1",
 
     - GET  /healthz               → {"status": "ok", "keys": N|null}
     - GET  /stats                 → ServeStats snapshot
-    - POST /embed  {"image_b64"?, "dna"?}            → embeddings
-    - POST /search {"image_b64"?, "dna"?, "k"?, "against"?} → top-k taxonomy
+    - POST /embed  {"image_b64"?, "dna"?, "text"?}   → embeddings
+    - POST /search {"image_b64"?, "dna"?, "text"?, "k"?, "against"?}
+                                  → top-k taxonomy per query modality
     """
 
     class Handler(BaseHTTPRequestHandler):
@@ -402,17 +445,20 @@ def make_server(service: InferenceService, host: str = "127.0.0.1",
                 if req.get("image_b64"):
                     image_bytes = base64.b64decode(req["image_b64"], validate=True)
                 dna = req.get("dna")
-                if image_bytes is None and dna is None:
-                    self._send(400, {"error": "provide image_b64 and/or dna"})
+                text = req.get("text")
+                if image_bytes is None and dna is None and text is None:
+                    self._send(400, {"error": "provide image_b64, dna, "
+                                              "and/or text"})
                     return
                 if self.path == "/embed":
-                    out = service.embed(image_bytes=image_bytes, dna=dna)
+                    out = service.embed(image_bytes=image_bytes, dna=dna,
+                                        text=text)
                     self._send(200, {
                         m: (v.tolist() if v is not None else None)
                         for m, v in out.items()})
                 else:
                     out = service.search(image_bytes=image_bytes, dna=dna,
-                                         k=int(req.get("k", 5)),
+                                         text=text, k=int(req.get("k", 5)),
                                          against=req.get("against"))
                     self._send(200, out)
             except (ValueError, KeyError, binascii.Error, json.JSONDecodeError) as e:

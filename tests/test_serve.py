@@ -213,6 +213,74 @@ def test_close_fails_queued_requests():
         orphan["future"].result(timeout=1)
 
 
+def test_text_queries(tmp_path):
+    """Taxonomy-text serving: WordPiece-tokenized text → language embedding,
+    text search against the language gallery; clean 400-style errors when
+    the vocab or the encoder is absent."""
+    import jax
+
+    from clibd_tpu.data.tokenizers import WordPieceTokenizer
+    from clibd_tpu.engine.extract import save_embedding_export
+    from clibd_tpu.engine.serve import InferenceService
+    from clibd_tpu.models import init_clibd_params
+    from clibd_tpu.models.clibd import clibd_apply
+    from tests.fixtures import TINY_VOCAB, write_tiny_vocab
+
+    vocab_path = write_tiny_vocab(str(tmp_path / "vocab.txt"))
+    cfg = _tiny_cfg()
+    cfg.model_config.language.bert.vocab_size = len(TINY_VOCAB)
+    mc = cfg.model_config
+    params = init_clibd_params(jax.random.PRNGKey(0), mc)
+
+    svc = InferenceService(params, mc, window_ms=1.0, buckets=(1, 2),
+                           image_size=64, resize_to=72,
+                           language_vocab=vocab_path)
+    try:
+        text = "diptera cecidomyiidae"
+        out = svc.embed(text=text)
+        assert out["language"] is not None and out["image"] is None
+        toks = WordPieceTokenizer(vocab_path).encode_batch([text], max_length=20)
+        direct = clibd_apply(params, mc, language_input={
+            k: np.asarray(v) for k, v in toks.items()})["language"][0]
+        np.testing.assert_allclose(out["language"], np.asarray(direct), atol=5e-3)
+
+        # plant the text embedding in a language gallery → top-1 hit
+        rng = np.random.default_rng(2)
+        feats = rng.normal(size=(4, mc.output_dim)).astype(np.float32)
+        feats /= np.linalg.norm(feats, axis=1, keepdims=True)
+        feats[2] = out["language"]
+        keys_path = tmp_path / "lang_keys.hdf5"
+        save_embedding_export(str(keys_path), {
+            "encoded_image_feature": None, "encoded_dna_feature": None,
+            "encoded_language_feature": feats,
+            "label_list": [{lv: f"{lv}{i}" for lv in
+                            ("order", "family", "genus", "species")}
+                           for i in range(4)],
+            "file_name_list": [f"f{i}.jpg" for i in range(4)],
+        })
+        svc2 = InferenceService(params, mc, keys_path=str(keys_path),
+                                window_ms=1.0, buckets=(1,),
+                                image_size=64, resize_to=72,
+                                language_vocab=vocab_path)
+        try:
+            res = svc2.search(text=text, k=2)
+            assert res["language"]["key_type"] == "encoded_language_feature"
+            assert res["language"]["predictions"][0]["species"] == "species2"
+        finally:
+            svc2.close()
+
+        # no vocab configured → upfront ValueError
+        svc3 = InferenceService(params, mc, window_ms=1.0, buckets=(1,),
+                                image_size=64, resize_to=72)
+        try:
+            with pytest.raises(ValueError, match="language-vocab"):
+                svc3.embed(text=text)
+        finally:
+            svc3.close()
+    finally:
+        svc.close()
+
+
 def test_sharded_gallery_search_matches_replicated(served, tmp_path):
     """KeySet(mesh=...) — gallery rows sharded over the 8-device CPU mesh —
     returns the same top-k as the replicated gallery (the layout for
@@ -260,7 +328,7 @@ def test_search_without_keys_raises():
     try:
         with pytest.raises(RuntimeError, match="no key set"):
             svc.search(dna="ACGT")
-        with pytest.raises(ValueError, match="image bytes and/or"):
+        with pytest.raises(ValueError, match="provide image bytes"):
             svc.embed()
     finally:
         svc.close()
