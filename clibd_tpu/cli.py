@@ -573,18 +573,29 @@ def cmd_serve(args, overrides) -> int:
         buckets=tuple(b for b in (1, 2, 4, 8, 16, 32) if b <= args.max_batch),
         window_ms=args.window_ms, max_batch=args.max_batch,
         image_size=image_size, resize_to=round(image_size * 256 / 224),
-        keys_mesh=keys_mesh, language_vocab=args.language_vocab)
+        keys_mesh=keys_mesh, language_vocab=args.language_vocab,
+        max_queue=args.max_queue)
     if not args.no_warm:
         print("compiling bucketed forward programs ...", flush=True)
         service.pre_warm()
     server = make_server(service, host=args.host, port=args.port)
     print(f"serving on http://{args.host}:{server.server_address[1]} "
           f"(keys: {service.keys.n if service.keys else 'none'})", flush=True)
+
+    # SIGTERM (the orchestrator's stop signal) → the same clean-exit path
+    # as Ctrl-C: raise in the main thread, which is inside serve_forever
+    import signal
+
+    def _terminate(signum, frame):
+        raise KeyboardInterrupt
+
+    prev_handler = signal.signal(signal.SIGTERM, _terminate)
     try:
         server.serve_forever()
     except KeyboardInterrupt:
         pass
     finally:
+        signal.signal(signal.SIGTERM, prev_handler)
         server.shutdown()
         server.server_close()
         service.close()
@@ -1360,6 +1371,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     p_serve.add_argument("--language-vocab", default=None,
                          help="WordPiece vocab.txt enabling taxonomy-text "
                               "queries (text → language embedding)")
+    p_serve.add_argument("--max-queue", type=int, default=1024,
+                         help="shed load (503) beyond this request backlog")
 
     p_flat = sub.add_parser("flatten-csv", help="flatten results.csv (scripts/flattenCsv.py)")
     p_flat.add_argument("--input", required=True)

@@ -157,6 +157,7 @@ class InferenceService:
         keys_mesh=None,
         language_vocab: Optional[str] = None,
         text_max_len: int = 20,
+        max_queue: int = 1024,
     ):
         import jax
 
@@ -196,6 +197,7 @@ class InferenceService:
         # that to startup)
         self._apply = {"image": _embed("image"), "dna": _embed("dna"),
                        "language": _embed("language")}
+        self.max_queue = max_queue
         self._queue: queue.Queue = queue.Queue()
         self._closed = threading.Event()
         self._batcher = threading.Thread(target=self._run_batcher,
@@ -247,6 +249,14 @@ class InferenceService:
             if self._tok is None:
                 raise ValueError(
                     "text queries need a WordPiece vocab (serve --language-vocab)")
+        # load shedding: a bounded backlog keeps tail latency honest — fail
+        # fast (HTTP 503 via the RuntimeError mapping) instead of letting
+        # queued requests pile past any useful deadline.  qsize() is
+        # approximate, which is fine for shedding.
+        if self._queue.qsize() >= self.max_queue:
+            self.stats.record_error()
+            raise RuntimeError(
+                f"server overloaded ({self.max_queue} requests queued)")
         t0 = time.perf_counter()
         item = {"future": Future()}
         if image_bytes is not None:

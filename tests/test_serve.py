@@ -188,6 +188,35 @@ def test_unsupported_modality_and_bad_image_rejected_upfront(served):
         svc.close()
 
 
+def test_load_shedding(tmp_path):
+    """Beyond max_queue queued requests, embed() fails fast with the
+    overloaded RuntimeError (HTTP 503) instead of growing the backlog."""
+    import jax
+
+    from clibd_tpu.engine.serve import InferenceService
+    from clibd_tpu.models import init_clibd_params
+
+    cfg = _tiny_cfg()
+    svc = InferenceService(init_clibd_params(jax.random.PRNGKey(0), cfg.model_config),
+                           cfg.model_config, window_ms=1.0, buckets=(1,),
+                           image_size=64, resize_to=72, max_queue=2)
+    # park the batcher so the queue actually fills
+    svc._closed.set()
+    svc._queue.put(None)
+    svc._batcher.join(timeout=10)
+    try:
+        svc._queue.put({"future": None})
+        svc._queue.put({"future": None})
+        with pytest.raises(RuntimeError, match="overloaded"):
+            svc.embed(dna="ACGT")
+        assert svc.stats.snapshot()["errors"] == 1
+    finally:
+        # drain the planted junk so close() doesn't trip on future=None
+        while not svc._queue.empty():
+            svc._queue.get_nowait()
+        svc.close()
+
+
 def test_close_fails_queued_requests():
     """Requests still queued at close() get an immediate RuntimeError, not a
     60 s future timeout."""
