@@ -602,6 +602,111 @@ def cmd_serve(args, overrides) -> int:
     return 0
 
 
+def cmd_doctor(args, overrides) -> int:
+    """Deployment diagnostic: device reachability (WITH a timeout — a dead
+    tunnel hangs jax.devices() forever), native decoder availability,
+    multi-host identity, and optionally config/dataset/checkpoint
+    resolution for an experiment.  One JSON object; rc 1 if any check
+    fails."""
+    import importlib.metadata
+    import sys as _sys
+    import threading
+
+    report: dict = {"python": _sys.version.split()[0]}
+    try:
+        report["jax"] = importlib.metadata.version("jax")
+    except importlib.metadata.PackageNotFoundError:
+        report["jax"] = None
+
+    # -- device probe in a daemon thread so an unreachable backend can't
+    # hang the diagnostic (observed: tunnel outages block jax.devices())
+    probe: dict = {}
+
+    def _probe():
+        import time as _time
+
+        import numpy as np
+
+        import jax
+        import jax.numpy as jnp
+
+        from .parallel.mesh import _MULTIHOST_ENV_HINTS, maybe_initialize_distributed
+
+        t0 = _time.perf_counter()
+        probe["distributed_hints"] = {
+            k: os.environ[k] for k in _MULTIHOST_ENV_HINTS if os.environ.get(k)}
+        # the exact sequence every other subcommand runs at startup —
+        # rendezvous first, then backend
+        probe["distributed"] = maybe_initialize_distributed()
+        devs = jax.devices()
+        probe["platform"] = devs[0].platform
+        probe["device_count"] = len(devs)
+        probe["process_index"] = jax.process_index()
+        probe["process_count"] = jax.process_count()
+        x = jnp.ones((256, 256))
+        float(np.asarray((x @ x).sum()))  # force a real device round-trip
+        probe["device_roundtrip_s"] = round(_time.perf_counter() - t0, 3)
+
+    t = threading.Thread(target=_probe, daemon=True)
+    t.start()
+    t.join(timeout=args.timeout)
+    if t.is_alive():
+        report["device"] = {"status": "unreachable",
+                            "detail": f"no response within {args.timeout}s "
+                                      "(tunnel/driver hang)"}
+    elif "device_roundtrip_s" not in probe:
+        report["device"] = {"status": "error", **probe}
+    else:
+        report["device"] = {"status": "ok", **probe}
+
+    # -- native decoder
+    try:
+        from .data.native import load_native_decoder, native_lib_path
+
+        dec = load_native_decoder(build_if_missing=args.build_native)
+        report["native_decoder"] = {
+            "status": "ok" if dec is not None else "unavailable",
+            "lib": native_lib_path(),
+        }
+    except Exception as e:  # diagnostic must never crash on a broken leg
+        report["native_decoder"] = {"status": "error", "detail": str(e)}
+
+    # -- experiment-specific checks
+    if args.experiment:
+        exp: dict = {}
+        try:
+            cfg = _load_cfg(args, overrides)
+            exp["config"] = "ok"
+            hdf5 = args.hdf5 or _dataset_hdf5_path(cfg)
+            exp["hdf5"] = {"path": hdf5, "exists": bool(hdf5) and os.path.exists(hdf5)}
+            # same candidate chain as _resolve_params_local, without loading
+            from .engine.checkpoint import resolve_checkpoint_path
+
+            mc = cfg.model_config
+            ckpt = None
+            for cand in ([mc.ckpt_path] if mc.ckpt_path else []) + [
+                os.path.join(cfg.model_output_dir, mc.model_output_name),
+                os.path.join(cfg.project_root_path, "ckpt", "bioscan_clip",
+                             cfg.version, mc.dataset, mc.model_output_name),
+            ]:
+                ckpt = resolve_checkpoint_path(cand)
+                if ckpt:
+                    break
+            exp["checkpoint"] = {"resolved": ckpt,
+                                 "load_ckpt": mc.load_ckpt,
+                                 "would_fresh_init": not (ckpt and mc.load_ckpt)}
+        except Exception as e:
+            exp["error"] = f"{type(e).__name__}: {e}"
+        report["experiment"] = exp
+
+    ok = report["device"]["status"] == "ok" and \
+        report["native_decoder"]["status"] in ("ok", "unavailable") and \
+        "error" not in report.get("experiment", {})
+    report["status"] = "ok" if ok else "problems"
+    print(json.dumps(report, indent=2))
+    return 0 if ok else 1
+
+
 def cmd_flatten_csv(args, overrides) -> int:
     from .analysis.tables import flatten_results_csv
 
@@ -1280,11 +1385,6 @@ def cmd_bench(args, overrides) -> int:
 
 
 def main(argv: Optional[List[str]] = None) -> int:
-    # Multi-host slice entry: rendezvous before any backend touch (reference
-    # ddp_setup, train_cl.py:44-48). No-op on single-host/CPU (env-gated).
-    from .parallel.mesh import maybe_initialize_distributed
-
-    maybe_initialize_distributed()
     parser = argparse.ArgumentParser(prog="clibd", description=__doc__)
     sub = parser.add_subparsers(dest="command", required=True)
 
@@ -1373,6 +1473,15 @@ def main(argv: Optional[List[str]] = None) -> int:
                               "queries (text → language embedding)")
     p_serve.add_argument("--max-queue", type=int, default=1024,
                          help="shed load (503) beyond this request backlog")
+
+    p_doc = sub.add_parser("doctor", help="deployment diagnostic: device "
+                                          "reachability (bounded), native decoder, "
+                                          "config/dataset/checkpoint resolution")
+    common(p_doc)
+    p_doc.add_argument("--timeout", type=float, default=30.0,
+                       help="seconds before declaring the device unreachable")
+    p_doc.add_argument("--build-native", action="store_true",
+                       help="attempt to build the native decoder if missing")
 
     p_flat = sub.add_parser("flatten-csv", help="flatten results.csv (scripts/flattenCsv.py)")
     p_flat.add_argument("--input", required=True)
@@ -1544,6 +1653,16 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     args = parser.parse_args(argv)
     overrides = getattr(args, "overrides", [])
+    if args.command != "doctor":
+        # Multi-host slice entry: rendezvous before any backend touch
+        # (reference ddp_setup, train_cl.py:44-48); no-op on single-host/CPU
+        # (env-gated).  Skipped for `doctor`: the rendezvous itself touches
+        # the backend (e.g. TPU_WORKER_HOSTNAMES is set on Cloud TPU AND on
+        # this tunnel), and a diagnostic must not hang on the exact failure
+        # it exists to report.
+        from .parallel.mesh import maybe_initialize_distributed
+
+        maybe_initialize_distributed()
     return {
         "train": cmd_train,
         "eval": cmd_eval,
@@ -1554,6 +1673,7 @@ def main(argv: Optional[List[str]] = None) -> int:
         "bzsl-extract": cmd_bzsl_extract,
         "extract-single": cmd_extract_single,
         "serve": cmd_serve,
+        "doctor": cmd_doctor,
         "finetune": cmd_finetune,
         "method-nn": cmd_method_nn,
         "zeroshot": cmd_zeroshot,

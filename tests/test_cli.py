@@ -271,3 +271,35 @@ def test_cli_method_linear_full_probe(tiny_hdf5, tiny_exp_yaml, tmp_path, monkey
     result = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert 0.0 <= result["best_threshold"] <= 1.0
     assert 0.0 <= result["seen_routing_top1"] <= 1.0
+
+
+def test_cli_doctor(tiny_hdf5, tiny_exp_yaml, tmp_path, monkeypatch, capsys):
+    """doctor: device probe ok on the CPU test backend, native-decoder leg
+    present, experiment leg reports config/hdf5/checkpoint resolution.
+    (The unreachable branch was driven for real against a live tunnel
+    outage — it prints status=unreachable and rc=1 without hanging.)"""
+    monkeypatch.chdir(tmp_path)
+    rc = main(["doctor", "-e", tiny_exp_yaml, "--hdf5", tiny_hdf5,
+               "--timeout", "120",
+               f"model_output_dir={tmp_path}/out",
+               f"project_root_path={tmp_path}"])
+    out = capsys.readouterr().out
+    report = json.loads(out[out.index("{"):])
+    assert report["device"]["status"] == "ok"
+    assert report["device"]["device_count"] >= 1
+    assert report["native_decoder"]["status"] in ("ok", "unavailable")
+    assert report["experiment"]["config"] == "ok"
+    assert report["experiment"]["hdf5"]["exists"] is True
+    # tiny yaml has load_ckpt: false → fresh init expected, not a failure
+    assert report["experiment"]["checkpoint"]["would_fresh_init"] is True
+    assert report["status"] == "ok" and rc == 0
+
+    # a missing dataset path must flip hdf5.exists (still rc 0: existence
+    # is reported, not judged — load_ckpt/fresh-init policy is the model's)
+    rc2 = main(["doctor", "-e", tiny_exp_yaml, "--hdf5", "/nope/missing.h5",
+                "--timeout", "120",
+                f"model_output_dir={tmp_path}/out",
+                f"project_root_path={tmp_path}"])
+    out2 = capsys.readouterr().out
+    report2 = json.loads(out2[out2.index("{"):])
+    assert report2["experiment"]["hdf5"]["exists"] is False
