@@ -56,12 +56,9 @@ def _resolve_params(cfg: GlobalConfig):
     return params
 
 
-def _resolve_params_local(cfg: GlobalConfig):
-    import jax
-
-    from .engine.checkpoint import load_params_any, resolve_checkpoint_path
-    from .models import init_clibd_params
-
+def _checkpoint_candidates(cfg: GlobalConfig) -> List[str]:
+    """The checkpoint search chain, in order (shared by _resolve_params_local
+    and `clibd doctor` so the diagnostic can never diverge from the loader)."""
     mc = cfg.model_config
     candidates = []
     if mc.ckpt_path:
@@ -75,6 +72,17 @@ def _resolve_params_local(cfg: GlobalConfig):
             cfg.project_root_path, "ckpt", "bioscan_clip", cfg.version, mc.dataset, mc.model_output_name
         )
     )
+    return candidates
+
+
+def _resolve_params_local(cfg: GlobalConfig):
+    import jax
+
+    from .engine.checkpoint import load_params_any, resolve_checkpoint_path
+    from .models import init_clibd_params
+
+    mc = cfg.model_config
+    candidates = _checkpoint_candidates(cfg)
     if mc.load_ckpt:
         for cand in candidates:
             resolved = resolve_checkpoint_path(cand)
@@ -647,13 +655,21 @@ def cmd_doctor(args, overrides) -> int:
         float(np.asarray((x @ x).sum()))  # force a real device round-trip
         probe["device_roundtrip_s"] = round(_time.perf_counter() - t0, 3)
 
-    t = threading.Thread(target=_probe, daemon=True)
+    def _probe_guarded():
+        try:
+            _probe()
+        except Exception as e:  # surface the failure IN the report
+            probe["exception"] = f"{type(e).__name__}: {e}"
+
+    t = threading.Thread(target=_probe_guarded, daemon=True)
     t.start()
     t.join(timeout=args.timeout)
+    # keep whatever the probe recorded before hanging/failing — e.g. the
+    # distributed-hint env vars are exactly what explains a rendezvous hang
     if t.is_alive():
         report["device"] = {"status": "unreachable",
                             "detail": f"no response within {args.timeout}s "
-                                      "(tunnel/driver hang)"}
+                                      "(tunnel/driver hang)", **probe}
     elif "device_roundtrip_s" not in probe:
         report["device"] = {"status": "error", **probe}
     else:
@@ -679,16 +695,12 @@ def cmd_doctor(args, overrides) -> int:
             exp["config"] = "ok"
             hdf5 = args.hdf5 or _dataset_hdf5_path(cfg)
             exp["hdf5"] = {"path": hdf5, "exists": bool(hdf5) and os.path.exists(hdf5)}
-            # same candidate chain as _resolve_params_local, without loading
+            # THE candidate chain _resolve_params_local uses, without loading
             from .engine.checkpoint import resolve_checkpoint_path
 
             mc = cfg.model_config
             ckpt = None
-            for cand in ([mc.ckpt_path] if mc.ckpt_path else []) + [
-                os.path.join(cfg.model_output_dir, mc.model_output_name),
-                os.path.join(cfg.project_root_path, "ckpt", "bioscan_clip",
-                             cfg.version, mc.dataset, mc.model_output_name),
-            ]:
+            for cand in _checkpoint_candidates(cfg):
                 ckpt = resolve_checkpoint_path(cand)
                 if ckpt:
                     break

@@ -100,6 +100,10 @@ class ServeStats:
             }
 
 
+class Overloaded(RuntimeError):
+    """Backlog exceeded max_queue — shed with HTTP 503, fail fast."""
+
+
 class KeySet:
     """Preloaded retrieval gallery from a save_embedding_export HDF5
     (engine/extract.py backend-export schema): per-modality key matrices
@@ -108,9 +112,15 @@ class KeySet:
     mesh: shard the gallery rows over the mesh 'data' axis — the resident
     layout for galleries exceeding one chip's HBM (5M × 768 fp32 ≈ 15 GB);
     searches use the key-sharded exact top-k (ops/knn, candidates
-    all-gathered and re-ranked)."""
+    all-gathered and re-ranked).
 
-    def __init__(self, path: str, mesh=None):
+    max_k: every device search runs at this single fixed width and the
+    result is sliced to the requested k on the host — the compiled-program
+    set stays fixed no matter what k clients send (a per-request k would
+    compile a new XLA program per distinct value: at 5M-gallery scale a
+    multi-second stall any client could trigger at will)."""
+
+    def __init__(self, path: str, mesh=None, max_k: int = 16):
         import h5py
 
         from ..ops.knn import prepare_keys
@@ -128,6 +138,7 @@ class KeySet:
         if not self.features:
             raise ValueError(f"{path} contains no encoded_*_feature datasets")
         self.n = len(self.labels["species"])
+        self.max_k = min(max_k, self.n)
 
     def search(self, queries: np.ndarray, key_type: str, k: int):
         from ..ops.knn import knn_search
@@ -135,10 +146,11 @@ class KeySet:
         if key_type not in self.features:
             raise KeyError(
                 f"key set has no {key_type} (available: {sorted(self.features)})")
+        k = min(max(int(k), 1), self.max_k)
         sims, idx = knn_search(queries, self.features[key_type],
-                               k=min(k, self.n), keys_normalized=True,
+                               k=self.max_k, keys_normalized=True,
                                mesh=self.mesh, shard="keys", n_valid_keys=self.n)
-        return sims, idx
+        return sims[:, :k], idx[:, :k]
 
 
 class InferenceService:
@@ -245,6 +257,11 @@ class InferenceService:
             raise ValueError("this checkpoint has no DNA encoder")
         if text is not None:
             if "language_encoder" not in self.params:
+                if "clip_text" in self.params:
+                    raise ValueError(
+                        "text serving supports the BERT language tower only "
+                        "(this checkpoint's open_clip text tower needs the "
+                        "CLIP BPE tokenizer, not a WordPiece vocab)")
                 raise ValueError("this checkpoint has no language encoder")
             if self._tok is None:
                 raise ValueError(
@@ -255,7 +272,7 @@ class InferenceService:
         # approximate, which is fine for shedding.
         if self._queue.qsize() >= self.max_queue:
             self.stats.record_error()
-            raise RuntimeError(
+            raise Overloaded(
                 f"server overloaded ({self.max_queue} requests queued)")
         t0 = time.perf_counter()
         item = {"future": Future()}
@@ -324,6 +341,11 @@ class InferenceService:
                 np.asarray(self._apply["language"](
                     self.params, {k: np.zeros((b,) + v.shape, v.dtype)
                                   for k, v in t.items()}))
+        if self.keys is not None:
+            # the search program too (single fixed k=max_k, query batch 1)
+            for key_type, mat in self.keys.features.items():
+                self.keys.search(np.zeros((1, mat.shape[1]), np.float32),
+                                 key_type, k=1)
 
     def close(self) -> None:
         self._closed.set()
@@ -451,6 +473,10 @@ def make_server(service: InferenceService, host: str = "127.0.0.1",
                 if not isinstance(req, dict):
                     self._send(400, {"error": "body must be a JSON object"})
                     return
+                for field in ("image_b64", "dna", "text"):
+                    if req.get(field) is not None and not isinstance(req[field], str):
+                        self._send(400, {"error": f"{field} must be a string"})
+                        return
                 image_bytes = None
                 if req.get("image_b64"):
                     image_bytes = base64.b64decode(req["image_b64"], validate=True)
@@ -471,6 +497,9 @@ def make_server(service: InferenceService, host: str = "127.0.0.1",
                                          text=text, k=int(req.get("k", 5)),
                                          against=req.get("against"))
                     self._send(200, out)
+            except Overloaded as e:
+                # embed() already counted the shed in stats — don't double
+                self._send(503, {"error": str(e)})
             except (ValueError, KeyError, binascii.Error, json.JSONDecodeError) as e:
                 service.stats.record_error()
                 self._send(400, {"error": str(e)})

@@ -187,11 +187,19 @@ def knn_search(
     larger than one chip's HBM and few-query serving.  Pass prepare_keys(
     keys, mesh=...) output plus n_valid_keys=<original row count> (pad rows
     are masked before ranking)."""
+    if shard not in ("queries", "keys"):
+        raise ValueError(f"shard must be 'queries' or 'keys', got {shard!r}")
     queries = jnp.asarray(queries, jnp.float32)
     keys = jnp.asarray(keys, jnp.float32)
     query_chunk = int(min(query_chunk, max(queries.shape[0], 1)))
     n_valid = int(n_valid_keys if n_valid_keys is not None else keys.shape[0])
     k = int(min(k, n_valid))
+    if n_valid_keys is not None and not (
+            mesh is not None and mesh.size > 1 and shard == "keys"):
+        # padded keys (prepare_keys(mesh=...)) searched on a path without
+        # pad masking: slice the pad rows off instead of silently ranking
+        # zero rows as real keys
+        keys = keys[:n_valid]
     if mesh is not None and mesh.size > 1 and shard == "keys":
         if keys.shape[0] % mesh.size:
             raise ValueError(

@@ -121,6 +121,21 @@ def test_knn_key_sharded_matches_single(rng):
     except ValueError:
         pass
 
+    # unknown shard strings are an error, not a silent fall-through to the
+    # unmasked query-sharded path
+    try:
+        knn_search(q, prep, k=5, mesh=mesh, shard="key", n_valid_keys=203)
+        assert False, "expected ValueError for bad shard"
+    except ValueError:
+        pass
+
+    # padded keys searched on the FLAT path with n_valid_keys: pad rows are
+    # sliced off, results equal the unpadded search
+    s_flat, i_flat = knn_search(q, np.asarray(prep), k=5,
+                                keys_normalized=True, n_valid_keys=203)
+    np.testing.assert_array_equal(i1, i_flat)
+    np.testing.assert_allclose(s1, s_flat, atol=1e-6)
+
     # degenerate: local shard (2 rows) < k → exact fallback, same results
     tiny = rng.standard_normal((16, 16)).astype(np.float32)
     tp = prepare_keys(tiny, mesh=mesh)
