@@ -455,9 +455,11 @@ def make_server(service: InferenceService, host: str = "127.0.0.1",
 
         def do_GET(self):
             if self.path == "/healthz":
-                self._send(200, {"status": "ok",
-                                 "keys": service.keys.n if service.keys else None,
-                                 "buckets": list(service.buckets)})
+                batcher_up = service._batcher.is_alive()
+                self._send(200 if batcher_up else 503,
+                           {"status": "ok" if batcher_up else "batcher dead",
+                            "keys": service.keys.n if service.keys else None,
+                            "buckets": list(service.buckets)})
             elif self.path == "/stats":
                 self._send(200, service.stats.snapshot())
             else:
