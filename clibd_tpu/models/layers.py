@@ -205,14 +205,20 @@ def fused_qkv_attention(
         # block_b=2 measured best IN-MODEL at both ViT (N=197) and BarcodeBERT
         # (N=133) shapes; standalone per-layer sweeps preferred larger blocks
         # for short sequences but regressed the full encoder (less DMA/compute
-        # overlap with neighboring XLA ops) — trust end-to-end numbers only
+        # overlap with neighboring XLA ops) — trust end-to-end numbers only.
+        # vmem_safe_block_b clamps oversized CLIBD_ATTN_BLOCK_B values that
+        # would OOM the 16 MB scoped-VMEM budget under remat training
+        # (measured: 4+ OOMs at ViT shapes, 8+ at BarcodeBERT shapes).
+        from ..ops.pallas.attention import vmem_safe_block_b
+
+        block_b = vmem_safe_block_b(_ATTN_BLOCK_B, qkv.shape[1], qkv.shape[2] // 3)
         if ATTN_FUSE_OUTPROJ:
             from ..ops.pallas.attention import flash_attention_qkv_outproj
 
             return flash_attention_qkv_outproj(
                 qkv, out_w.astype(compute_dtype), out_b.astype(compute_dtype),
-                num_heads, mask_row=mask_row, block_b=_ATTN_BLOCK_B)
-        ctx = flash_attention_qkv(qkv, num_heads, mask_row=mask_row, block_b=_ATTN_BLOCK_B)
+                num_heads, mask_row=mask_row, block_b=block_b)
+        ctx = flash_attention_qkv(qkv, num_heads, mask_row=mask_row, block_b=block_b)
         out = jnp.dot(ctx, out_w.astype(compute_dtype), preferred_element_type=compute_dtype,
                       precision=_precision(compute_dtype))
         return out + out_b.astype(compute_dtype)

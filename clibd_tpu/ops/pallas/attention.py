@@ -459,6 +459,39 @@ def flash_attention_qkv_outproj(qkv: jnp.ndarray, out_w: jnp.ndarray,
     return out[:B, :N, :]
 
 
+_BLOCK_B_WARNED: set = set()
+
+
+def vmem_safe_block_b(requested: int, n: int, d: int) -> int:
+    """Clamp a flash block_b so a *differentiated* call cannot OOM scoped VMEM.
+
+    Measured (2026-08-18, v5e, 16 MB VMEM): under remat training the
+    recomputed flash forward and its backward land in ONE scoped-VMEM scope;
+    the compiler reported 22.48 MB at block_b=8, Npad=144, D=768 —
+    ≈ 12.7 · block_b · Npad · D · 2 bytes.  The model predicts caps of 3
+    (Npad=224, ViT) and 5 (Npad=144, BarcodeBERT), exactly matching which
+    train-step compiles fail (block_b 4 and 8 OOM; 1–2 run).  Standalone
+    forward-only calls tolerate block_b=8+ but measure no faster
+    (docs/PERF.md), so one conservative policy serves both.  Callers probing
+    the kernel directly (tools/, tests/) bypass this by passing block_b
+    explicitly to flash_attention_qkv.
+    """
+    npad = _round_up(n, 16)
+    cap = max(1, int(15.5e6 / (npad * d * 2 * 12.7)))
+    if requested > cap:
+        key = (requested, npad, d)
+        if key not in _BLOCK_B_WARNED:
+            _BLOCK_B_WARNED.add(key)
+            import warnings
+
+            warnings.warn(
+                f"CLIBD_ATTN_BLOCK_B={requested} exceeds the measured scoped-VMEM "
+                f"ceiling for Npad={npad}, D={d} under remat training; clamping to "
+                f"{cap} (16 MB VMEM; see ops/pallas/attention.vmem_safe_block_b).")
+        return cap
+    return requested
+
+
 def flash_attention_qkv(qkv: jnp.ndarray, num_heads: int,
                         mask_row: Optional[jnp.ndarray] = None,
                         block_b: int = 4, interpret: Optional[bool] = None) -> jnp.ndarray:

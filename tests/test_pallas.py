@@ -265,3 +265,26 @@ def test_flash_attention_all_masked_row_matches_xla(rng):
         out = layers.fused_qkv_attention(x, qkv_w, qkv_b, out_w, out_b, **kwargs)
     assert np.isfinite(np.asarray(out)).all()
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-2, rtol=2e-2)
+
+
+def test_vmem_safe_block_b_clamps_to_measured_ceiling():
+    """CLIBD_ATTN_BLOCK_B values that would OOM the 16 MB scoped-VMEM budget
+    under remat training must clamp (with a warning), not crash the compile.
+    Caps come from the measured 12.7·block_b·Npad·D·2-byte scope model
+    (2026-08-18 train-step compiles: block_b 4+ OOMs at ViT Npad=224,
+    8+ at BarcodeBERT Npad=144; 1-2 run)."""
+    import warnings
+
+    from clibd_tpu.ops.pallas.attention import _BLOCK_B_WARNED, vmem_safe_block_b
+
+    _BLOCK_B_WARNED.clear()
+    assert vmem_safe_block_b(2, 197, 768) == 2       # default untouched
+    assert vmem_safe_block_b(3, 197, 768) == 3       # at the ViT cap
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert vmem_safe_block_b(8, 197, 768) == 3   # ViT: Npad=224 → 3
+        assert vmem_safe_block_b(8, 133, 768) == 5   # BarcodeBERT: Npad=144 → 5
+        assert vmem_safe_block_b(64, 133, 768) == 5
+        assert vmem_safe_block_b(8, 197, 768) == 3   # repeat: no second warning
+    assert sum("scoped-VMEM" in str(x.message) for x in w) == 3  # once per (req, shape)
+    _BLOCK_B_WARNED.clear()
