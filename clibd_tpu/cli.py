@@ -582,7 +582,7 @@ def cmd_serve(args, overrides) -> int:
         window_ms=args.window_ms, max_batch=args.max_batch,
         image_size=image_size, resize_to=round(image_size * 256 / 224),
         keys_mesh=keys_mesh, language_vocab=args.language_vocab,
-        max_queue=args.max_queue)
+        text_max_len=mc.language.max_len, max_queue=args.max_queue)
     if not args.no_warm:
         print("compiling bucketed forward programs ...", flush=True)
         service.pre_warm()

@@ -19,18 +19,45 @@ def native_lib_path() -> str:
     return os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "native", _LIB_NAME)
 
 
+def _native_is_fresh(path: str, native_dir: str) -> bool:
+    """True when the built .so is newer than every source/Makefile — the
+    common case, decided WITHOUT a subprocess."""
+    if not os.path.exists(path):
+        return False
+    so_mtime = os.path.getmtime(path)
+    for name in os.listdir(native_dir):
+        if name.endswith((".cpp", ".cc", ".c", ".h", ".hpp")) or name == "Makefile":
+            if os.path.getmtime(os.path.join(native_dir, name)) > so_mtime:
+                return False
+    return True
+
+
 def build_native(verbose: bool = False) -> Optional[str]:
-    """Build the shared library with make; returns its path or None."""
-    native_dir = os.path.dirname(native_lib_path())
+    """Build the shared library with make; returns its path or None.
+
+    Freshness is checked in-process first, so the steady state costs no
+    subprocess.  An actual rebuild takes an exclusive flock: on a multi-host
+    pod with the repo on a shared filesystem, every process builds loaders
+    at startup, and an unserialized `make` could relink the .so while a
+    sibling process is mid-dlopen (code-review finding)."""
+    path = native_lib_path()
+    native_dir = os.path.dirname(path)
+    if _native_is_fresh(path, native_dir):
+        return path
     try:
-        subprocess.run(
-            ["make", "-C", native_dir],
-            check=True,
-            capture_output=not verbose,
-        )
+        import fcntl
+
+        with open(os.path.join(native_dir, ".build.lock"), "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            if _native_is_fresh(path, native_dir):  # a sibling built it
+                return path
+            subprocess.run(
+                ["make", "-C", native_dir],
+                check=True,
+                capture_output=not verbose,
+            )
     except Exception:
         return None
-    path = native_lib_path()
     return path if os.path.exists(path) else None
 
 

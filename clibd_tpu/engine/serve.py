@@ -221,15 +221,31 @@ class InferenceService:
     def preprocess_image(self, image_bytes: bytes) -> np.ndarray:
         from ..data.transforms import eval_transform
 
-        return np.asarray(eval_transform(image_bytes, size=self.image_size,
-                                         resize_to=self.resize_to))
+        # honor the checkpoint's eval-transform variant (long-edge resize
+        # when `transform_with_resize`) — queries must be preprocessed
+        # exactly like the gallery the keys were extracted with
+        # (pipeline.py eval_spec long_edge_eval)
+        return np.asarray(eval_transform(
+            image_bytes, size=self.image_size, resize_to=self.resize_to,
+            long_edge=getattr(self.mc, "transform_with_resize", False)))
 
-    def preprocess_dna(self, barcode: str) -> np.ndarray:
+    def preprocess_dna(self, barcode: str):
+        """Tokenize one barcode with the checkpoint's configured tokenizer —
+        the SAME dispatch as the training/extract pipeline (pipeline.py
+        dna_tokenizer branch); an overlap-trained checkpoint served with the
+        non-overlap k-mer layout would return silently wrong embeddings."""
+        dc = self.mc.dna
+        if dc.tokenizer == "overlap":
+            from ..data.tokenizers import tokenize_dna_batch_overlapping
+
+            ids, att = tokenize_dna_batch_overlapping(
+                [barcode], k=dc.kmer, stride=dc.stride, max_bp=dc.max_bp)
+            return {"input_ids": ids[0],
+                    "attention_mask": att[0, : ids.shape[1]]}
         from ..data.tokenizers import tokenize_dna_batch
 
         return np.asarray(
-            tokenize_dna_batch([barcode], k=self.mc.dna.kmer, max_bp=self.mc.dna.max_bp)
-        )[0]
+            tokenize_dna_batch([barcode], k=dc.kmer, max_bp=dc.max_bp))[0]
 
     def preprocess_text(self, text: str) -> Dict[str, np.ndarray]:
         """Taxonomy-string query → WordPiece token dict (the same layout the
@@ -334,7 +350,12 @@ class InferenceService:
                 x = np.zeros((b, s, s, 3), np.float32)
                 np.asarray(self._apply["image"](self.params, x))
             if "dna_encoder" in self.params:
-                d = np.zeros((b, len(self.preprocess_dna("A" * 10))), np.int32)
+                d0 = self.preprocess_dna("A" * 10)
+                if isinstance(d0, dict):  # overlap tokenizer → token dict
+                    d = {k: np.zeros((b,) + v.shape, v.dtype)
+                         for k, v in d0.items()}
+                else:
+                    d = np.zeros((b,) + d0.shape, d0.dtype)
                 np.asarray(self._apply["dna"](self.params, d))
             if "language_encoder" in self.params and self._tok is not None:
                 t = self.preprocess_text("warm up")

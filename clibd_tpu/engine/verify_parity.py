@@ -227,6 +227,32 @@ def compare_embeddings(our_trio, released_trio, cos_threshold: float = 0.99) -> 
     return out
 
 
+def _subset_split(d: Dict, idx: np.ndarray) -> Dict:
+    """Slice one split dict (features, labels, ids, stacked gallery) to rows
+    ``idx``.  The stacked all_key_features gallery is reps × full-rows; each
+    modality block is sliced by the same idx so rows and labels stay aligned."""
+    out = dict(d)
+    full = next((len(v) for k, v in d.items()
+                 if k in MODALITY_FEATURES and v is not None),
+                len(d.get("label_list") or []))
+    if d.get("label_list"):
+        out["label_list"] = [d["label_list"][i] for i in idx]
+    if d.get("processed_id_list"):
+        out["processed_id_list"] = [d["processed_id_list"][i] for i in idx]
+    for t, arr in d.items():
+        if t == "all_key_features" or not isinstance(arr, np.ndarray) or arr.ndim != 2:
+            continue
+        out[t] = arr[idx]
+    akf = d.get("all_key_features")
+    if akf is not None:
+        reps = max(akf.shape[0] // max(full, 1), 1)
+        out["all_key_features"] = np.concatenate(
+            [akf[b * full + np.asarray(idx)] for b in range(reps)])
+        if out.get("label_list"):
+            out["all_key_features_label"] = list(out["label_list"]) * reps
+    return out
+
+
 def _species_top1(trio, query_chunk: int = 4096) -> Dict:
     """Species micro top-1 per (query_type, key_type, seen/unseen) of an
     inference_and_eval run with k=1."""
@@ -253,53 +279,36 @@ def compare_top1(our_trio, released_trio, top1_threshold: float = 0.005,
     When the released side has no labels (bare HDF5), borrow ours — the grid
     is then comparable only under positional alignment with the same counts."""
     names = ("seen", "unseen", "key")
-    released_trio = list(released_trio)
+    our_sub: List[Dict] = []
+    rel_sub: List[Dict] = []
+    label_agreement: Dict[str, float] = {}
     for i, name in enumerate(names):
-        if "label_list" not in released_trio[i]:
-            released_trio[i] = dict(released_trio[i])
-            labels = our_trio[i]["label_list"]
-            # bare released HDF5: positional alignment over the shared head
-            # rows — truncate features AND borrowed labels to the common
-            # length (either side can be the shorter one: --n slices ours,
-            # a subset release shortens theirs)
-            full = max((arr.shape[0] for t, arr in released_trio[i].items()
-                        if t != "all_key_features" and isinstance(arr, np.ndarray)
-                        and arr.ndim == 2), default=len(labels))
-            n = min(len(labels), full)
-            labels = labels[:n]
-            for t, arr in list(released_trio[i].items()):
-                if t == "all_key_features" or not isinstance(arr, np.ndarray):
-                    continue
-                if arr.ndim == 2 and arr.shape[0] > n:
-                    released_trio[i][t] = arr[:n]
-            released_trio[i]["label_list"] = labels
-            akf = released_trio[i].get("all_key_features")
-            if name == "key" and akf is not None:
-                # the stacked gallery is reps × full rows; rebuild it from the
-                # head-n rows of each modality block so rows and labels align
-                reps = max(akf.shape[0] // max(full, 1), 1)
-                blocks = [akf[b * full: b * full + n] for b in range(reps)]
-                released_trio[i]["all_key_features"] = np.concatenate(blocks)
-                released_trio[i]["all_key_features_label"] = labels * reps
-            # ours must match the truncated length too
-            if len(our_trio[i]["label_list"]) > n:
-                ours_t = dict(our_trio[i])
-                ours_t["label_list"] = ours_t["label_list"][:n]
-                for t, arr in list(ours_t.items()):
-                    if isinstance(arr, np.ndarray) and arr.ndim == 2 and arr.shape[0] > n \
-                            and t != "all_key_features":
-                        ours_t[t] = arr[:n]
-                if name == "key" and ours_t.get("all_key_features") is not None:
-                    ours_full = len(our_trio[i]["label_list"])
-                    o_akf = ours_t["all_key_features"]
-                    reps_o = max(o_akf.shape[0] // max(ours_full, 1), 1)
-                    ours_t["all_key_features"] = np.concatenate(
-                        [o_akf[b * ours_full: b * ours_full + n] for b in range(reps_o)])
-                    ours_t["all_key_features_label"] = labels * reps_o
-                our_trio = list(our_trio)
-                our_trio[i] = ours_t
-    ours = _species_top1(our_trio, query_chunk)
-    theirs = _species_top1(tuple(released_trio), query_chunk)
+        ours_d, rel_d = our_trio[i], released_trio[i]
+        # Align BOTH sides to the same query/key population before scoring:
+        # top-1 depends on the distractor set, so e.g. our --n 2000 slice
+        # scored against released's full ~40k gallery would differ by far
+        # more than the 0.5% criterion from population mismatch alone.
+        io, ir, _mode = _align_rows(ours_d, rel_d)
+        our_sub.append(_subset_split(ours_d, io))
+        rel_sub.append(_subset_split(rel_d, ir))
+        if "label_list" not in rel_sub[i] or not rel_sub[i].get("label_list"):
+            # bare released HDF5: borrow our aligned labels (rows now line up)
+            rel_sub[i]["label_list"] = our_sub[i]["label_list"]
+            if rel_sub[i].get("all_key_features") is not None:
+                akf = rel_sub[i]["all_key_features"]
+                reps = max(akf.shape[0] // max(len(io), 1), 1)
+                rel_sub[i]["all_key_features_label"] = \
+                    list(rel_sub[i]["label_list"]) * reps
+        else:
+            # both sides labeled: the aligned rows must BE the same records —
+            # report species agreement as an alignment sanity signal
+            so = [lab.get("species") for lab in our_sub[i]["label_list"]]
+            sr = [lab.get("species") for lab in rel_sub[i]["label_list"]]
+            agree = (float(np.mean([a == b for a, b in zip(so, sr)]))
+                     if so else 0.0)
+            label_agreement[name] = agree
+    ours = _species_top1(tuple(our_sub), query_chunk)
+    theirs = _species_top1(tuple(rel_sub), query_chunk)
     rows = []
     worst = 0.0
     for key in sorted(set(ours) & set(theirs)):
@@ -307,12 +316,20 @@ def compare_top1(our_trio, released_trio, top1_threshold: float = 0.005,
         worst = max(worst, delta)
         rows.append({"grid": key, "ours": ours[key], "released": theirs[key],
                      "delta": delta})
-    return {
+    aligned_ok = all(v >= 0.99 for v in label_agreement.values())
+    out = {
         "rows": rows,
         "max_abs_delta": worst,
         "threshold": top1_threshold,
-        "ok": bool(rows) and worst <= top1_threshold,
+        "ok": bool(rows) and worst <= top1_threshold and aligned_ok,
     }
+    if label_agreement:
+        out["label_agreement"] = label_agreement
+        if not aligned_ok:
+            out["error"] = ("aligned rows carry different species on the two "
+                            "sides — row alignment is broken (wrong --hdf5 "
+                            "or mismatched id sidecar?)")
+    return out
 
 
 # ---------------------------------------------------------------------------

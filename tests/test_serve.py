@@ -491,3 +491,59 @@ def test_cli_serve_parser_wiring(monkeypatch):
     assert seen["command"] == "serve" and seen["max_batch"] == 8
     assert seen["window_ms"] == 2.0 and seen["keys"] == "k.hdf5"
     assert seen["overrides"] == ["pipeline.num_workers=0"]
+
+
+def test_preprocess_honors_checkpoint_tokenizer_and_transform(tmp_path):
+    """Serve-time preprocessing must match the pipeline the gallery was
+    extracted with (code-review findings): an overlap-tokenizer checkpoint
+    gets overlap token dicts (not the non-overlap k-mer layout), and a
+    `transform_with_resize` checkpoint gets the long-edge eval transform."""
+    import jax
+
+    from clibd_tpu.data.tokenizers import tokenize_dna_batch_overlapping
+    from clibd_tpu.data.transforms import eval_transform
+    from clibd_tpu.engine.serve import InferenceService
+    from clibd_tpu.models import init_clibd_params
+
+    cfg = _tiny_cfg()
+    mc = cfg.model_config
+    mc.dna.tokenizer = "overlap"
+    mc.dna.kmer = 4
+    mc.dna.max_bp = 120
+    mc.dna.bert.vocab_size = 259  # 4^4 + 3 specials (overlap vocab)
+    mc.dna.bert.max_position_embeddings = 130
+    mc.transform_with_resize = True
+    params = init_clibd_params(jax.random.PRNGKey(0), mc)
+    svc = InferenceService(params, mc, window_ms=1.0, buckets=(1, 2),
+                           max_batch=2, image_size=64, resize_to=72)
+    try:
+        barcode = "ACGTACGTACGTACGTACGT"
+        tok = svc.preprocess_dna(barcode)
+        assert isinstance(tok, dict) and set(tok) == {"input_ids", "attention_mask"}
+        ids, att = tokenize_dna_batch_overlapping(
+            [barcode], k=4, stride=1, max_bp=120)
+        np.testing.assert_array_equal(tok["input_ids"], ids[0])
+        np.testing.assert_array_equal(tok["attention_mask"], att[0, : ids.shape[1]])
+
+        rng = np.random.default_rng(3)
+        jpeg = random_jpeg_bytes(rng, h=64, w=96)
+        img = svc.preprocess_image(jpeg)
+        np.testing.assert_array_equal(
+            img, np.asarray(eval_transform(jpeg, size=64, resize_to=72,
+                                           long_edge=True)))
+        assert not np.array_equal(
+            img, np.asarray(eval_transform(jpeg, size=64, resize_to=72)))
+
+        # the token dict flows through the micro-batcher and matches a
+        # direct apply (pre_warm covers the dict-shaped warm batch too)
+        svc.pre_warm()
+        out = svc.embed(dna=barcode)
+        from clibd_tpu.models.clibd import clibd_apply
+
+        direct = clibd_apply(params, mc, dna_input={
+            "input_ids": ids, "attention_mask": att[:, : ids.shape[1]]})["dna"]
+        # jit-vs-eager bf16 fusion differences are ~1e-3 (same bound as
+        # test_embed_matches_direct_apply)
+        np.testing.assert_allclose(out["dna"], np.asarray(direct)[0], atol=5e-3)
+    finally:
+        svc.close()

@@ -173,6 +173,14 @@ def test_n_limit_slices_head(released, tiny_hdf5, tiny_cfg):
     # id-based alignment matches the slice against the full released set
     assert report["legs"]["embedding_cosine"]["splits"]["seen"]["aligned_rows"] == 7
     assert report["legs"]["embedding_cosine"]["ok"]
+    # the top-1 leg must score BOTH sides over the same aligned population —
+    # scoring our 7-row slice against released's full gallery would differ
+    # by population mismatch alone (code-review finding).  Identical
+    # embeddings on aligned rows → exactly equal accuracies.
+    top1 = report["legs"]["species_top1"]
+    assert top1["max_abs_delta"] == 0.0, top1
+    assert all(v == 1.0 for v in top1["label_agreement"].values())
+    assert top1["ok"]
 
 
 def _build_fixture_tokenizer_json(path: str, k: int = 5):
