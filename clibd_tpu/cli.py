@@ -531,8 +531,7 @@ def cmd_extract_single(args, overrides) -> int:
     cfg = _load_cfg(args, overrides)
     import numpy as np
 
-    from .data.tokenizers import tokenize_dna_batch
-    from .data.transforms import eval_transform
+    from .data.pipeline import preprocess_single_image, tokenize_single_barcode
     from .models.clibd import clibd_apply
 
     mc = cfg.model_config
@@ -540,9 +539,11 @@ def cmd_extract_single(args, overrides) -> int:
     image_input = dna_input = None
     if args.image:
         with open(args.image, "rb") as f:
-            image_input = eval_transform(f.read())[None]
+            image_input = preprocess_single_image(mc, f.read())[None]
     if args.barcode:
-        dna_input = tokenize_dna_batch([args.barcode], k=mc.dna.kmer, max_bp=mc.dna.max_bp)
+        tok = tokenize_single_barcode(mc, args.barcode)
+        dna_input = ({k: v[None] for k, v in tok.items()}
+                     if isinstance(tok, dict) else tok[None])
     out = clibd_apply(params, mc, image_input=image_input, dna_input=dna_input)
     result = {}
     if out["image"] is not None:

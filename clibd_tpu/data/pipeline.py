@@ -95,6 +95,37 @@ class BatchSpec:
     transport_uint8: bool = False
 
 
+def preprocess_single_image(mc, image_bytes: bytes,
+                            image_size: Optional[int] = None,
+                            resize_to: Optional[int] = None) -> np.ndarray:
+    """One image → the checkpoint's eval-transform output [H,W,3] f32.
+
+    Shared by `cli extract-single` and the serve preprocessors so a
+    `transform_with_resize` (long-edge) checkpoint is always queried with
+    the SAME transform its gallery was extracted with (eval_spec
+    long_edge_eval above)."""
+    size = image_size or mc.image.vit.image_size
+    return np.asarray(eval_transform(
+        image_bytes, size=size,
+        resize_to=resize_to or round(size * 256 / 224),
+        long_edge=getattr(mc, "transform_with_resize", False)))
+
+
+def tokenize_single_barcode(mc, barcode: str):
+    """One barcode → model dna_input, honoring the checkpoint's configured
+    tokenizer (the same dispatch as the batch pipeline below): overlap →
+    token dict with attention mask; kmer → id row."""
+    dc = mc.dna
+    if dc.tokenizer == "overlap":
+        from .tokenizers import tokenize_dna_batch_overlapping
+
+        ids, att = tokenize_dna_batch_overlapping(
+            [barcode], k=dc.kmer, stride=dc.stride, max_bp=dc.max_bp)
+        return {"input_ids": ids[0], "attention_mask": att[0, : ids.shape[1]]}
+    return np.asarray(
+        tokenize_dna_batch([barcode], k=dc.kmer, max_bp=dc.max_bp))[0]
+
+
 class Batch(dict):
     """dict with keys: 'image' [B,H,W,3] f32, 'dna' [B,133] i32,
     'language' {input_ids,token_type_ids,attention_mask} [B,20] i32,

@@ -219,33 +219,23 @@ class InferenceService:
     # -- host-side request preprocessing (caller's thread) ------------------
 
     def preprocess_image(self, image_bytes: bytes) -> np.ndarray:
-        from ..data.transforms import eval_transform
+        """Checkpoint-faithful eval transform (incl. the long-edge
+        `transform_with_resize` variant) — queries must be preprocessed
+        exactly like the gallery the keys were extracted with."""
+        from ..data.pipeline import preprocess_single_image
 
-        # honor the checkpoint's eval-transform variant (long-edge resize
-        # when `transform_with_resize`) — queries must be preprocessed
-        # exactly like the gallery the keys were extracted with
-        # (pipeline.py eval_spec long_edge_eval)
-        return np.asarray(eval_transform(
-            image_bytes, size=self.image_size, resize_to=self.resize_to,
-            long_edge=getattr(self.mc, "transform_with_resize", False)))
+        return preprocess_single_image(self.mc, image_bytes,
+                                       image_size=self.image_size,
+                                       resize_to=self.resize_to)
 
     def preprocess_dna(self, barcode: str):
         """Tokenize one barcode with the checkpoint's configured tokenizer —
-        the SAME dispatch as the training/extract pipeline (pipeline.py
-        dna_tokenizer branch); an overlap-trained checkpoint served with the
-        non-overlap k-mer layout would return silently wrong embeddings."""
-        dc = self.mc.dna
-        if dc.tokenizer == "overlap":
-            from ..data.tokenizers import tokenize_dna_batch_overlapping
+        the SAME dispatch as the training/extract pipeline; an
+        overlap-trained checkpoint served with the non-overlap k-mer layout
+        would return silently wrong embeddings."""
+        from ..data.pipeline import tokenize_single_barcode
 
-            ids, att = tokenize_dna_batch_overlapping(
-                [barcode], k=dc.kmer, stride=dc.stride, max_bp=dc.max_bp)
-            return {"input_ids": ids[0],
-                    "attention_mask": att[0, : ids.shape[1]]}
-        from ..data.tokenizers import tokenize_dna_batch
-
-        return np.asarray(
-            tokenize_dna_batch([barcode], k=dc.kmer, max_bp=dc.max_bp))[0]
+        return tokenize_single_barcode(self.mc, barcode)
 
     def preprocess_text(self, text: str) -> Dict[str, np.ndarray]:
         """Taxonomy-string query → WordPiece token dict (the same layout the

@@ -14,8 +14,13 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-_GRAY_W = jnp.asarray([0.299, 0.587, 0.114], jnp.float32)
+# numpy, NOT jnp: a module-level jnp.asarray initializes the JAX backend at
+# import time, making EVERY CLI start (engine/__init__ imports simclr →
+# here) pay device init — and hang outright during a tunnel outage.  jnp
+# converts constants for free at trace time.
+_GRAY_W = np.asarray([0.299, 0.587, 0.114], np.float32)
 
 
 def _blend(a, b, factor):

@@ -303,3 +303,22 @@ def test_cli_doctor(tiny_hdf5, tiny_exp_yaml, tmp_path, monkeypatch, capsys):
     out2 = capsys.readouterr().out
     report2 = json.loads(out2[out2.index("{"):])
     assert report2["experiment"]["hdf5"]["exists"] is False
+
+
+def test_package_import_initializes_no_jax_backend():
+    """Importing clibd_tpu (engine + cli) must not initialize a JAX backend:
+    a module-level jnp constant would make every CLI start pay device init —
+    and hang outright during a tunnel outage (ops/color.py regression).
+    Subprocess so other tests' backend state can't mask it."""
+    import subprocess
+    import sys
+
+    code = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "import clibd_tpu.engine, clibd_tpu.cli\n"
+        "from jax._src import xla_bridge\n"
+        "assert not xla_bridge._backends, list(xla_bridge._backends)\n"
+    ) % (str(__import__('pathlib').Path(__file__).resolve().parents[1]),)
+    proc = subprocess.run([sys.executable, "-c", code],
+                          capture_output=True, text=True, timeout=300)
+    assert proc.returncode == 0, proc.stderr
