@@ -582,7 +582,9 @@ def cmd_serve(args, overrides) -> int:
         buckets=tuple(b for b in (1, 2, 4, 8, 16, 32) if b <= args.max_batch),
         window_ms=args.window_ms, max_batch=args.max_batch,
         image_size=image_size, resize_to=round(image_size * 256 / 224),
-        keys_mesh=keys_mesh, language_vocab=args.language_vocab,
+        keys_mesh=keys_mesh, keys_dtype=args.keys_dtype,
+        keys_rerank=args.keys_rerank,
+        language_vocab=args.language_vocab,
         text_max_len=mc.language.max_len, max_queue=args.max_queue)
     if not args.no_warm:
         print("compiling bucketed forward programs ...", flush=True)
@@ -1481,6 +1483,15 @@ def main(argv: Optional[List[str]] = None) -> int:
     p_serve.add_argument("--shard-keys", action="store_true",
                          help="shard the gallery rows over all local devices "
                               "(for galleries larger than one chip's HBM)")
+    p_serve.add_argument("--keys-dtype", default="float32",
+                         choices=("float32", "int8"),
+                         help="int8: 4x-compressed gallery (approximate "
+                              "scores; 5M x 768 fits one chip's HBM)")
+    p_serve.add_argument("--keys-rerank", type=int, default=4,
+                         help="int8 only: oversample factor for the exact "
+                              "host-side re-rank of candidates against the "
+                              "original fp32 rows (0 = trust int8 ranks, "
+                              "no host fp32 copy)")
     p_serve.add_argument("--language-vocab", default=None,
                          help="WordPiece vocab.txt enabling taxonomy-text "
                               "queries (text → language embedding)")

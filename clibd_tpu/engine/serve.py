@@ -120,18 +120,33 @@ class KeySet:
     compile a new XLA program per distinct value: at 5M-gallery scale a
     multi-second stall any client could trigger at will)."""
 
-    def __init__(self, path: str, mesh=None, max_k: int = 16):
+    def __init__(self, path: str, mesh=None, max_k: int = 16,
+                 dtype: str = "float32", rerank_oversample: int = 4):
         import h5py
 
         from ..ops.knn import prepare_keys
 
         self.mesh = mesh
+        self.dtype = dtype
+        # int8 gallery searches carry ~1e-3 score noise; re-ranking an
+        # oversampled candidate set against the original fp32 rows on the
+        # HOST (RAM holds what HBM cannot) restores exact top-k.  0 disables.
+        self.rerank_oversample = rerank_oversample if dtype == "int8" else 0
         self.features: Dict[str, object] = {}
+        self._host_fp32: Dict[str, np.ndarray] = {}
         with h5py.File(path, "r") as f:
             for t in ("encoded_image_feature", "encoded_dna_feature",
                       "encoded_language_feature"):
                 if t in f:
-                    self.features[t] = prepare_keys(f[t][:], mesh=mesh)
+                    # dtype='int8': 4× smaller HBM gallery (ops/knn
+                    # QuantizedKeys — approximate scores, recall pinned by
+                    # tests); combined with mesh sharding this is the 5M+
+                    # single-slice layout
+                    rows = f[t][:]
+                    self.features[t] = prepare_keys(rows, mesh=mesh,
+                                                    dtype=dtype)
+                    if self.rerank_oversample:
+                        self._host_fp32[t] = np.asarray(rows, np.float32)
             self.labels = {
                 level: [x.decode() for x in f[f"{level}_list"][:]] for level in LEVELS
             }
@@ -139,17 +154,24 @@ class KeySet:
             raise ValueError(f"{path} contains no encoded_*_feature datasets")
         self.n = len(self.labels["species"])
         self.max_k = min(max_k, self.n)
+        # single fixed device search width (see class docstring); the int8
+        # path widens it by the oversample factor for the host re-rank
+        self._device_k = min(self.max_k * max(self.rerank_oversample, 1), self.n)
 
     def search(self, queries: np.ndarray, key_type: str, k: int):
-        from ..ops.knn import knn_search
+        from ..ops.knn import knn_search, rerank_candidates
 
         if key_type not in self.features:
             raise KeyError(
                 f"key set has no {key_type} (available: {sorted(self.features)})")
         k = min(max(int(k), 1), self.max_k)
         sims, idx = knn_search(queries, self.features[key_type],
-                               k=self.max_k, keys_normalized=True,
+                               k=self._device_k, keys_normalized=True,
                                mesh=self.mesh, shard="keys", n_valid_keys=self.n)
+        if self.rerank_oversample:
+            sims, idx = rerank_candidates(queries, idx,
+                                          self._host_fp32[key_type],
+                                          k=self.max_k)
         return sims[:, :k], idx[:, :k]
 
 
@@ -167,6 +189,8 @@ class InferenceService:
         image_size: int = 224,
         resize_to: int = 256,
         keys_mesh=None,
+        keys_dtype: str = "float32",
+        keys_rerank: int = 4,
         language_vocab: Optional[str] = None,
         text_max_len: int = 20,
         max_queue: int = 1024,
@@ -187,7 +211,9 @@ class InferenceService:
         self.buckets = tuple(sorted({b for b in buckets if b <= self.max_batch}
                                     | {self.max_batch}))
         self.stats = ServeStats()
-        self.keys = KeySet(keys_path, mesh=keys_mesh) if keys_path else None
+        self.keys = (KeySet(keys_path, mesh=keys_mesh, dtype=keys_dtype,
+                            rerank_oversample=keys_rerank)
+                     if keys_path else None)
         self.text_max_len = text_max_len
         self._tok = None
         if language_vocab:

@@ -144,3 +144,96 @@ def test_knn_key_sharded_matches_single(rng):
     s4, i4 = knn_search(q, tiny, k=5)
     np.testing.assert_allclose(s3, s4, atol=1e-6)
     np.testing.assert_array_equal(i3, i4)
+
+
+def test_quantized_keys_recall_and_error_bounds(rng):
+    """int8-compressed gallery (prepare_keys dtype='int8'): per-element
+    dequant error ≤ scale/2, scores within ~1% of exact, and recall@1 == 1.0
+    on clustered data where the true neighbor is unambiguous."""
+    from clibd_tpu.ops.knn import knn_search, prepare_keys, quantize_keys
+
+    d = 64
+    centers = rng.standard_normal((40, d)).astype(np.float32)
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    keys = np.repeat(centers, 10, axis=0) + 0.05 * rng.standard_normal((400, d)).astype(np.float32)
+    q, scale = quantize_keys(keys)
+    keysn = keys / np.linalg.norm(keys, axis=1, keepdims=True)
+    err = np.abs(q.astype(np.float32) * scale[:, None] - keysn)
+    assert (err < scale[:, None] * 0.5 + 1e-7).all()
+
+    queries = centers + 0.03 * rng.standard_normal(centers.shape).astype(np.float32)
+    s_exact, i_exact = knn_search(queries, keys, k=5)
+    qk = prepare_keys(keys, dtype="int8")
+    assert qk.q.dtype == np.int8 and qk.n_valid == 400
+    s_q, i_q = knn_search(queries, qk, k=5)
+    # top-1 must agree where the margin is far above the quantization noise
+    np.testing.assert_array_equal(i_q[:, 0], i_exact[:, 0])
+    np.testing.assert_allclose(s_q[:, 0], s_exact[:, 0], atol=0.02)
+
+
+def test_quantized_keys_sharded_paths_match_single(rng):
+    """int8 gallery through the query-sharded AND key-sharded mesh paths ==
+    the single-device int8 search (key rows not divisible by the mesh —
+    pad rows must never rank)."""
+    import jax
+
+    from clibd_tpu.ops.knn import knn_search, prepare_keys
+    from clibd_tpu.parallel.mesh import create_mesh
+
+    if jax.device_count() < 8:
+        import pytest
+
+        pytest.skip("needs the 8-device CPU mesh")
+    mesh = create_mesh(jax.devices()[:8])
+    d = 32
+    keys = rng.standard_normal((203, d)).astype(np.float32)
+    queries = rng.standard_normal((23, d)).astype(np.float32)
+
+    qk1 = prepare_keys(keys, dtype="int8")
+    s1, i1 = knn_search(queries, qk1, k=5)
+
+    qk_sh = prepare_keys(keys, dtype="int8", mesh=mesh)
+    assert qk_sh.q.shape[0] % 8 == 0 and qk_sh.n_valid == 203
+    s2, i2 = knn_search(queries, qk_sh, k=5, mesh=mesh, shard="keys")
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(s1, s2, atol=1e-5)
+
+    s3, i3 = knn_search(queries, qk1, k=5, mesh=mesh, shard="queries")
+    np.testing.assert_array_equal(i1, i3)
+    np.testing.assert_allclose(s1, s3, atol=1e-5)
+
+
+def test_int8_with_host_rerank_is_exact(rng):
+    """Gallery with margins below the int8 noise floor (~1e-3) so raw int8
+    ranks flip, but clusters small enough that the oversampled candidate set
+    COVERS the true top-k: the host re-rank against the original fp32 rows
+    must then restore the exact top-k.  (Coverage is the guarantee's
+    premise: with clusters of near-duplicates larger than the candidate
+    set, no re-rank can recover what the int8 pass never surfaced — that
+    regime needs a bigger --keys-rerank.)"""
+    from clibd_tpu.ops.knn import knn_search, prepare_keys, rerank_candidates
+
+    d = 64
+    centers = rng.standard_normal((20, d)).astype(np.float32)
+    keys = (centers[np.repeat(np.arange(20), 20)]
+            + 0.05 * rng.standard_normal((400, d)).astype(np.float32))
+    queries = (centers[rng.integers(0, 20, 50)]
+               + 0.02 * rng.standard_normal((50, d)).astype(np.float32))
+
+    s_exact, i_exact = knn_search(queries, keys, k=5)
+    qk = prepare_keys(keys, dtype="int8")
+    s_raw, i_raw = knn_search(queries, qk, k=40)  # 8x oversample
+    # raw int8 order differs somewhere (margins below the noise floor) ...
+    assert not np.array_equal(i_raw[:, :5], i_exact)
+    # ... but every true top-5 row is inside the 40-candidate set ...
+    assert all(set(e) <= set(c) for e, c in zip(i_exact, i_raw))
+    # ... so the fp32 re-rank restores the exact result
+    s_rr, i_rr = rerank_candidates(queries, i_raw, keys, k=5)
+    np.testing.assert_array_equal(i_rr, i_exact)
+    np.testing.assert_allclose(s_rr, s_exact, atol=1e-5)
+
+    # re-rank math sanity: with FULL coverage (all keys as candidates) the
+    # re-rank IS the exact search
+    all_cand = np.tile(np.arange(400), (len(queries), 1))
+    s_all, i_all = rerank_candidates(queries, all_cand, keys, k=5)
+    np.testing.assert_array_equal(i_all, i_exact)

@@ -547,3 +547,28 @@ def test_preprocess_honors_checkpoint_tokenizer_and_transform(tmp_path):
         np.testing.assert_allclose(out["dna"], np.asarray(direct)[0], atol=5e-3)
     finally:
         svc.close()
+
+
+def test_keyset_int8_gallery(tmp_path):
+    """--keys-dtype int8: the compressed gallery loads, stores int8 rows
+    (4× smaller), and search returns the planted neighbor."""
+    from clibd_tpu.engine.extract import save_embedding_export
+    from clibd_tpu.engine.serve import KeySet
+    from clibd_tpu.ops.knn import QuantizedKeys
+
+    rng = np.random.default_rng(5)
+    n, d = 64, 16
+    feats = rng.normal(size=(n, d)).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=1, keepdims=True)
+    labels = [{"order": "o", "family": "f", "genus": "g",
+               "species": f"s{i}"} for i in range(n)]
+    path = tmp_path / "keys.hdf5"
+    save_embedding_export(str(path), {
+        "encoded_image_feature": feats, "label_list": labels,
+        "file_name_list": [f"{i}.jpg" for i in range(n)]})
+
+    ks = KeySet(str(path), dtype="int8")
+    qk = ks.features["encoded_image_feature"]
+    assert isinstance(qk, QuantizedKeys) and qk.q.dtype == np.int8
+    sims, idx = ks.search(feats[7][None] + 0.001, "encoded_image_feature", k=3)
+    assert idx[0, 0] == 7 and sims[0, 0] > 0.99
