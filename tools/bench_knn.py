@@ -37,7 +37,12 @@ def main():
     ap.add_argument("--chunk", type=int, default=4096)
     ap.add_argument("--skip-full", action="store_true",
                     help="only the device leg (host metric agg is slow on 1-core VMs)")
+    ap.add_argument("--int8", action="store_true",
+                    help="instead of the grid: int8-compressed gallery A/B "
+                         "(speed, memory, recall, label agreement, re-rank)")
     args = ap.parse_args()
+    if args.int8:
+        return bench_int8(args.dim)
 
     rng = np.random.default_rng(0)
     d = args.dim
@@ -128,6 +133,54 @@ def main():
               f"(device leg was {t_dev:.3f}s → host overhead {t_full - t_dev:.1f}s)",
               flush=True)
         print(f"grid cells: {sum(len(v) for v in acc_dict.values())}")
+
+
+def bench_int8(d: int = 768):
+    """QuantizedKeys A/B at eval-grid + 1M serving shapes (docs/PERF.md
+    'int8-compressed galleries'): clustered synthetic so label agreement is
+    measurable — rank flips from the ~1e-3 quantization noise must land
+    inside same-cluster near-duplicates."""
+    import jax  # noqa: F401
+
+    from clibd_tpu.ops.knn import knn_search, prepare_keys, rerank_candidates
+
+    def one(nq, nk, label, reps=2):
+        rng = np.random.default_rng(0)
+        centers = rng.standard_normal((2000, d)).astype(np.float32)
+        key_cluster = rng.integers(0, 2000, nk)
+        keys = centers[key_cluster] + 0.2 * rng.standard_normal((nk, d)).astype(np.float32)
+        queries = (centers[rng.integers(0, 2000, nq)]
+                   + 0.2 * rng.standard_normal((nq, d)).astype(np.float32))
+
+        prep32 = prepare_keys(keys)
+        s32, i32 = knn_search(queries, prep32, k=5, keys_normalized=True)
+        t32 = 1e9
+        for _ in range(reps):
+            t0 = time.time()
+            s32, i32 = knn_search(queries, prep32, k=5, keys_normalized=True)
+            t32 = min(t32, time.time() - t0)
+
+        qk = prepare_keys(keys, dtype="int8")
+        _, cand = knn_search(queries, qk, k=20)
+        t8 = 1e9
+        for _ in range(reps):
+            t0 = time.time()
+            _, cand = knn_search(queries, qk, k=20)
+            t8 = min(t8, time.time() - t0)
+        t0 = time.time()
+        s_rr, i_rr = rerank_candidates(queries, cand, keys, k=5)
+        t_rr = time.time() - t0
+
+        raw1 = float(np.mean(cand[:, 0] == i32[:, 0]))
+        rr1 = float(np.mean(i_rr[:, 0] == i32[:, 0]))
+        lab_raw = float(np.mean(key_cluster[cand[:, 0]] == key_cluster[i32[:, 0]]))
+        print(f"{label}: fp32 {t32*1e3:.0f} ms | int8 {t8*1e3:.0f} ms | "
+              f"host rerank {t_rr*1e3:.0f} ms | idx recall@1 raw {raw1:.4f} "
+              f"reranked {rr1:.4f} | raw label agree {lab_raw:.4f} | "
+              f"gallery {nk*d*4/1e9:.2f} GB -> {nk*(d+4)/1e9:.2f} GB", flush=True)
+
+    one(40000, 21118, "eval-grid shape (40k q x 21k keys)")
+    one(256, 1000000, "serving shape (256 q x 1M keys)")
 
 
 if __name__ == "__main__":
