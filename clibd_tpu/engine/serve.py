@@ -211,8 +211,11 @@ class InferenceService:
         self.buckets = tuple(sorted({b for b in buckets if b <= self.max_batch}
                                     | {self.max_batch}))
         self.stats = ServeStats()
-        self.keys = (KeySet(keys_path, mesh=keys_mesh, dtype=keys_dtype,
-                            rerank_oversample=keys_rerank)
+        self._keys_cfg = {"mesh": keys_mesh, "dtype": keys_dtype,
+                          "rerank_oversample": keys_rerank}
+        self.keys_path = keys_path
+        self.reloads = 0
+        self.keys = (KeySet(keys_path, **self._keys_cfg)
                      if keys_path else None)
         self.text_max_len = text_max_len
         self._tok = None
@@ -241,6 +244,34 @@ class InferenceService:
         self._batcher = threading.Thread(target=self._run_batcher,
                                          name="clibd-serve-batcher", daemon=True)
         self._batcher.start()
+
+    def reload_keys(self, path: Optional[str] = None) -> dict:
+        """Hot-swap the retrieval gallery without restarting the server.
+
+        Production galleries GROW (the reference streams new records into
+        an appendable backend HDF5, extract_embedding_for_backend.py);
+        restarting a resident server to pick them up would pay checkpoint
+        load + every bucketed compile again.  The new KeySet is built and
+        its search program pre-compiled FULLY before an atomic attribute
+        swap (in-flight searches keep the old object; a failed load leaves
+        the old gallery serving).  → summary dict for the HTTP response."""
+        path = path or self.keys_path
+        if path is None:
+            raise ValueError("no gallery path: server was started without "
+                             "--keys and the reload request named none")
+        new_keys = KeySet(path, **self._keys_cfg)
+        # pre-compile the search program at the new gallery shape so no
+        # client request pays it (np.asarray forcing, not block_until_ready
+        # — the latter is a no-op on tunneled platforms)
+        for key_type, mat in new_keys.features.items():
+            dim = (mat.q.shape[1] if hasattr(mat, "q") else mat.shape[1])
+            new_keys.search(np.zeros((1, dim), np.float32), key_type, k=1)
+        old_n = self.keys.n if self.keys else 0
+        self.keys = new_keys          # atomic swap (GIL attribute store)
+        self.keys_path = path
+        self.reloads += 1
+        return {"keys": new_keys.n, "previous": old_n, "path": path,
+                "modalities": sorted(new_keys.features), "reloads": self.reloads}
 
     # -- host-side request preprocessing (caller's thread) ------------------
 
@@ -496,14 +527,15 @@ def make_server(service: InferenceService, host: str = "127.0.0.1",
                 self._send(200 if batcher_up else 503,
                            {"status": "ok" if batcher_up else "batcher dead",
                             "keys": service.keys.n if service.keys else None,
-                            "buckets": list(service.buckets)})
+                            "buckets": list(service.buckets),
+                            "reloads": service.reloads})
             elif self.path == "/stats":
                 self._send(200, service.stats.snapshot())
             else:
                 self._send(404, {"error": f"unknown path {self.path}"})
 
         def do_POST(self):
-            if self.path not in ("/embed", "/search"):
+            if self.path not in ("/embed", "/search", "/reload"):
                 self._send(404, {"error": f"unknown path {self.path}"})
                 return
             try:
@@ -511,6 +543,16 @@ def make_server(service: InferenceService, host: str = "127.0.0.1",
                 req = json.loads(self.rfile.read(n) or b"{}")
                 if not isinstance(req, dict):
                     self._send(400, {"error": "body must be a JSON object"})
+                    return
+                if self.path == "/reload":
+                    # admin surface: hot-swap the gallery (bind-address is
+                    # the access control — the server defaults to loopback;
+                    # front it with a proxy before exposing it)
+                    keys_arg = req.get("keys")
+                    if keys_arg is not None and not isinstance(keys_arg, str):
+                        self._send(400, {"error": "keys must be a string path"})
+                        return
+                    self._send(200, service.reload_keys(keys_arg))
                     return
                 for field in ("image_b64", "dna", "text"):
                     if req.get(field) is not None and not isinstance(req[field], str):
@@ -539,7 +581,10 @@ def make_server(service: InferenceService, host: str = "127.0.0.1",
             except Overloaded as e:
                 # embed() already counted the shed in stats — don't double
                 self._send(503, {"error": str(e)})
-            except (ValueError, KeyError, binascii.Error, json.JSONDecodeError) as e:
+            except (ValueError, KeyError, binascii.Error, json.JSONDecodeError,
+                    OSError) as e:
+                # OSError: a /reload naming a missing/unreadable gallery path
+                # is a client error — and the old gallery keeps serving
                 service.stats.record_error()
                 self._send(400, {"error": str(e)})
             except Exception as e:  # noqa: BLE001 — a failed request must

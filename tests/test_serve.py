@@ -572,3 +572,62 @@ def test_keyset_int8_gallery(tmp_path):
     assert isinstance(qk, QuantizedKeys) and qk.q.dtype == np.int8
     sims, idx = ks.search(feats[7][None] + 0.001, "encoded_image_feature", k=3)
     assert idx[0, 0] == 7 and sims[0, 0] > 0.99
+
+
+def test_gallery_hot_reload(served, tmp_path):
+    """POST /reload hot-swaps the gallery: a grown gallery (new planted row)
+    serves immediately, a bad path returns 400 and leaves the old gallery
+    untouched, and /healthz counts reloads."""
+    from clibd_tpu.engine.extract import save_embedding_export
+    from clibd_tpu.engine.serve import make_server
+
+    svc, jpeg = served["service"], served["jpeg"]
+    emb = svc.embed(image_bytes=jpeg)["image"]
+
+    # grown gallery: 10 rows, the query embedding planted at row 9 with a
+    # species name only the NEW gallery has
+    rng = np.random.default_rng(11)
+    feats = rng.normal(size=(10, emb.shape[0])).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=1, keepdims=True)
+    feats[9] = emb
+    new_path = tmp_path / "grown.hdf5"
+    save_embedding_export(str(new_path), {
+        "encoded_image_feature": feats,
+        "label_list": [{lv: f"new_{lv}{i}" for lv in
+                        ("order", "family", "genus", "species")}
+                       for i in range(10)],
+        "file_name_list": [f"n{i}.jpg" for i in range(10)]})
+
+    server = make_server(svc, host="127.0.0.1", port=0)
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+
+    def call(path, payload=None):
+        data = json.dumps(payload).encode() if payload is not None else None
+        req = urllib.request.Request(f"http://127.0.0.1:{port}{path}", data=data)
+        with urllib.request.urlopen(req, timeout=60) as r:
+            return r.status, json.loads(r.read())
+
+    old_path = svc.keys_path
+    try:
+        status, out = call("/reload", {"keys": str(new_path)})
+        assert status == 200 and out["keys"] == 10 and out["previous"] == 6
+        status, res = call("/search", {
+            "image_b64": base64.b64encode(jpeg).decode(), "k": 1})
+        assert res["image"]["predictions"][0]["species"] == "new_species9"
+        status, health = call("/healthz")
+        assert health["keys"] == 10 and health["reloads"] == 1
+
+        # failed reload: 400, old gallery still serving
+        try:
+            call("/reload", {"keys": str(tmp_path / "missing.hdf5")})
+            assert False, "expected HTTP 400"
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        status, health = call("/healthz")
+        assert health["keys"] == 10 and health["reloads"] == 1
+    finally:
+        # restore the module-scoped fixture's gallery for later tests
+        svc.reload_keys(old_path)
+        server.shutdown()
+        server.server_close()
