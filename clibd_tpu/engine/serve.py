@@ -552,7 +552,18 @@ def make_server(service: InferenceService, host: str = "127.0.0.1",
                     if keys_arg is not None and not isinstance(keys_arg, str):
                         self._send(400, {"error": "keys must be a string path"})
                         return
-                    self._send(200, service.reload_keys(keys_arg))
+                    try:
+                        out = service.reload_keys(keys_arg)
+                    except OSError as e:
+                        # missing/unreadable gallery path is a client error —
+                        # and the old gallery keeps serving.  Scoped here (not
+                        # in the broad tuple below) so a client disconnect
+                        # mid-response (BrokenPipeError) isn't miscounted as a
+                        # request error.
+                        service.stats.record_error()
+                        self._send(400, {"error": str(e)})
+                        return
+                    self._send(200, out)
                     return
                 for field in ("image_b64", "dna", "text"):
                     if req.get(field) is not None and not isinstance(req[field], str):
@@ -581,10 +592,7 @@ def make_server(service: InferenceService, host: str = "127.0.0.1",
             except Overloaded as e:
                 # embed() already counted the shed in stats — don't double
                 self._send(503, {"error": str(e)})
-            except (ValueError, KeyError, binascii.Error, json.JSONDecodeError,
-                    OSError) as e:
-                # OSError: a /reload naming a missing/unreadable gallery path
-                # is a client error — and the old gallery keeps serving
+            except (ValueError, KeyError, binascii.Error, json.JSONDecodeError) as e:
                 service.stats.record_error()
                 self._send(400, {"error": str(e)})
             except Exception as e:  # noqa: BLE001 — a failed request must
