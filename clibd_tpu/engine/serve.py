@@ -158,6 +158,16 @@ class KeySet:
         # path widens it by the oversample factor for the host re-rank
         self._device_k = min(self.max_k * max(self.rerank_oversample, 1), self.n)
 
+    def warm(self) -> None:
+        """Compile + run the search program once per modality (query batch 1,
+        the fixed device k) so no client request pays the compile.  Output
+        forced with np.asarray — block_until_ready is a no-op on tunneled
+        platforms."""
+        for key_type, mat in self.features.items():
+            # int8 galleries are QuantizedKeys NamedTuples: dim lives on .q
+            dim = mat.q.shape[1] if hasattr(mat, "q") else mat.shape[1]
+            self.search(np.zeros((1, dim), np.float32), key_type, k=1)
+
     def search(self, queries: np.ndarray, key_type: str, k: int):
         from ..ops.knn import knn_search, rerank_candidates
 
@@ -261,11 +271,8 @@ class InferenceService:
                              "--keys and the reload request named none")
         new_keys = KeySet(path, **self._keys_cfg)
         # pre-compile the search program at the new gallery shape so no
-        # client request pays it (np.asarray forcing, not block_until_ready
-        # — the latter is a no-op on tunneled platforms)
-        for key_type, mat in new_keys.features.items():
-            dim = (mat.q.shape[1] if hasattr(mat, "q") else mat.shape[1])
-            new_keys.search(np.zeros((1, dim), np.float32), key_type, k=1)
+        # client request pays it
+        new_keys.warm()
         old_n = self.keys.n if self.keys else 0
         self.keys = new_keys          # atomic swap (GIL attribute store)
         self.keys_path = path
@@ -410,10 +417,8 @@ class InferenceService:
                     self.params, {k: np.zeros((b,) + v.shape, v.dtype)
                                   for k, v in t.items()}))
         if self.keys is not None:
-            # the search program too (single fixed k=max_k, query batch 1)
-            for key_type, mat in self.keys.features.items():
-                self.keys.search(np.zeros((1, mat.shape[1]), np.float32),
-                                 key_type, k=1)
+            # the search program too (single fixed device k, query batch 1)
+            self.keys.warm()
 
     def close(self) -> None:
         self._closed.set()

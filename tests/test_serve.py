@@ -570,6 +570,9 @@ def test_keyset_int8_gallery(tmp_path):
     ks = KeySet(str(path), dtype="int8")
     qk = ks.features["encoded_image_feature"]
     assert isinstance(qk, QuantizedKeys) and qk.q.dtype == np.int8
+    # warm() must handle QuantizedKeys galleries (pre_warm / reload path —
+    # QuantizedKeys has no .shape; regression for an int8 startup crash)
+    ks.warm()
     sims, idx = ks.search(feats[7][None] + 0.001, "encoded_image_feature", k=3)
     assert idx[0, 0] == 7 and sims[0, 0] > 0.99
 
