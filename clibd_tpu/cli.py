@@ -589,6 +589,11 @@ def cmd_serve(args, overrides) -> int:
     if not args.no_warm:
         print("compiling bucketed forward programs ...", flush=True)
         service.pre_warm()
+    if args.reload_watch > 0:
+        if not args.keys:
+            print("--reload-watch needs --keys", file=sys.stderr)
+            return 2
+        service.start_reload_watch(args.reload_watch)
     server = make_server(service, host=args.host, port=args.port)
     print(f"serving on http://{args.host}:{server.server_address[1]} "
           f"(keys: {service.keys.n if service.keys else 'none'})", flush=True)
@@ -1492,6 +1497,12 @@ def main(argv: Optional[List[str]] = None) -> int:
                               "host-side re-rank of candidates against the "
                               "original fp32 rows (0 = trust int8 ranks, "
                               "no host fp32 copy)")
+    p_serve.add_argument("--reload-watch", type=float, default=0.0,
+                         metavar="SECONDS",
+                         help="poll the --keys file and hot-reload the "
+                              "gallery when it changes (stable across two "
+                              "polls; failed loads retry with the old "
+                              "gallery serving); 0 = off")
     p_serve.add_argument("--language-vocab", default=None,
                          help="WordPiece vocab.txt enabling taxonomy-text "
                               "queries (text → language embedding)")

@@ -280,6 +280,63 @@ class InferenceService:
         return {"keys": new_keys.n, "previous": old_n, "path": path,
                 "modalities": sorted(new_keys.features), "reloads": self.reloads}
 
+    def start_reload_watch(self, interval_s: float) -> None:
+        """Auto-reload the gallery when its file changes (`--reload-watch`).
+
+        The reference's production flow APPENDS to the backend HDF5
+        (extract_embedding_for_backend.py) while a separate consumer reads
+        it; here the consumer is resident, so a poller closes the loop: the
+        gallery is reloaded only after its (mtime, size) signature holds
+        STABLE for two consecutive polls (a mid-append HDF5 must not be
+        loaded torn), and a failed load is retried next tick with the old
+        gallery still serving."""
+        if self.keys_path is None:
+            raise ValueError("reload-watch needs a gallery (--keys)")
+        self._watch_stop = threading.Event()
+        self._watcher = threading.Thread(
+            target=self._run_watcher, args=(float(interval_s),),
+            name="clibd-serve-watcher", daemon=True)
+        self._watcher.start()
+
+    def stop_reload_watch(self) -> None:
+        if getattr(self, "_watcher", None) is not None:
+            self._watch_stop.set()
+            self._watcher.join(timeout=10)
+            self._watcher = None
+
+    def _run_watcher(self, interval_s: float) -> None:
+        import os
+
+        def sig():
+            try:
+                st = os.stat(self.keys_path)
+                return (st.st_mtime_ns, st.st_size)
+            except OSError:
+                return None  # mid-replace/missing: treat as not-yet-stable
+
+        loaded = sig()
+        pending = None
+        while not self._watch_stop.wait(interval_s):
+            if self._closed.is_set():
+                return
+            cur = sig()
+            if cur is None or cur == loaded:
+                pending = None
+                continue
+            if cur != pending:      # changed again since last poll: still
+                pending = cur       # being written — wait for stability
+                continue
+            try:
+                out = self.reload_keys()
+                # mark the PRE-load signature as loaded: if the writer
+                # appended during the load, the next tick must still see
+                # that change and reload again
+                loaded, pending = cur, None
+                print(f"reload-watch: gallery -> {out['keys']} keys", flush=True)
+            except Exception as e:  # noqa: BLE001 — torn read mid-append or
+                # transient FS error: the old gallery serves, retry next tick
+                print(f"reload-watch: load failed, retrying ({e})", flush=True)
+
     # -- host-side request preprocessing (caller's thread) ------------------
 
     def preprocess_image(self, image_bytes: bytes) -> np.ndarray:
@@ -422,6 +479,7 @@ class InferenceService:
 
     def close(self) -> None:
         self._closed.set()
+        self.stop_reload_watch()
         self._queue.put(None)  # wake the batcher
         self._batcher.join(timeout=10)
         # fail whatever the batcher didn't get to — otherwise those callers

@@ -634,3 +634,62 @@ def test_gallery_hot_reload(served, tmp_path):
         svc.reload_keys(old_path)
         server.shutdown()
         server.server_close()
+
+
+def test_reload_watch_auto_swaps(served, tmp_path):
+    """start_reload_watch: an on-disk gallery change (stable across two
+    polls) auto-reloads without any HTTP call; a torn/garbage write is
+    retried with the old gallery still serving until a valid file lands."""
+    import shutil
+    import time
+
+    from clibd_tpu.engine.extract import save_embedding_export
+
+    svc, jpeg = served["service"], served["jpeg"]
+    emb = svc.embed(image_bytes=jpeg)["image"]
+    fixture_path = svc.keys_path
+
+    # watch a MUTABLE copy of the fixture gallery
+    watched = tmp_path / "watched.hdf5"
+    shutil.copy(fixture_path, watched)
+    svc.reload_keys(str(watched))
+    old_n = svc.keys.n
+
+    def write_gallery(n):
+        rng = np.random.default_rng(n)
+        feats = rng.normal(size=(n, emb.shape[0])).astype(np.float32)
+        feats /= np.linalg.norm(feats, axis=1, keepdims=True)
+        save_embedding_export(str(watched), {
+            "encoded_image_feature": feats,
+            "label_list": [{lv: f"w_{lv}{i}" for lv in
+                            ("order", "family", "genus", "species")}
+                           for i in range(n)],
+            "file_name_list": [f"w{i}.jpg" for i in range(n)]})
+
+    def wait_for(pred, timeout=60.0):
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            if pred():
+                return True
+            time.sleep(0.05)
+        return False
+
+    svc.start_reload_watch(0.05)
+    try:
+        write_gallery(old_n + 3)
+        assert wait_for(lambda: svc.keys.n == old_n + 3), \
+            f"watcher never picked up the grown gallery (n={svc.keys.n})"
+
+        # torn write: garbage bytes — every load attempt fails, old serves
+        reloads_before = svc.reloads
+        watched.write_bytes(b"not an hdf5 file")
+        time.sleep(0.5)
+        assert svc.keys.n == old_n + 3 and svc.reloads == reloads_before
+
+        # a valid gallery lands: the watcher recovers on its own
+        write_gallery(old_n + 5)
+        assert wait_for(lambda: svc.keys.n == old_n + 5), \
+            "watcher did not recover after the torn write"
+    finally:
+        svc.stop_reload_watch()
+        svc.reload_keys(fixture_path)  # restore for later tests
