@@ -583,7 +583,7 @@ def cmd_serve(args, overrides) -> int:
         window_ms=args.window_ms, max_batch=args.max_batch,
         image_size=image_size, resize_to=round(image_size * 256 / 224),
         keys_mesh=keys_mesh, keys_dtype=args.keys_dtype,
-        keys_rerank=args.keys_rerank,
+        keys_rerank=args.keys_rerank, keys_selector=args.keys_selector,
         language_vocab=args.language_vocab,
         text_max_len=mc.language.max_len, max_queue=args.max_queue)
     if not args.no_warm:
@@ -1497,6 +1497,12 @@ def main(argv: Optional[List[str]] = None) -> int:
                               "host-side re-rank of candidates against the "
                               "original fp32 rows (0 = trust int8 ranks, "
                               "no host fp32 copy)")
+    p_serve.add_argument("--keys-selector", default="auto",
+                         choices=("auto", "exact", "approx"),
+                         help="candidate selection: approx = TPU-native "
+                              "approx_max_k (3.2x at 5M keys); auto = approx "
+                              "only when the int8 host re-rank restores an "
+                              "exact final top-k, exact otherwise")
     p_serve.add_argument("--reload-watch", type=float, default=0.0,
                          metavar="SECONDS",
                          help="poll the --keys file and hot-reload the "

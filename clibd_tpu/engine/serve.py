@@ -121,7 +121,8 @@ class KeySet:
     multi-second stall any client could trigger at will)."""
 
     def __init__(self, path: str, mesh=None, max_k: int = 16,
-                 dtype: str = "float32", rerank_oversample: int = 4):
+                 dtype: str = "float32", rerank_oversample: int = 4,
+                 selector: str = "auto"):
         import h5py
 
         from ..ops.knn import prepare_keys
@@ -132,6 +133,14 @@ class KeySet:
         # oversampled candidate set against the original fp32 rows on the
         # HOST (RAM holds what HBM cannot) restores exact top-k.  0 disables.
         self.rerank_oversample = rerank_oversample if dtype == "int8" else 0
+        # 'auto': TPU-native approx_max_k candidate selection (3.2× at 5M
+        # keys, runs at the score-matmul roofline) WHERE the fp32 host
+        # re-rank restores an exact final top-k — i.e. int8+rerank
+        # galleries; everywhere else stay exact.  'exact'/'approx' force.
+        if selector not in ("auto", "exact", "approx"):
+            raise ValueError(f"selector must be auto/exact/approx, got {selector!r}")
+        self.selector = (("approx" if self.rerank_oversample else "exact")
+                         if selector == "auto" else selector)
         self.features: Dict[str, object] = {}
         self._host_fp32: Dict[str, np.ndarray] = {}
         with h5py.File(path, "r") as f:
@@ -177,7 +186,8 @@ class KeySet:
         k = min(max(int(k), 1), self.max_k)
         sims, idx = knn_search(queries, self.features[key_type],
                                k=self._device_k, keys_normalized=True,
-                               mesh=self.mesh, shard="keys", n_valid_keys=self.n)
+                               mesh=self.mesh, shard="keys", n_valid_keys=self.n,
+                               selector=self.selector)
         if self.rerank_oversample:
             sims, idx = rerank_candidates(queries, idx,
                                           self._host_fp32[key_type],
@@ -201,6 +211,7 @@ class InferenceService:
         keys_mesh=None,
         keys_dtype: str = "float32",
         keys_rerank: int = 4,
+        keys_selector: str = "auto",
         language_vocab: Optional[str] = None,
         text_max_len: int = 20,
         max_queue: int = 1024,
@@ -222,7 +233,8 @@ class InferenceService:
                                     | {self.max_batch}))
         self.stats = ServeStats()
         self._keys_cfg = {"mesh": keys_mesh, "dtype": keys_dtype,
-                          "rerank_oversample": keys_rerank}
+                          "rerank_oversample": keys_rerank,
+                          "selector": keys_selector}
         self.keys_path = keys_path
         self.reloads = 0
         self.keys = (KeySet(keys_path, **self._keys_cfg)

@@ -71,6 +71,20 @@ def _scores_chunk(q, keys, scale):
     return scores * scale[None, :]
 
 
+def _select_top(scores: jnp.ndarray, k: int, selector: str):
+    """Row-wise top-k selection primitive.
+
+    'exact': jax.lax.top_k (XLA TopK custom call).  'approx':
+    jax.lax.approx_max_k — the TPU-native PartialReduce selection built for
+    MIPS retrieval; measured on the chip at 256 q × 5M keys it runs AT the
+    score-matmul roofline (129 → 36-45 ms end-to-end, 3.2×) with candidate
+    recall 0.9998 at 4× oversample (docs/PERF.md).  On CPU approx_max_k
+    falls back to an exact lowering, so tests compare equal."""
+    if selector == "approx":
+        return jax.lax.approx_max_k(scores, k, recall_target=0.99)
+    return jax.lax.top_k(scores, k)
+
+
 def _knn_body(
     queries: jnp.ndarray,
     keys: jnp.ndarray,
@@ -79,6 +93,7 @@ def _knn_body(
     normalize: bool,
     keys_normalized: bool = False,
     scale: Optional[jnp.ndarray] = None,
+    selector: str = "exact",
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     if normalize:
         queries = l2_normalize(queries.astype(jnp.float32))
@@ -90,7 +105,7 @@ def _knn_body(
     chunks = qp.reshape(-1, query_chunk, queries.shape[1])
 
     def search_chunk(q):
-        return jax.lax.top_k(_scores_chunk(q, keys, scale), k)
+        return _select_top(_scores_chunk(q, keys, scale), k, selector)
 
     sims, idx = jax.lax.map(search_chunk, chunks)
     sims = sims.reshape(-1, k)[:n]
@@ -99,19 +114,20 @@ def _knn_body(
 
 
 _knn_jit = functools.partial(jax.jit, static_argnames=(
-    "k", "query_chunk", "normalize", "keys_normalized"))(_knn_body)
+    "k", "query_chunk", "normalize", "keys_normalized", "selector"))(_knn_body)
 
 
 @functools.lru_cache(maxsize=8)
 def _knn_sharded_fn(mesh, k: int, query_chunk: int, normalize: bool,
-                    keys_normalized: bool, has_scale: bool):
+                    keys_normalized: bool, has_scale: bool,
+                    selector: str = "exact"):
     from jax.sharding import PartitionSpec as P
 
     from ..parallel.mesh import DATA_AXIS
 
     def local(q, keys, scale):
         return _knn_body(q, keys, k, query_chunk, normalize, keys_normalized,
-                         scale=scale)
+                         scale=scale, selector=selector)
 
     scale_spec = (P(None),) if has_scale else ()
 
@@ -128,7 +144,7 @@ def _knn_sharded_fn(mesh, k: int, query_chunk: int, normalize: bool,
 
 
 def _knn_sharded(queries, keys, k, query_chunk, normalize, keys_normalized,
-                 mesh, scale=None):
+                 mesh, scale=None, selector="exact"):
     """Query axis sharded over the mesh 'data' axis, keys replicated — each
     chip searches 1/N of the queries (no collectives: top-k over the full
     replicated key set is exact per-shard)."""
@@ -137,7 +153,7 @@ def _knn_sharded(queries, keys, k, query_chunk, normalize, keys_normalized,
     qp = jnp.pad(queries, ((0, pad), (0, 0)))
     chunk = int(min(query_chunk, max(qp.shape[0] // mesh.size, 1)))
     fn = _knn_sharded_fn(mesh, k, chunk, normalize, keys_normalized,
-                         scale is not None)
+                         scale is not None, selector)
     if scale is not None:
         sims, idx = fn(qp, keys, scale)
     else:
@@ -148,7 +164,7 @@ def _knn_sharded(queries, keys, k, query_chunk, normalize, keys_normalized,
 @functools.lru_cache(maxsize=8)
 def _knn_keysharded_fn(mesh, k: int, query_chunk: int, normalize: bool,
                        keys_normalized: bool, n_valid: int,
-                       has_scale: bool = False):
+                       has_scale: bool = False, selector: str = "exact"):
     """KEY-axis sharding: each device holds 1/D of the gallery and computes
     its local top-k; the k candidates per shard are all-gathered ([N, D·k])
     and re-ranked — exact global top-k with collectives only over
@@ -178,7 +194,8 @@ def _knn_keysharded_fn(mesh, k: int, query_chunk: int, normalize: bool,
         def search_chunk(qc):
             scores = _scores_chunk(qc, keys, scale)
             scores = jnp.where(valid[None, :], scores, -jnp.inf)
-            return jax.lax.top_k(scores, k)
+            return _select_top(scores, k, selector)  # local selection only;
+            # the cross-shard candidate merge below stays exact top_k
 
         sims, idx = jax.lax.map(search_chunk, chunks)
         sims = sims.reshape(-1, k)[:n]
@@ -265,10 +282,16 @@ def knn_search(
     mesh=None,
     shard: str = "queries",
     n_valid_keys: int = None,
+    selector: str = "exact",
 ) -> Tuple[np.ndarray, np.ndarray]:
     """→ (similarities [N,k] fp32, indices [N,k] int32), sorted descending.
 
     Exact (non-approximate) search, like the reference's IndexFlatIP.
+    selector='approx': select with jax.lax.approx_max_k (TPU PartialReduce)
+    instead of exact TopK — 3.2× at 5M-key serving shapes, candidate recall
+    0.9998 at 4× oversample; pair with rerank_candidates for an exact final
+    top-k (the serving default for int8 galleries).  Exact lowering (no
+    approximation) on CPU.
     keys_normalized=True: keys came from prepare_keys (device-resident,
     already unit-norm) — skip their normalization.
     mesh + shard='queries': shard the QUERY axis over the mesh's 'data'
@@ -283,6 +306,8 @@ def knn_search(
     int8-compressed gallery, approximate scores (see QuantizedKeys)."""
     if shard not in ("queries", "keys"):
         raise ValueError(f"shard must be 'queries' or 'keys', got {shard!r}")
+    if selector not in ("exact", "approx"):
+        raise ValueError(f"selector must be 'exact' or 'approx', got {selector!r}")
     queries = jnp.asarray(queries, jnp.float32)
     scale = None
     if isinstance(keys, QuantizedKeys):
@@ -312,19 +337,22 @@ def knn_search(
             # local shard smaller than k: degenerate — replicate instead
             sims, idx = _knn_jit(queries, keys[:n_valid], k, query_chunk,
                                  normalize, keys_normalized,
-                                 scale=None if scale is None else scale[:n_valid])
+                                 scale=None if scale is None else scale[:n_valid],
+                                 selector=selector)
         else:
             fn = _knn_keysharded_fn(mesh, k, query_chunk, normalize,
                                     keys_normalized, n_valid,
-                                    has_scale=scale is not None)
+                                    has_scale=scale is not None,
+                                    selector=selector)
             sims, idx = (fn(queries, keys, scale) if scale is not None
                          else fn(queries, keys))
     elif mesh is not None and mesh.size > 1:
         sims, idx = _knn_sharded(queries, keys, k, query_chunk, normalize,
-                                 keys_normalized, mesh, scale=scale)
+                                 keys_normalized, mesh, scale=scale,
+                                 selector=selector)
     else:
         sims, idx = _knn_jit(queries, keys, k, query_chunk, normalize,
-                             keys_normalized, scale=scale)
+                             keys_normalized, scale=scale, selector=selector)
     return np.asarray(sims), np.asarray(idx)
 
 

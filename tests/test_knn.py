@@ -1,3 +1,4 @@
+import pytest
 import numpy as np
 
 from clibd_tpu.ops.knn import knn_search, make_prediction
@@ -237,3 +238,42 @@ def test_int8_with_host_rerank_is_exact(rng):
     all_cand = np.tile(np.arange(400), (len(queries), 1))
     s_all, i_all = rerank_candidates(queries, all_cand, keys, k=5)
     np.testing.assert_array_equal(i_all, i_exact)
+
+
+def test_selector_approx_plumbing(rng):
+    """selector='approx' (jax.lax.approx_max_k, the TPU PartialReduce
+    retrieval primitive) through all three dispatch paths.  On CPU the op
+    lowers exactly, so results must EQUAL the exact selector — this pins the
+    plumbing (static args, shard wrappers, int8 scale), while the recall/
+    speed numbers live in docs/PERF.md from the real-chip measurement."""
+    import jax
+
+    from clibd_tpu.ops.knn import knn_search, prepare_keys
+
+    d = 32
+    keys = rng.standard_normal((300, d)).astype(np.float32)
+    queries = rng.standard_normal((17, d)).astype(np.float32)
+    s0, i0 = knn_search(queries, keys, k=5)
+    s1, i1 = knn_search(queries, keys, k=5, selector="approx")
+    np.testing.assert_array_equal(i0, i1)
+    np.testing.assert_allclose(s0, s1, atol=1e-6)
+
+    qk = prepare_keys(keys, dtype="int8")
+    s2, i2 = knn_search(queries, qk, k=5)
+    s3, i3 = knn_search(queries, qk, k=5, selector="approx")
+    np.testing.assert_array_equal(i2, i3)
+
+    if jax.device_count() >= 8:
+        from clibd_tpu.parallel.mesh import create_mesh
+
+        mesh = create_mesh(jax.devices()[:8])
+        qk_sh = prepare_keys(keys, dtype="int8", mesh=mesh)
+        s4, i4 = knn_search(queries, qk_sh, k=5, mesh=mesh, shard="keys",
+                            selector="approx")
+        np.testing.assert_array_equal(i2, i4)
+        s5, i5 = knn_search(queries, keys, k=5, mesh=mesh, shard="queries",
+                            selector="approx")
+        np.testing.assert_array_equal(i0, i5)
+
+    with pytest.raises(ValueError):
+        knn_search(queries, keys, k=5, selector="fast")

@@ -693,3 +693,32 @@ def test_reload_watch_auto_swaps(served, tmp_path):
     finally:
         svc.stop_reload_watch()
         svc.reload_keys(fixture_path)  # restore for later tests
+
+
+def test_keyset_selector_auto_policy(tmp_path):
+    """selector='auto' resolves to approx only where the host re-rank
+    restores exactness (int8 + oversample); exact otherwise.  CPU approx
+    lowers exactly, so the search result is pinned too."""
+    from clibd_tpu.engine.extract import save_embedding_export
+    from clibd_tpu.engine.serve import KeySet
+
+    rng = np.random.default_rng(9)
+    feats = rng.normal(size=(32, 16)).astype(np.float32)
+    feats /= np.linalg.norm(feats, axis=1, keepdims=True)
+    path = tmp_path / "keys.hdf5"
+    save_embedding_export(str(path), {
+        "encoded_image_feature": feats,
+        "label_list": [{lv: f"{lv}{i}" for lv in
+                        ("order", "family", "genus", "species")}
+                       for i in range(32)],
+        "file_name_list": [f"{i}.jpg" for i in range(32)]})
+
+    assert KeySet(str(path)).selector == "exact"                  # fp32 auto
+    assert KeySet(str(path), dtype="int8").selector == "approx"   # rerank on
+    assert KeySet(str(path), dtype="int8",
+                  rerank_oversample=0).selector == "exact"        # no rerank
+    ks = KeySet(str(path), dtype="int8", selector="exact")
+    assert ks.selector == "exact"
+    ks8 = KeySet(str(path), dtype="int8")
+    sims, idx = ks8.search(feats[3][None] + 0.001, "encoded_image_feature", k=3)
+    assert idx[0, 0] == 3 and sims[0, 0] > 0.99
