@@ -37,12 +37,16 @@ def main():
     ap.add_argument("--chunk", type=int, default=4096)
     ap.add_argument("--skip-full", action="store_true",
                     help="only the device leg (host metric agg is slow on 1-core VMs)")
+    ap.add_argument("--selector", default="exact",
+                    choices=("exact", "approx"),
+                    help="int8 mode: candidate-selection primitive "
+                         "(approx = jax.lax.approx_max_k)")
     ap.add_argument("--int8", action="store_true",
                     help="instead of the grid: int8-compressed gallery A/B "
                          "(speed, memory, recall, label agreement, re-rank)")
     args = ap.parse_args()
     if args.int8:
-        return bench_int8(args.dim)
+        return bench_int8(args.dim, selector=args.selector)
 
     rng = np.random.default_rng(0)
     d = args.dim
@@ -135,11 +139,14 @@ def main():
         print(f"grid cells: {sum(len(v) for v in acc_dict.values())}")
 
 
-def bench_int8(d: int = 768):
+def bench_int8(d: int = 768, selector: str = "exact"):
     """QuantizedKeys A/B at eval-grid + 1M serving shapes (docs/PERF.md
     'int8-compressed galleries'): clustered synthetic so label agreement is
     measurable — rank flips from the ~1e-3 quantization noise must land
-    inside same-cluster near-duplicates."""
+    inside same-cluster near-duplicates.  --selector approx additionally
+    benchmarks the TPU approx_max_k candidate stage (the serving default
+    for int8+rerank; recall is then reported against the exact fp32 ranks
+    the same way)."""
     import jax  # noqa: F401
 
     from clibd_tpu.ops.knn import knn_search, prepare_keys, rerank_candidates
@@ -161,11 +168,11 @@ def bench_int8(d: int = 768):
             t32 = min(t32, time.time() - t0)
 
         qk = prepare_keys(keys, dtype="int8")
-        _, cand = knn_search(queries, qk, k=20)
+        _, cand = knn_search(queries, qk, k=20, selector=selector)
         t8 = 1e9
         for _ in range(reps):
             t0 = time.time()
-            _, cand = knn_search(queries, qk, k=20)
+            _, cand = knn_search(queries, qk, k=20, selector=selector)
             t8 = min(t8, time.time() - t0)
         t0 = time.time()
         s_rr, i_rr = rerank_candidates(queries, cand, keys, k=5)
