@@ -104,6 +104,25 @@ class Overloaded(RuntimeError):
     """Backlog exceeded max_queue — shed with HTTP 503, fail fast."""
 
 
+def open_gallery_readonly(path: str):
+    """Open a gallery HDF5 for reading WITHOUT taking the HDF5 file lock.
+
+    A resident server's read must never hold a lock that blocks the
+    gallery WRITER (the reference's backend flow appends continuously; a
+    soak test caught a writer failing "unable to truncate a file which is
+    already open" mid-reload).  Torn concurrent reads are already handled
+    upstream: reload fails -> old gallery serves -> watcher retries after
+    write-stability.  Falls back to a locked open on h5py/libhdf5 builds
+    without the ``locking`` kwarg.
+    """
+    import h5py
+
+    try:
+        return h5py.File(path, "r", locking=False)
+    except (TypeError, ValueError, OSError):
+        return h5py.File(path, "r")
+
+
 class KeySet:
     """Preloaded retrieval gallery from a save_embedding_export HDF5
     (engine/extract.py backend-export schema): per-modality key matrices
@@ -123,8 +142,6 @@ class KeySet:
     def __init__(self, path: str, mesh=None, max_k: int = 16,
                  dtype: str = "float32", rerank_oversample: int = 4,
                  selector: str = "auto"):
-        import h5py
-
         from ..ops.knn import prepare_keys
 
         self.mesh = mesh
@@ -143,7 +160,7 @@ class KeySet:
                          if selector == "auto" else selector)
         self.features: Dict[str, object] = {}
         self._host_fp32: Dict[str, np.ndarray] = {}
-        with h5py.File(path, "r") as f:
+        with open_gallery_readonly(path) as f:
             for t in ("encoded_image_feature", "encoded_dna_feature",
                       "encoded_language_feature"):
                 if t in f:

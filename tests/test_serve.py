@@ -577,6 +577,49 @@ def test_keyset_int8_gallery(tmp_path):
     assert idx[0, 0] == 7 and sims[0, 0] > 0.99
 
 
+def test_gallery_read_never_blocks_writer(tmp_path):
+    """open_gallery_readonly must not take the HDF5 file lock: a gallery
+    WRITER process truncating the live path while the server's read handle
+    is open must succeed (soak-test regression: writer failed "unable to
+    truncate a file which is already open" mid-reload).  The writer runs in
+    a SUBPROCESS — the flock only bites cross-process; in-process libhdf5
+    refuses the truncate regardless via its open-file table."""
+    import subprocess
+    import sys
+
+    import h5py
+
+    from clibd_tpu.engine.extract import save_embedding_export
+    from clibd_tpu.engine.serve import open_gallery_readonly
+
+    rng = np.random.default_rng(5)
+    feats = rng.normal(size=(4, 8)).astype(np.float32)
+    path = tmp_path / "live.hdf5"
+    save_embedding_export(str(path), {
+        "encoded_image_feature": feats,
+        "label_list": [{lv: f"{lv}{i}" for lv in
+                        ("order", "family", "genus", "species")}
+                       for i in range(4)],
+        "file_name_list": [f"{i}.jpg" for i in range(4)]})
+
+    writer_code = (
+        "import h5py, numpy as np\n"
+        f"with h5py.File({str(path)!r}, 'w') as w:\n"
+        "    w.create_dataset('encoded_image_feature',"
+        " data=np.zeros((2, 8), np.float32))\n"
+    )
+    reader = open_gallery_readonly(str(path))
+    try:
+        assert reader["encoded_image_feature"].shape == (4, 8)
+        res = subprocess.run([sys.executable, "-c", writer_code],
+                             capture_output=True, text=True, timeout=120)
+        assert res.returncode == 0, res.stderr
+    finally:
+        reader.close()
+    with h5py.File(str(path), "r") as f:
+        assert f["encoded_image_feature"].shape == (2, 8)
+
+
 def test_gallery_hot_reload(served, tmp_path):
     """POST /reload hot-swaps the gallery: a grown gallery (new planted row)
     serves immediately, a bad path returns 400 and leaves the old gallery
