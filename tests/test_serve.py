@@ -765,3 +765,26 @@ def test_keyset_selector_auto_policy(tmp_path):
     ks8 = KeySet(str(path), dtype="int8")
     sims, idx = ks8.search(feats[3][None] + 0.001, "encoded_image_feature", k=3)
     assert idx[0, 0] == 3 and sims[0, 0] > 0.99
+
+
+@pytest.mark.slow
+def test_soak_live_writers_and_clients():
+    """tools/soak_serve.py end-to-end: concurrent /embed + /search load
+    while a SUBPROCESS gallery writer cycles through all three production
+    write patterns (long-lived append+flush, truncate-in-place, atomic
+    os.replace).  Pass = writer never errors (the locking=False regression),
+    zero 5xx, ≥2 auto-reloads, served gallery converges to the final
+    written row count."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    res = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "soak_serve.py"),
+         "--cpu", "--seconds", "14"],
+        capture_output=True, text=True, timeout=600, cwd=repo)
+    verdict = json.loads(res.stdout.strip().splitlines()[-1])
+    assert res.returncode == 0, (verdict, res.stderr[-2000:])
+    assert verdict["ok"] and verdict["requests"]["5xx"] == 0
+    assert verdict["final_keys_served"] == verdict["final_keys_written"]
