@@ -1493,16 +1493,18 @@ def main(argv: Optional[List[str]] = None) -> int:
                          help="int8: 4x-compressed gallery (approximate "
                               "scores; 5M x 768 fits one chip's HBM)")
     p_serve.add_argument("--keys-rerank", type=int, default=4,
-                         help="int8 only: oversample factor for the exact "
-                              "host-side re-rank of candidates against the "
-                              "original fp32 rows (0 = trust int8 ranks, "
-                              "no host fp32 copy)")
+                         help="oversample factor for the exact host-side "
+                              "re-rank of candidates against the original "
+                              "fp32 rows; active for int8 galleries and for "
+                              "fp32 under --keys-selector approx (0 = trust "
+                              "device ranks, no host fp32 copy)")
     p_serve.add_argument("--keys-selector", default="auto",
                          choices=("auto", "exact", "approx"),
                          help="candidate selection: approx = TPU-native "
-                              "approx_max_k (3.2x at 5M keys); auto = approx "
-                              "only when the int8 host re-rank restores an "
-                              "exact final top-k, exact otherwise")
+                              "approx_max_k (4.8x at 5M keys; with "
+                              "--keys-rerank the final top-k is re-ranked "
+                              "exactly on the host); auto = approx only for "
+                              "int8+rerank galleries, exact otherwise")
     p_serve.add_argument("--reload-watch", type=float, default=0.0,
                          metavar="SECONDS",
                          help="poll the --keys file and hot-reload the "

@@ -146,18 +146,27 @@ class KeySet:
 
         self.mesh = mesh
         self.dtype = dtype
-        # int8 gallery searches carry ~1e-3 score noise; re-ranking an
-        # oversampled candidate set against the original fp32 rows on the
-        # HOST (RAM holds what HBM cannot) restores exact top-k.  0 disables.
-        self.rerank_oversample = rerank_oversample if dtype == "int8" else 0
-        # 'auto': TPU-native approx_max_k candidate selection (3.2× at 5M
+        # 'auto': TPU-native approx_max_k candidate selection (4.8× at 5M
         # keys, runs at the score-matmul roofline) WHERE the fp32 host
         # re-rank restores an exact final top-k — i.e. int8+rerank
         # galleries; everywhere else stay exact.  'exact'/'approx' force.
         if selector not in ("auto", "exact", "approx"):
             raise ValueError(f"selector must be auto/exact/approx, got {selector!r}")
-        self.selector = (("approx" if self.rerank_oversample else "exact")
-                         if selector == "auto" else selector)
+        # The host re-rank (original fp32 rows, RAM holds what HBM cannot)
+        # is active wherever it buys exactness back: always for int8 (scores
+        # carry ~1e-3 quantization noise) and, for fp32 galleries, under
+        # EXPLICIT approx selection (restores exact ordering over the
+        # oversampled candidate set — fp32 big-gallery serving gets the
+        # approx_max_k selection speedup without approximate results).
+        # fp32 + auto stays exact-on-device with no host copy.  0 disables.
+        if dtype == "int8":
+            self.rerank_oversample = rerank_oversample
+            self.selector = (("approx" if rerank_oversample else "exact")
+                             if selector == "auto" else selector)
+        else:
+            self.selector = "exact" if selector == "auto" else selector
+            self.rerank_oversample = (rerank_oversample
+                                      if self.selector == "approx" else 0)
         self.features: Dict[str, object] = {}
         self._host_fp32: Dict[str, np.ndarray] = {}
         with open_gallery_readonly(path) as f:
@@ -180,8 +189,8 @@ class KeySet:
             raise ValueError(f"{path} contains no encoded_*_feature datasets")
         self.n = len(self.labels["species"])
         self.max_k = min(max_k, self.n)
-        # single fixed device search width (see class docstring); the int8
-        # path widens it by the oversample factor for the host re-rank
+        # single fixed device search width (see class docstring); the
+        # re-rank path widens it by the oversample factor
         self._device_k = min(self.max_k * max(self.rerank_oversample, 1), self.n)
 
     def warm(self) -> None:

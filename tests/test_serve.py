@@ -756,7 +756,9 @@ def test_keyset_selector_auto_policy(tmp_path):
                        for i in range(32)],
         "file_name_list": [f"{i}.jpg" for i in range(32)]})
 
-    assert KeySet(str(path)).selector == "exact"                  # fp32 auto
+    ks_auto = KeySet(str(path))
+    assert ks_auto.selector == "exact"                            # fp32 auto
+    assert ks_auto.rerank_oversample == 0                         # no host copy
     assert KeySet(str(path), dtype="int8").selector == "approx"   # rerank on
     assert KeySet(str(path), dtype="int8",
                   rerank_oversample=0).selector == "exact"        # no rerank
@@ -765,6 +767,22 @@ def test_keyset_selector_auto_policy(tmp_path):
     ks8 = KeySet(str(path), dtype="int8")
     sims, idx = ks8.search(feats[3][None] + 0.001, "encoded_image_feature", k=3)
     assert idx[0, 0] == 3 and sims[0, 0] > 0.99
+
+    # fp32 + EXPLICIT approx keeps the host re-rank: the approx_max_k
+    # selection speedup without approximate final results (results equal
+    # the exact fp32 search — approx lowers exactly on CPU, and the
+    # re-rank path must reproduce, not perturb, exact ordering)
+    ks_fa = KeySet(str(path), selector="approx")
+    assert ks_fa.selector == "approx" and ks_fa.rerank_oversample == 4
+    assert "encoded_image_feature" in ks_fa._host_fp32
+    q = feats[5][None] + 0.001
+    s_exact, i_exact = ks_auto.search(q, "encoded_image_feature", k=3)
+    s_fa, i_fa = ks_fa.search(q, "encoded_image_feature", k=3)
+    np.testing.assert_array_equal(i_exact, i_fa)
+    np.testing.assert_allclose(s_exact, s_fa, atol=1e-5)
+    # explicit approx with rerank disabled: raw device ranks, no host copy
+    ks_fa0 = KeySet(str(path), selector="approx", rerank_oversample=0)
+    assert ks_fa0.rerank_oversample == 0 and not ks_fa0._host_fp32
 
 
 @pytest.mark.slow

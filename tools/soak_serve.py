@@ -128,6 +128,11 @@ def main() -> int:
     ap.add_argument("--clients", type=int, default=2)
     ap.add_argument("--write-period", type=float, default=1.5)
     ap.add_argument("--watch-interval", type=float, default=0.25)
+    ap.add_argument("--settle-seconds", type=float, default=None,
+                    help="post-writer convergence budget (default 10 on "
+                         "CPU; 180 on the chip, where every reload "
+                         "recompiles the search program at the new "
+                         "gallery shape)")
     ap.add_argument("--workdir", default=None,
                     help="gallery directory (default: a fresh tempdir)")
     args = ap.parse_args()
@@ -246,8 +251,11 @@ def main() -> int:
     for line in writer_lines:
         if line.startswith("FINAL"):
             final = int(line.split()[1])
-    # let the watcher see the final write settle (stability needs 2 polls)
-    settle_by = time.time() + max(20 * args.watch_interval, 10.0)
+    # let the watcher see the final write settle (stability needs 2 polls;
+    # on the chip each reload also pays a search-program compile)
+    settle = (args.settle_seconds if args.settle_seconds is not None
+              else (10.0 if args.cpu else 180.0))
+    settle_by = time.time() + max(20 * args.watch_interval, settle)
     health = {}
     while time.time() < settle_by:
         time.sleep(args.watch_interval)
