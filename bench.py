@@ -36,6 +36,10 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from clibd_tpu.utils.compile_cache import maybe_enable_compile_cache
+
+    maybe_enable_compile_cache()  # CLIBD_COMPILE_CACHE=<dir> warms compiles
+
     from clibd_tpu.config.schema import ExperimentConfig
     from clibd_tpu.models import init_clibd_params
     from clibd_tpu.models.clibd import clibd_apply

@@ -322,3 +322,35 @@ def test_package_import_initializes_no_jax_backend():
     proc = subprocess.run([sys.executable, "-c", code],
                           capture_output=True, text=True, timeout=300)
     assert proc.returncode == 0, proc.stderr
+
+
+def test_compile_cache_opt_in(tmp_path, monkeypatch):
+    """maybe_enable_compile_cache: no-op without configuration; env var and
+    explicit path (`serve --compile-cache`) both set the persistent-cache
+    config and create the directory.  Pure process-local config — restored
+    after the test so later compiles don't write to the tmpdir."""
+    import jax
+
+    from clibd_tpu.utils.compile_cache import maybe_enable_compile_cache
+
+    orig_dir = jax.config.jax_compilation_cache_dir
+    orig_min = jax.config.jax_persistent_cache_min_compile_time_secs
+    try:
+        monkeypatch.delenv("CLIBD_COMPILE_CACHE", raising=False)
+        assert maybe_enable_compile_cache() is None
+        assert jax.config.jax_compilation_cache_dir == orig_dir
+
+        env_dir = tmp_path / "envcache"
+        monkeypatch.setenv("CLIBD_COMPILE_CACHE", str(env_dir))
+        assert maybe_enable_compile_cache() == str(env_dir)
+        assert env_dir.is_dir()
+        assert jax.config.jax_compilation_cache_dir == str(env_dir)
+        assert jax.config.jax_persistent_cache_min_compile_time_secs == 0.5
+
+        # explicit path wins over the env var
+        flag_dir = tmp_path / "flagcache"
+        assert maybe_enable_compile_cache(str(flag_dir)) == str(flag_dir)
+        assert jax.config.jax_compilation_cache_dir == str(flag_dir)
+    finally:
+        jax.config.update("jax_compilation_cache_dir", orig_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", orig_min)
