@@ -632,6 +632,37 @@ def make_server(service: InferenceService, host: str = "127.0.0.1",
                             "reloads": service.reloads})
             elif self.path == "/stats":
                 self._send(200, service.stats.snapshot())
+            elif self.path == "/metrics":
+                # Prometheus text exposition (/stats is the JSON twin) —
+                # what a scraper actually ingests; counters are cumulative
+                # since process start, as Prometheus expects
+                s = service.stats.snapshot()
+                lines = [
+                    "# TYPE clibd_requests_total counter",
+                    f"clibd_requests_total {s['requests']}",
+                    "# TYPE clibd_request_errors_total counter",
+                    f"clibd_request_errors_total {s['errors']}",
+                    "# TYPE clibd_device_batches_total counter",
+                    f"clibd_device_batches_total {s['batches']}",
+                    "# TYPE clibd_gallery_reloads_total counter",
+                    f"clibd_gallery_reloads_total {service.reloads}",
+                    "# TYPE clibd_gallery_keys gauge",
+                    f"clibd_gallery_keys {service.keys.n if service.keys else 0}",
+                    "# TYPE clibd_batcher_up gauge",
+                    f"clibd_batcher_up {int(service._batcher.is_alive())}",
+                ]
+                for name, v in (("clibd_mean_batch_size", s["mean_batch_size"]),
+                                ("clibd_latency_p50_ms", s["p50_ms"]),
+                                ("clibd_latency_p95_ms", s["p95_ms"])):
+                    if v is not None:
+                        lines += [f"# TYPE {name} gauge", f"{name} {v}"]
+                body = ("\n".join(lines) + "\n").encode()
+                self.send_response(200)
+                self.send_header("Content-Type",
+                                 "text/plain; version=0.0.4; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self._send(404, {"error": f"unknown path {self.path}"})
 

@@ -396,6 +396,21 @@ def test_http_roundtrip(served):
         status, stats = call("/stats")
         assert status == 200 and stats["requests"] >= 2
 
+        # Prometheus text exposition twin of /stats
+        req = urllib.request.Request(f"http://127.0.0.1:{port}/metrics")
+        with urllib.request.urlopen(req, timeout=30) as r:
+            assert r.status == 200
+            assert r.headers["Content-Type"].startswith("text/plain")
+            metrics = {}
+            for line in r.read().decode().splitlines():
+                if line and not line.startswith("#"):
+                    name, val = line.split()
+                    metrics[name] = float(val)
+        assert metrics["clibd_requests_total"] >= 2
+        assert metrics["clibd_gallery_keys"] == 6
+        assert metrics["clibd_batcher_up"] == 1
+        assert "clibd_latency_p50_ms" in metrics
+
         # malformed: no modality → 400; invalid b64 → 400; valid b64 of
         # non-image bytes → 400; non-object JSON body → 400; unknown → 404
         bad_img = base64.b64encode(b"not an image").decode()
