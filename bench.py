@@ -38,7 +38,13 @@ def main() -> None:
 
     from clibd_tpu.utils.compile_cache import maybe_enable_compile_cache
 
-    maybe_enable_compile_cache()  # CLIBD_COMPILE_CACHE=<dir> warms compiles
+    # default to a repo-local persistent cache: the ~130 s flagship compile
+    # drops to ~7 s on repeat runs (docs/PERF.md), shrinking the window a
+    # tunnel hiccup can hit.  Steady-state throughput (the metric) is
+    # unaffected — timing starts after warmup.  CLIBD_COMPILE_CACHE overrides.
+    maybe_enable_compile_cache(os.environ.get(
+        "CLIBD_COMPILE_CACHE",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".xla_cache")))
 
     from clibd_tpu.config.schema import ExperimentConfig
     from clibd_tpu.models import init_clibd_params

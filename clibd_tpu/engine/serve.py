@@ -112,14 +112,18 @@ def open_gallery_readonly(path: str):
     soak test caught a writer failing "unable to truncate a file which is
     already open" mid-reload).  Torn concurrent reads are already handled
     upstream: reload fails -> old gallery serves -> watcher retries after
-    write-stability.  Falls back to a locked open on h5py/libhdf5 builds
-    without the ``locking`` kwarg.
+    write-stability.  Falls back to a locked open ONLY on h5py/libhdf5
+    builds without the ``locking`` kwarg (TypeError/ValueError at call
+    time) — an OSError (torn/missing file) must propagate to the reload
+    retry path, NOT retry locked: a locked retry that lands after the
+    writer finishes would hold the flock for the whole gallery load and
+    reintroduce the writer-blocking bug this helper removes.
     """
     import h5py
 
     try:
         return h5py.File(path, "r", locking=False)
-    except (TypeError, ValueError, OSError):
+    except (TypeError, ValueError):
         return h5py.File(path, "r")
 
 

@@ -817,7 +817,9 @@ def test_soak_live_writers_and_clients():
         [sys.executable, os.path.join(repo, "tools", "soak_serve.py"),
          "--cpu", "--seconds", "14"],
         capture_output=True, text=True, timeout=600, cwd=repo)
+    # returncode first: a crashed harness has no verdict line, and the
+    # stderr tail is the diagnostic that matters then
+    assert res.returncode == 0, (res.stdout[-2000:], res.stderr[-2000:])
     verdict = json.loads(res.stdout.strip().splitlines()[-1])
-    assert res.returncode == 0, (verdict, res.stderr[-2000:])
     assert verdict["ok"] and verdict["requests"]["5xx"] == 0
     assert verdict["final_keys_served"] == verdict["final_keys_written"]

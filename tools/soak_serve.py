@@ -200,19 +200,29 @@ def main() -> int:
          str(args.write_period), str(args.seconds), str(n0)],
         stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env)
 
-    # collect writer stdout as it arrives; the client clock starts at the
-    # writer's FIRST write, not at spawn (subprocess imports are slow here)
+    # collect BOTH writer pipes as they arrive — stdout drives the client
+    # clock (starts at the writer's FIRST write, not at spawn: subprocess
+    # imports are slow here) and an undrained stderr could fill its pipe
+    # buffer and deadlock the writer before its deadline
     writer_lines: list = []
+    err_lines: list = []
     first_write = threading.Event()
 
-    def pump() -> None:
+    def pump_out() -> None:
         for line in writer.stdout:
             writer_lines.append(line)
             if line.startswith("WROTE"):
                 first_write.set()
         first_write.set()  # EOF: never leave the parent waiting
 
-    threading.Thread(target=pump, daemon=True).start()
+    def pump_err() -> None:
+        for line in writer.stderr:
+            err_lines.append(line)
+
+    pumps = [threading.Thread(target=pump_out, daemon=True),
+             threading.Thread(target=pump_err, daemon=True)]
+    for t in pumps:
+        t.start()
     if not first_write.wait(timeout=300):
         raise RuntimeError("soak writer produced no output in 300s")
     deadline = time.time() + args.seconds
@@ -245,8 +255,18 @@ def main() -> int:
     with ThreadPoolExecutor(max_workers=args.clients) as pool:
         list(pool.map(client, range(args.clients)))
 
-    writer.wait(timeout=120)
-    werr = writer.stderr.read()
+    writer_hung = False
+    try:
+        writer.wait(timeout=120)
+    except subprocess.TimeoutExpired:
+        writer_hung = True  # still produce a verdict (ok=false) below
+        writer.kill()
+        writer.wait()
+    # the pump threads may lag the process exit — join before scanning,
+    # or a timely run could spuriously miss its FINAL line
+    for t in pumps:
+        t.join(timeout=30)
+    werr = "".join(err_lines)
     final = None
     for line in writer_lines:
         if line.startswith("FINAL"):
@@ -267,7 +287,7 @@ def main() -> int:
     server.shutdown()
     svc.close()
 
-    ok = (writer.returncode == 0 and final is not None
+    ok = (not writer_hung and writer.returncode == 0 and final is not None
           and counts["5xx"] == 0 and counts["neterr"] == 0
           and counts["ok"] > 0
           and health.get("keys") == final
@@ -276,7 +296,7 @@ def main() -> int:
         "ok": ok, "seconds": args.seconds, "clients": args.clients,
         "requests": counts, "reloads": health.get("reloads"),
         "final_keys_written": final, "final_keys_served": health.get("keys"),
-        "writer_rc": writer.returncode,
+        "writer_rc": writer.returncode, "writer_hung": writer_hung,
         "writer_err_tail": werr.strip().splitlines()[-3:],
         "stats": svc.stats.snapshot(),
     }))
