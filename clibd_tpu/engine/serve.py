@@ -267,6 +267,7 @@ class InferenceService:
                           "selector": keys_selector}
         self.keys_path = keys_path
         self.reloads = 0
+        self._reload_lock = threading.Lock()
         self.keys = (KeySet(keys_path, **self._keys_cfg)
                      if keys_path else None)
         self.text_max_len = text_max_len
@@ -311,16 +312,21 @@ class InferenceService:
         if path is None:
             raise ValueError("no gallery path: server was started without "
                              "--keys and the reload request named none")
-        new_keys = KeySet(path, **self._keys_cfg)
-        # pre-compile the search program at the new gallery shape so no
-        # client request pays it
-        new_keys.warm()
-        old_n = self.keys.n if self.keys else 0
-        self.keys = new_keys          # atomic swap (GIL attribute store)
-        self.keys_path = path
-        self.reloads += 1
-        return {"keys": new_keys.n, "previous": old_n, "path": path,
-                "modalities": sorted(new_keys.features), "reloads": self.reloads}
+        # serialize concurrent reloads (POST /reload racing the watcher):
+        # building two KeySets at once doubles peak memory and interleaves
+        # the reloads counter
+        with self._reload_lock:
+            new_keys = KeySet(path, **self._keys_cfg)
+            # pre-compile the search program at the new gallery shape so no
+            # client request pays it
+            new_keys.warm()
+            old_n = self.keys.n if self.keys else 0
+            self.keys = new_keys      # atomic swap (GIL attribute store)
+            self.keys_path = path
+            self.reloads += 1
+            return {"keys": new_keys.n, "previous": old_n, "path": path,
+                    "modalities": sorted(new_keys.features),
+                    "reloads": self.reloads}
 
     def start_reload_watch(self, interval_s: float) -> None:
         """Auto-reload the gallery when its file changes (`--reload-watch`).
@@ -467,7 +473,11 @@ class InferenceService:
         picks the gallery feature ('image'/'dna'/'language'); default is the
         query's own modality (cross-modal search — e.g. an image query
         against DNA keys, the CLIBD headline use — via against='dna')."""
-        if self.keys is None:
+        # snapshot ONCE: a concurrent /reload swaps self.keys atomically, but
+        # reading it twice here could pair old-gallery indices with
+        # new-gallery labels — silently wrong taxonomy
+        keys = self.keys
+        if keys is None:
             raise RuntimeError("no key set loaded (start with keys_path=...)")
         emb = self.embed(image_bytes=image_bytes, dna=dna, text=text,
                          timeout=timeout)
@@ -476,12 +486,12 @@ class InferenceService:
             if emb.get(modality) is None:
                 continue
             key_type = f"encoded_{against or modality}_feature"
-            sims, idx = self.keys.search(emb[modality][None, :], key_type, k)
+            sims, idx = keys.search(emb[modality][None, :], key_type, k)
             out[modality] = {
                 "key_type": key_type,
                 "scores": sims[0].tolist(),
                 "predictions": [
-                    {level: self.keys.labels[level][j] for level in LEVELS}
+                    {level: keys.labels[level][j] for level in LEVELS}
                     for j in idx[0].tolist()
                 ],
             }

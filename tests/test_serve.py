@@ -753,6 +753,50 @@ def test_reload_watch_auto_swaps(served, tmp_path):
         svc.reload_keys(fixture_path)  # restore for later tests
 
 
+def test_search_snapshots_gallery_across_reload(served, tmp_path):
+    """A /reload landing between the device search and the label lookup must
+    not pair old-gallery indices with new-gallery labels: search() snapshots
+    self.keys once, so predictions come from the gallery that produced the
+    indices."""
+    from clibd_tpu.engine.extract import save_embedding_export
+
+    svc, jpeg = served["service"], served["jpeg"]
+    emb = svc.embed(image_bytes=jpeg)["image"]
+
+    # new gallery: same planted row 0 but every label renamed — if search()
+    # re-read self.keys after the swap, top-1 would say "swapped_species0"
+    feats = np.asarray(
+        [emb] + [r for r in np.eye(emb.shape[0], dtype=np.float32)[:5]])
+    new_path = tmp_path / "swapped.hdf5"
+    save_embedding_export(str(new_path), {
+        "encoded_image_feature": feats,
+        "label_list": [{lv: f"swapped_{lv}{i}" for lv in
+                        ("order", "family", "genus", "species")}
+                       for i in range(len(feats))],
+        "file_name_list": [f"s{i}.jpg" for i in range(len(feats))]})
+
+    old_path = svc.keys_path
+    old_keys = svc.keys
+    orig_search = old_keys.search
+
+    def search_then_swap(queries, key_type, k):
+        out = orig_search(queries, key_type, k)
+        svc.reload_keys(str(new_path))  # lands before the label lookup
+        return out
+
+    old_keys.search = search_then_swap
+    try:
+        res = svc.search(image_bytes=jpeg, k=1)
+        # indices came from the OLD gallery (row 0 planted, labels
+        # "species0"), so the labels must too — even though svc.keys now
+        # points at the swapped gallery
+        assert res["image"]["predictions"][0]["species"] == "species0"
+        assert svc.keys.labels["species"][0] == "swapped_species0"
+    finally:
+        old_keys.search = orig_search
+        svc.reload_keys(old_path)  # restore for later tests
+
+
 def test_keyset_selector_auto_policy(tmp_path):
     """selector='auto' resolves to approx only where the host re-rank
     restores exactness (int8 + oversample); exact otherwise.  CPU approx
