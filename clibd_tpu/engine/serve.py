@@ -276,6 +276,14 @@ class InferenceService:
             from ..data.tokenizers import WordPieceTokenizer
 
             self._tok = WordPieceTokenizer(language_vocab)
+        # open_clip-backbone checkpoints tokenize text with CLIP BPE (the
+        # same batch-time dispatch as the train/extract pipeline) — picked
+        # up from the config's clip.bpe_path, no extra serve flag
+        self._clip_tok = None
+        if "clip_text" in params:
+            from ..data.pipeline import BatchSpec
+
+            self._clip_tok = BatchSpec.maybe_clip_tokenizer(model_cfg)
 
         mc = model_cfg
 
@@ -407,8 +415,14 @@ class InferenceService:
         return tokenize_single_barcode(self.mc, barcode)
 
     def preprocess_text(self, text: str) -> Dict[str, np.ndarray]:
-        """Taxonomy-string query → WordPiece token dict (the same layout the
-        HDF5 builders pre-tokenize, builders.py language_tokens_*)."""
+        """Taxonomy-string query → token dict, via the checkpoint's own text
+        tokenizer: CLIP BPE for open_clip-backbone checkpoints (the batch
+        pipeline's dispatch, pipeline.py BatchSpec), WordPiece otherwise
+        (the same layout the HDF5 builders pre-tokenize,
+        builders.py language_tokens_*)."""
+        if self._clip_tok is not None:
+            ids = np.asarray(self._clip_tok([text]), np.int32)[0]
+            return {"input_ids": ids}
         toks = self._tok.encode_batch([text], max_length=self.text_max_len)
         return {k: np.asarray(v[0]) for k, v in toks.items()}
 
@@ -431,16 +445,18 @@ class InferenceService:
         if dna is not None and "dna_encoder" not in self.params:
             raise ValueError("this checkpoint has no DNA encoder")
         if text is not None:
-            if "language_encoder" not in self.params:
-                if "clip_text" in self.params:
+            if "clip_text" in self.params:
+                if self._clip_tok is None:
                     raise ValueError(
-                        "text serving supports the BERT language tower only "
-                        "(this checkpoint's open_clip text tower needs the "
-                        "CLIP BPE tokenizer, not a WordPiece vocab)")
+                        "this open_clip text tower needs the CLIP BPE "
+                        "tokenizer — set clip.bpe_path in the experiment "
+                        "config (as the train/extract pipeline does)")
+            elif "language_encoder" in self.params:
+                if self._tok is None:
+                    raise ValueError("text queries need a WordPiece vocab "
+                                     "(serve --language-vocab)")
+            else:
                 raise ValueError("this checkpoint has no language encoder")
-            if self._tok is None:
-                raise ValueError(
-                    "text queries need a WordPiece vocab (serve --language-vocab)")
         # load shedding: a bounded backlog keeps tail latency honest — fail
         # fast (HTTP 503 via the RuntimeError mapping) instead of letting
         # queued requests pile past any useful deadline.  qsize() is
@@ -520,7 +536,9 @@ class InferenceService:
                 else:
                     d = np.zeros((b,) + d0.shape, d0.dtype)
                 np.asarray(self._apply["dna"](self.params, d))
-            if "language_encoder" in self.params and self._tok is not None:
+            if (self._clip_tok is not None
+                    or ("language_encoder" in self.params
+                        and self._tok is not None)):
                 t = self.preprocess_text("warm up")
                 np.asarray(self._apply["language"](
                     self.params, {k: np.zeros((b,) + v.shape, v.dtype)

@@ -310,6 +310,65 @@ def test_text_queries(tmp_path):
         svc.close()
 
 
+def test_clip_text_queries(tmp_path):
+    """open_clip-backbone checkpoints serve text through the CLIP BPE
+    tokenizer (the batch pipeline's own dispatch, pipeline.py
+    BatchSpec.maybe_clip_tokenizer) — embedding parity vs direct
+    clibd_apply, and a clean upfront error naming clip.bpe_path when the
+    merges file is not configured."""
+    import gzip
+
+    import jax
+
+    from clibd_tpu.config.schema import GlobalConfig
+    from clibd_tpu.data.clip_tokenizer import CLIPTokenizer
+    from clibd_tpu.engine.serve import InferenceService
+    from clibd_tpu.models import init_clibd_params
+    from clibd_tpu.models.clibd import clibd_apply
+
+    bpe = tmp_path / "bpe.txt.gz"
+    with gzip.open(bpe, "wt", encoding="utf-8") as f:
+        f.write("\n".join(["#version: 0.2", "d i", "di p", "dip t"]))
+
+    cfg = GlobalConfig()
+    mc = cfg.model_config
+    mc.backbone = "open_clip"
+    mc.output_dim = 16
+    mc.image.enable = False  # text-only keeps the test fast
+    mc.dna.enable = False
+    c = mc.clip
+    c.context_length, c.text_hidden, c.text_layers = 16, 16, 1
+    c.text_heads, c.text_mlp, c.embed_dim = 2, 32, 16
+    c.bpe_path = str(bpe)
+
+    params = init_clibd_params(jax.random.PRNGKey(0), mc)
+    svc = InferenceService(params, mc, window_ms=1.0, buckets=(1, 2),
+                           image_size=64)
+    try:
+        text = "diptera cecidomyiidae"
+        out = svc.embed(text=text)
+        assert out["language"] is not None
+        ids = np.asarray(CLIPTokenizer(str(bpe), context_length=16)([text]),
+                         np.int32)
+        direct = clibd_apply(params, mc,
+                             language_input={"input_ids": ids})["language"][0]
+        np.testing.assert_allclose(out["language"], np.asarray(direct),
+                                   atol=5e-3)
+        svc.pre_warm()  # covers the clip-text warm branch
+    finally:
+        svc.close()
+
+    # merges file not configured → upfront ValueError naming the knob
+    mc.clip.bpe_path = ""
+    svc2 = InferenceService(params, mc, window_ms=1.0, buckets=(1,),
+                            image_size=64)
+    try:
+        with pytest.raises(ValueError, match="bpe_path"):
+            svc2.embed(text=text)
+    finally:
+        svc2.close()
+
+
 def test_sharded_gallery_search_matches_replicated(served, tmp_path):
     """KeySet(mesh=...) — gallery rows sharded over the 8-device CPU mesh —
     returns the same top-k as the replicated gallery (the layout for
