@@ -569,9 +569,10 @@ def cmd_serve(args, overrides) -> int:
 
     mc = cfg.model_config
     params = _resolve_params(cfg)
-    # derive the image geometry from the checkpoint's ViT (pre_warm would
-    # crash at startup on a mismatch, but derive rather than assume 224)
-    image_size = mc.image.vit.image_size
+    # derive the image geometry from the checkpoint's image tower (pre_warm
+    # would crash at startup on a mismatch, but derive rather than assume 224)
+    image_size = (mc.clip.image_size if mc.backbone == "open_clip"
+                  else mc.image.vit.image_size)
     keys_mesh = None
     if args.shard_keys:
         from .parallel.mesh import local_mesh

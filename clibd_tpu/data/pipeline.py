@@ -104,7 +104,12 @@ def preprocess_single_image(mc, image_bytes: bytes,
     `transform_with_resize` (long-edge) checkpoint is always queried with
     the SAME transform its gallery was extracted with (eval_spec
     long_edge_eval above)."""
-    size = image_size or mc.image.vit.image_size
+    if image_size:
+        size = image_size
+    elif getattr(mc, "backbone", "default") == "open_clip":
+        size = mc.clip.image_size  # clip tower geometry, not the BERT-path ViT's
+    else:
+        size = mc.image.vit.image_size
     return np.asarray(eval_transform(
         image_bytes, size=size,
         resize_to=resize_to or round(size * 256 / 224),
