@@ -349,8 +349,13 @@ class InferenceService:
         if self.keys_path is None:
             raise ValueError("reload-watch needs a gallery (--keys)")
         self._watch_stop = threading.Event()
+        # capture the baseline signature HERE, synchronously — a write
+        # landing between this call returning and the thread's first poll
+        # must still be detected (the thread may not be scheduled for a
+        # while on a loaded host)
+        baseline = self._gallery_sig()
         self._watcher = threading.Thread(
-            target=self._run_watcher, args=(float(interval_s),),
+            target=self._run_watcher, args=(float(interval_s), baseline),
             name="clibd-serve-watcher", daemon=True)
         self._watcher.start()
 
@@ -360,17 +365,17 @@ class InferenceService:
             self._watcher.join(timeout=10)
             self._watcher = None
 
-    def _run_watcher(self, interval_s: float) -> None:
+    def _gallery_sig(self):
         import os
 
-        def sig():
-            try:
-                st = os.stat(self.keys_path)
-                return (st.st_mtime_ns, st.st_size)
-            except OSError:
-                return None  # mid-replace/missing: treat as not-yet-stable
+        try:
+            st = os.stat(self.keys_path)
+            return (st.st_mtime_ns, st.st_size)
+        except OSError:
+            return None  # mid-replace/missing: treat as not-yet-stable
 
-        loaded = sig()
+    def _run_watcher(self, interval_s: float, loaded) -> None:
+        sig = self._gallery_sig
         pending = None
         while not self._watch_stop.wait(interval_s):
             if self._closed.is_set():
