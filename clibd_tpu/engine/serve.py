@@ -348,6 +348,7 @@ class InferenceService:
         gallery still serving."""
         if self.keys_path is None:
             raise ValueError("reload-watch needs a gallery (--keys)")
+        self.stop_reload_watch()  # idempotent: never leak a second watcher
         self._watch_stop = threading.Event()
         # capture the baseline signature HERE, synchronously — a write
         # landing between this call returning and the thread's first poll
@@ -470,6 +471,11 @@ class InferenceService:
             self.stats.record_error()
             raise Overloaded(
                 f"server overloaded ({self.max_queue} requests queued)")
+        # a put() after close() drained the queue would leave this caller
+        # blocked for its full timeout — shed instead (narrows the race to
+        # check-vs-close; close()'s final drain covers most of the rest)
+        if self._closed.is_set():
+            raise RuntimeError("server shutting down")
         t0 = time.perf_counter()
         item = {"future": Future()}
         if image_bytes is not None:
