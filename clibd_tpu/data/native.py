@@ -75,6 +75,7 @@ class NativeDecoder:
             ctypes.c_int,                    # out_size
             ctypes.c_int,                    # resize_to
             ctypes.c_int,                    # mode
+            ctypes.c_int,                    # dct_scale
             ctypes.POINTER(ctypes.c_uint64), # seeds
             ctypes.POINTER(ctypes.c_int32),  # ok
             ctypes.c_int,                    # num_threads
@@ -87,13 +88,14 @@ class NativeDecoder:
             ctypes.POINTER(ctypes.c_float),  # out2
             ctypes.c_int,                    # out_size
             ctypes.c_int,                    # resize_to
+            ctypes.c_int,                    # dct_scale
             ctypes.POINTER(ctypes.c_uint64), # seeds1
             ctypes.POINTER(ctypes.c_uint64), # seeds2
             ctypes.POINTER(ctypes.c_int32),  # ok
             ctypes.c_int,                    # num_threads
         ]
         self.lib.clibd_version.restype = ctypes.c_int
-        assert self.lib.clibd_version() == 2
+        assert self.lib.clibd_version() == 3
         self.num_threads = num_threads if num_threads > 0 else (os.cpu_count() or 1)
 
     def decode_transform_batch(
@@ -104,7 +106,16 @@ class NativeDecoder:
         size: int = 224,
         resize_to: int = 256,
         long_edge: bool = False,
+        dct_scale: Optional[bool] = None,
     ) -> np.ndarray:
+        """dct_scale: decode oversized sources at m/8 scale inside the IDCT
+        (~(m/8)^2 of the decode cost; the antialiased resize finishes from
+        the scaled image).  Default: ON for train (the filter difference is
+        far below augmentation noise — tests/test_native.py tolerance test),
+        OFF for eval so extraction stays bit-identical for checkpoint
+        parity.  Production 256px-crop sources at resize_to=256 are
+        unaffected either way (no reduction applies); eval on those takes
+        the bit-exact crop-window decode fast path instead."""
         if long_edge:
             # the rare transform_with_resize eval variant stays on the numpy path
             from .transforms import eval_transform
@@ -131,6 +142,7 @@ class NativeDecoder:
             size,
             resize_to,
             1 if train else 0,
+            1 if (train if dct_scale is None else dct_scale) else 0,
             seeds.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
             ok.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
             self.num_threads,
@@ -147,6 +159,7 @@ class NativeDecoder:
         rng2: np.random.Generator,
         size: int = 224,
         resize_to: int = 256,
+        dct_scale: bool = True,
     ):
         """SimCLR two-view: decode+resize each JPEG once in C++, return two
         independently-cropped views ([n,size,size,3] f32 each)."""
@@ -168,6 +181,7 @@ class NativeDecoder:
             out2.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             size,
             resize_to,
+            1 if dct_scale else 0,
             seeds1.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
             seeds2.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
             ok.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),

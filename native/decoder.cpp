@@ -36,9 +36,33 @@ void jpeg_error_exit(j_common_ptr cinfo) {
   longjmp(err->setjmp_buffer, 1);
 }
 
+// DCT-scaled decode: decode at scale m/8 (m<=8) when the full-size image is
+// larger than needed — libjpeg folds the downscale into the IDCT, so an m/8
+// decode costs ~(m/8)^2 of the full IDCT + scanline work.  Gated per call:
+// the train path enables it (the filter difference vs a full decode +
+// antialiased resize is far below augmentation noise), the eval path keeps
+// full-resolution decode by default so extraction stays bit-identical for
+// checkpoint-parity (min_edge_target <= 0 disables).
+//
+// Largest reduction m/8 whose output SHORTER edge still >= min_edge_target
+// (never decode below the resize target — the antialiased resize afterwards
+// still strictly downsamples, with the DCT scaling acting as a prefilter).
+// libjpeg output dims are ceil(dim*m/8).
+int pick_scale_num(int w, int h, int min_edge_target) {
+  if (min_edge_target <= 0) return 8;
+  int short_edge = std::min(w, h);
+  for (int m = 1; m < 8; ++m) {
+    long scaled = (static_cast<long>(short_edge) * m + 7) / 8;
+    if (scaled >= min_edge_target) return m;
+  }
+  return 8;
+}
+
 // Decode JPEG bytes to RGB uint8 [h, w, 3]. Returns false on failure.
+// min_edge_target > 0 enables DCT-scaled decode (output shorter edge stays
+// >= the target); width/height return the DECODED (possibly scaled) dims.
 bool decode_jpeg(const uint8_t* data, size_t len, std::vector<uint8_t>& out,
-                 int& width, int& height) {
+                 int& width, int& height, int min_edge_target = 0) {
   jpeg_decompress_struct cinfo;
   JpegErrorMgr jerr;
   cinfo.err = jpeg_std_error(&jerr.pub);
@@ -51,6 +75,8 @@ bool decode_jpeg(const uint8_t* data, size_t len, std::vector<uint8_t>& out,
   jpeg_mem_src(&cinfo, const_cast<uint8_t*>(data), len);
   jpeg_read_header(&cinfo, TRUE);
   cinfo.out_color_space = JCS_RGB;
+  cinfo.scale_num = pick_scale_num(cinfo.image_width, cinfo.image_height, min_edge_target);
+  cinfo.scale_denom = 8;
   jpeg_start_decompress(&cinfo);
   width = cinfo.output_width;
   height = cinfo.output_height;
@@ -60,6 +86,64 @@ bool decode_jpeg(const uint8_t* data, size_t len, std::vector<uint8_t>& out,
     jpeg_read_scanlines(&cinfo, &row, 1);
   }
   jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return true;
+}
+
+// Eval fast path: when the (possibly DCT-scaled) decoded image needs no
+// resize before the center crop — the production case: the BIOSCAN HDF5s
+// ship 256px crops, eval = Resize(256) (identity) → CenterCrop(224) —
+// decode scanlines only up to the crop window's bottom edge (the rest is
+// jpeg_abort_decompress'd, skipping its IDCT + upsampling), and convert
+// ONLY the crop window's pixels to [0,1] float.  Bit-exact vs the general
+// decode→convert→identity-resize→crop path (identity resize weights are
+// exactly {…,1,…}); skips the full-image float conversion and both
+// identity-resize passes.  libjpeg-turbo's jpeg_crop_scanline /
+// jpeg_skip_scanlines were measured NOT bit-exact here (they change the
+// chroma-upsampling context on 4:2:0 sources), so rows above the window
+// are decoded and discarded instead.
+// Returns false if the JPEG is corrupt OR the geometry doesn't apply
+// (caller falls back to the general path).
+bool decode_center_crop_f32(const uint8_t* data, size_t len, float* out,
+                            int out_size, int resize_to, bool dct_scale) {
+  jpeg_decompress_struct cinfo;
+  JpegErrorMgr jerr;
+  cinfo.err = jpeg_std_error(&jerr.pub);
+  jerr.pub.error_exit = jpeg_error_exit;
+  if (setjmp(jerr.setjmp_buffer)) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, const_cast<uint8_t*>(data), len);
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+  cinfo.scale_num = pick_scale_num(cinfo.image_width, cinfo.image_height,
+                                   dct_scale ? resize_to : 0);
+  cinfo.scale_denom = 8;
+  jpeg_calc_output_dimensions(&cinfo);
+  int w = cinfo.output_width, h = cinfo.output_height;
+  // applies only when the shorter-edge resize would be an exact identity
+  // and the crop window fits (no zero-padding case)
+  if (std::min(w, h) != resize_to || w < out_size || h < out_size) {
+    jpeg_destroy_decompress(&cinfo);
+    return false;
+  }
+  // center-crop origin, round-half-to-even (torchvision parity, see
+  // process_one)
+  int top = static_cast<int>(std::nearbyint((h - out_size) / 2.0));
+  int left = static_cast<int>(std::nearbyint((w - out_size) / 2.0));
+  jpeg_start_decompress(&cinfo);
+  std::vector<uint8_t> row(static_cast<size_t>(cinfo.output_width) * 3);
+  for (int y = 0; y < top + out_size; ++y) {
+    uint8_t* rp = row.data();
+    jpeg_read_scanlines(&cinfo, &rp, 1);
+    if (y < top) continue;  // discarded context rows above the window
+    const uint8_t* src = row.data() + static_cast<size_t>(left) * 3;
+    float* dst = out + static_cast<size_t>(y - top) * out_size * 3;
+    for (int x = 0; x < out_size * 3; ++x) dst[x] = src[x] * (1.0f / 255.0f);
+  }
+  jpeg_abort_decompress(&cinfo);  // bottom band: no IDCT/upsampling paid
   jpeg_destroy_decompress(&cinfo);
   return true;
 }
@@ -192,10 +276,11 @@ void sample_rrc(Rng& rng, int h, int w, int& top, int& left, int& ch, int& cw) {
 // Decode one JPEG -> [0,1] float -> resize shorter edge to resize_to.
 // Returns false on decode failure; fills `resized` ([rh, rw, 3]).
 bool decode_and_resize(const uint8_t* data, size_t len, int resize_to,
-                       std::vector<float>& resized, int& rh, int& rw_) {
+                       std::vector<float>& resized, int& rh, int& rw_,
+                       bool dct_scale) {
   std::vector<uint8_t> rgb;
   int w, h;
-  if (!decode_jpeg(data, len, rgb, w, h)) return false;
+  if (!decode_jpeg(data, len, rgb, w, h, dct_scale ? resize_to : 0)) return false;
 
   std::vector<float> img(static_cast<size_t>(w) * h * 3);
   for (size_t i = 0; i < img.size(); ++i) img[i] = rgb[i] * (1.0f / 255.0f);
@@ -208,6 +293,10 @@ bool decode_and_resize(const uint8_t* data, size_t len, int resize_to,
   } else {
     rw_ = resize_to;
     rh = std::max(1, static_cast<int>(static_cast<double>(resize_to) * h / w));
+  }
+  if (rh == h && rw_ == w) {  // identity resize (256px-source production case)
+    resized = std::move(img);
+    return true;
   }
   resized.resize(static_cast<size_t>(rh) * rw_ * 3);
   resize_bilinear(img.data(), h, w, resized.data(), rh, rw_, true);
@@ -232,10 +321,16 @@ void rrc_into(const std::vector<float>& resized, int rh, int rw_, float* out,
 // One image: decode -> [0,1] float -> resize shorter edge -> crop -> resize.
 // mode 0 = eval (center crop), 1 = train (random resized crop via seed).
 bool process_one(const uint8_t* data, size_t len, float* out, int out_size,
-                 int resize_to, int mode, uint64_t seed) {
+                 int resize_to, int mode, uint64_t seed, bool dct_scale) {
+  // eval + identity-resize geometry: decode only the crop window (bit-exact
+  // vs the general path — identity resize weights are exactly {…,1,…})
+  if (mode == 0 && out_size <= resize_to &&
+      decode_center_crop_f32(data, len, out, out_size, resize_to, dct_scale))
+    return true;
   std::vector<float> resized;
   int rh, rw_;
-  if (!decode_and_resize(data, len, resize_to, resized, rh, rw_)) return false;
+  if (!decode_and_resize(data, len, resize_to, resized, rh, rw_, dct_scale))
+    return false;
 
   if (mode == 0) {
     // center crop out_size with zero-padding when the resized image is
@@ -270,10 +365,12 @@ bool process_one(const uint8_t* data, size_t len, float* out, int out_size,
 // SimCLR two-view: decode + shorter-edge resize ONCE, two random-resized
 // crops from independent seeds (halves decode+resize cost vs two passes).
 bool process_two(const uint8_t* data, size_t len, float* out1, float* out2,
-                 int out_size, int resize_to, uint64_t seed1, uint64_t seed2) {
+                 int out_size, int resize_to, uint64_t seed1, uint64_t seed2,
+                 bool dct_scale) {
   std::vector<float> resized;
   int rh, rw_;
-  if (!decode_and_resize(data, len, resize_to, resized, rh, rw_)) return false;
+  if (!decode_and_resize(data, len, resize_to, resized, rh, rw_, dct_scale))
+    return false;
   rrc_into(resized, rh, rw_, out1, out_size, seed1);
   rrc_into(resized, rh, rw_, out2, out_size, seed2);
   return true;
@@ -288,7 +385,7 @@ extern "C" {
 // mode: 0 eval, 1 train; seeds: [n] uint64 (train only).
 void clibd_decode_transform_batch(const uint8_t* jpegs, const int64_t* offsets,
                                   int n, float* out, int out_size,
-                                  int resize_to, int mode,
+                                  int resize_to, int mode, int dct_scale,
                                   const uint64_t* seeds, int32_t* ok,
                                   int num_threads) {
   std::atomic<int> next(0);
@@ -300,7 +397,8 @@ void clibd_decode_transform_batch(const uint8_t* jpegs, const int64_t* offsets,
       size_t len = static_cast<size_t>(offsets[i + 1] - offsets[i]);
       float* dst = out + static_cast<size_t>(i) * out_size * out_size * 3;
       uint64_t seed = seeds ? seeds[i] : 0;
-      ok[i] = process_one(data, len, dst, out_size, resize_to, mode, seed) ? 1 : 0;
+      ok[i] = process_one(data, len, dst, out_size, resize_to, mode, seed,
+                          dct_scale != 0) ? 1 : 0;
       if (!ok[i]) std::memset(dst, 0, static_cast<size_t>(out_size) * out_size * 3 * sizeof(float));
     }
   };
@@ -318,8 +416,9 @@ void clibd_decode_transform_batch(const uint8_t* jpegs, const int64_t* offsets,
 // out1/out2: [n, out_size, out_size, 3] f32; seeds1/seeds2: [n] uint64.
 void clibd_decode_transform_batch_two_view(
     const uint8_t* jpegs, const int64_t* offsets, int n, float* out1,
-    float* out2, int out_size, int resize_to, const uint64_t* seeds1,
-    const uint64_t* seeds2, int32_t* ok, int num_threads) {
+    float* out2, int out_size, int resize_to, int dct_scale,
+    const uint64_t* seeds1, const uint64_t* seeds2, int32_t* ok,
+    int num_threads) {
   std::atomic<int> next(0);
   auto worker = [&]() {
     while (true) {
@@ -331,7 +430,7 @@ void clibd_decode_transform_batch_two_view(
       float* d1 = out1 + static_cast<size_t>(i) * stride;
       float* d2 = out2 + static_cast<size_t>(i) * stride;
       ok[i] = process_two(data, len, d1, d2, out_size, resize_to,
-                          seeds1[i], seeds2[i]) ? 1 : 0;
+                          seeds1[i], seeds2[i], dct_scale != 0) ? 1 : 0;
       if (!ok[i]) {
         std::memset(d1, 0, stride * sizeof(float));
         std::memset(d2, 0, stride * sizeof(float));
@@ -362,6 +461,6 @@ int clibd_decode_jpeg(const uint8_t* data, int64_t len, uint8_t* out,
   return 1;
 }
 
-int clibd_version() { return 2; }
+int clibd_version() { return 3; }
 
 }  // extern "C"

@@ -131,3 +131,64 @@ def test_two_view_loader_native(tiny_hdf5):
     assert v1.shape == v2.shape == (4, 224, 224, 3)
     assert np.abs(v1 - v2).max() > 0
     loader.close()
+
+
+def _smooth_jpeg(h: int, w: int) -> bytes:
+    """Natural-image-like smooth gradient (random-noise JPEGs would measure
+    the filters' response to content JPEG itself cannot represent)."""
+    import io
+
+    from PIL import Image
+
+    y, x = np.mgrid[0:h, 0:w].astype(np.float32)
+    r = 127 + 100 * np.sin(x / 37.0) * np.cos(y / 23.0)
+    g = 127 + 100 * np.cos(x / 29.0 + 1.0)
+    b = 127 + 100 * np.sin((x + y) / 51.0)
+    arr = np.clip(np.stack([r, g, b], -1), 0, 255).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(arr).save(buf, format="JPEG", quality=90)
+    return buf.getvalue()
+
+
+def test_eval_crop_fastpath_exact_at_production_geometry(decoder, rng):
+    """256px-shorter-edge sources (the BIOSCAN HDF5 production case) take the
+    crop-window partial decode (jpeg_crop_scanline/skip_scanlines); the
+    identity resize makes it bit-exact vs the full decode+resize+crop path."""
+    from tests.fixtures import random_jpeg_bytes
+
+    jpegs = [
+        random_jpeg_bytes(rng, h=256, w=256),
+        random_jpeg_bytes(rng, h=256, w=341),  # non-square, odd crop offset
+        random_jpeg_bytes(rng, h=300, w=256),
+    ]
+    out = decoder.decode_transform_batch(jpegs, train=False)
+    ref = np.stack([eval_transform(j) for j in jpegs])
+    # 1 float ULP: the native path computes u8*(1/255.f), numpy divides
+    np.testing.assert_allclose(out, ref, atol=6e-8)
+
+
+def test_dct_scaled_decode_within_transform_tolerance(decoder):
+    """DCT-scaled decode (train default) vs full-resolution decode on an
+    oversized smooth source: same shape, small filter difference (the IDCT
+    box prefilter vs pure antialiased resize), well below augmentation and
+    bf16 compute noise."""
+    jpegs = [_smooth_jpeg(600, 800), _smooth_jpeg(520, 512)]
+    full = decoder.decode_transform_batch(jpegs, train=False, dct_scale=False)
+    scaled = decoder.decode_transform_batch(jpegs, train=False, dct_scale=True)
+    assert scaled.shape == full.shape
+    diff = np.abs(scaled - full)
+    assert diff.max() > 0, "scaling should have engaged for 600px+ sources"
+    assert diff.mean() < 5e-3, f"mean abs diff {diff.mean():.4f}"
+    assert np.percentile(diff, 99.9) < 0.06, f"p99.9 {np.percentile(diff, 99.9):.4f}"
+
+
+def test_dct_scale_never_engages_at_production_sizes(decoder, rng):
+    """resize_to == source shorter edge → no m/8 reduction exists, so train
+    decode is IDENTICAL with scaling on or off (the production HDF5 case)."""
+    from tests.fixtures import random_jpeg_bytes
+
+    jpegs = [random_jpeg_bytes(rng, h=256, w=256)]
+    seeds = np.random.default_rng(3)
+    a = decoder.decode_transform_batch(jpegs, rng=np.random.default_rng(3), train=True, dct_scale=True)
+    b = decoder.decode_transform_batch(jpegs, rng=np.random.default_rng(3), train=True, dct_scale=False)
+    np.testing.assert_array_equal(a, b)
