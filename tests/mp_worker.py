@@ -53,6 +53,47 @@ def build_global_cfg(hdf5: str):
     return gcfg
 
 
+def light_main(args) -> int:
+    """Train-only multi-process leg (called after jax.distributed init)."""
+    import jax
+    import numpy as np
+
+    from clibd_tpu.engine.train import Trainer
+    from clibd_tpu.parallel.mesh import host_id, num_hosts
+
+    gcfg = build_global_cfg(args.hdf5)
+    gcfg.model_config.epochs = 1
+    gcfg.model_config.eval_skip_epoch = 0  # skips every eval (epoch 0 only)
+    losses = []
+
+    def log_fn(d):
+        if "loss" in d:
+            losses.append((int(d["step"]), float(d["loss"])))
+
+    trainer = Trainer(
+        gcfg, args.hdf5, args.outdir,
+        train_split="no_split_and_seen_train",
+        eval_splits={"keys": "all_keys", "seen": "val_seen", "unseen": "val_unseen"},
+        log_fn=log_fn,
+        num_workers=0,
+    )
+    trainer.fit()
+    trainer.close()
+    result = {
+        "proc_id": args.proc_id,
+        "host_id": host_id(),
+        "num_hosts": num_hosts(),
+        "global_devices": jax.device_count(),
+        "local_devices": jax.local_device_count(),
+        "losses": losses,
+        "ckpt_last_exists": os.path.exists(os.path.join(args.outdir, "last", "params.npz")),
+    }
+    with open(args.result, "w") as f:
+        json.dump(result, f)
+    print(f"[proc {args.proc_id}] light done", flush=True)
+    return 0
+
+
 def main() -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--proc-id", type=int, required=True)
@@ -61,6 +102,11 @@ def main() -> int:
     p.add_argument("--hdf5", required=True)
     p.add_argument("--outdir", required=True)
     p.add_argument("--result", required=True)
+    p.add_argument("--light", action="store_true",
+                   help="train-only leg for __graft_entry__.dryrun_multichip: "
+                        "rendezvous + host-sharded loaders + make_array batch "
+                        "assembly + per-step losses + process-0 checkpoint "
+                        "gating, skipping the eval/resume/extract legs")
     args = p.parse_args()
 
     import jax
@@ -73,6 +119,9 @@ def main() -> int:
             num_processes=args.nprocs,
             process_id=args.proc_id,
         )
+
+    if args.light:
+        return light_main(args)
 
     import numpy as np
 
