@@ -264,6 +264,16 @@ class ExperimentConfig:
     # — trades ~30% step FLOPs for O(layers) activation memory; needed for
     # the reference's batch-500 recipes on 16GB v5e HBM
     remat: bool = True
+    # which intermediates remat SAVES instead of recomputing ("none" =
+    # blanket recompute; "attn"/"qkv"/"mlp" or "+"-joined combinations, or
+    # "dots").  "attn" keeps the flash-attention forward from running a
+    # third time per step (remat recompute on top of the kernel backward's
+    # internal P recompute) for +[B,N,D] bf16 per layer of HBM.  Swept on
+    # v5e (docs/PERF.md round-4 ledger): heavier policies ("attn+mlp",
+    # "dots") exceed 16GB HBM at the reference's batch-500 tri-modal
+    # recipe, so "attn" is the widest policy that fits the flagship
+    # workload.  Policies never change the math, only what is stored.
+    remat_policy: str = "attn"
     random_seed: bool = False
     default_seed: int = 42
     using_train_seen_for_pre_train: bool = True

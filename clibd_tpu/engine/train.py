@@ -64,6 +64,15 @@ def build_optimizer(cfg: ExperimentConfig, params, schedule) -> optax.GradientTr
     return optax.multi_transform({"train": adamw, "frozen": optax.set_to_zero()}, labels)
 
 
+def remat_arg(cfg: ExperimentConfig):
+    """cfg.remat/cfg.remat_policy → the `remat` argument for clibd_apply:
+    False (off), True (blanket recompute), or a policy spec string
+    (models/layers.remat_policy)."""
+    if not cfg.remat:
+        return False
+    return cfg.remat_policy if cfg.remat_policy not in ("", "none") else True
+
+
 def make_train_step(
     cfg: ExperimentConfig,
     optimizer: optax.GradientTransformation,
@@ -81,7 +90,12 @@ def make_train_step(
     def loss_fn(params, batch, rng):
         image_in = batch.get("image")
         if image_in is not None and cfg.image.input_type == "image":
-            image_in = train_augment(rng, dequantize_image(image_in))
+            # augment in compute dtype: flips/rotation only move values, so
+            # augment(cast(x)) == cast(augment(x)) bit-exactly, and the tower
+            # casts to compute_dtype anyway — under bf16 this halves the
+            # augmentation's HBM traffic for free
+            image_in = train_augment(
+                rng, dequantize_image(image_in).astype(compute_dtype))
         out = clibd_apply(
             params,
             cfg,
@@ -89,7 +103,7 @@ def make_train_step(
             dna_input=batch.get("dna"),
             language_input=batch.get("language"),
             compute_dtype=compute_dtype,
-            remat=cfg.remat,
+            remat=remat_arg(cfg),
         )
         # fix_temperature → literal 1/0.07 (reference train_epoch.py:55-56)
         logit_scale = (1.0 / 0.07) if cfg.loss.fix_temperature else out["logit_scale"]
@@ -133,7 +147,10 @@ def make_train_step_shard_map(
             # decorrelate augmentation streams across shards (the replicated
             # key would otherwise draw identical crops on every device)
             rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
-            image_in = train_augment(rng, dequantize_image(image_in))
+            # compute-dtype augment: bit-equal to fp32 augment + cast (see
+            # make_train_step)
+            image_in = train_augment(
+                rng, dequantize_image(image_in).astype(compute_dtype))
         with flash_context(True):
             out = clibd_apply(
                 params, cfg,
@@ -141,7 +158,7 @@ def make_train_step_shard_map(
                 dna_input=batch.get("dna"),
                 language_input=batch.get("language"),
                 compute_dtype=compute_dtype,
-                remat=cfg.remat,
+                remat=remat_arg(cfg),
             )
         logit_scale = (1.0 / 0.07) if cfg.loss.fix_temperature else out["logit_scale"]
         features = {m: out[m] for m in ("image", "dna", "language")}

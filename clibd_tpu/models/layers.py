@@ -26,6 +26,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 # Attention implementation:
 #   "auto"   (default) — flash Pallas kernel on a single-device TPU backend,
@@ -169,7 +170,7 @@ def fused_qkv_attention(
 
     qkv = jnp.dot(xc, qkv_w.astype(compute_dtype), preferred_element_type=compute_dtype,
                   precision=_precision(compute_dtype))
-    qkv = qkv + qkv_b.astype(compute_dtype)
+    qkv = checkpoint_name(qkv + qkv_b.astype(compute_dtype), "qkv")
 
     # the flash kernel takes a per-KEY additive mask ([B,1,1,N] collapsed to
     # its key row); a query-dependent mask — e.g. the CLIP text tower's
@@ -215,10 +216,12 @@ def fused_qkv_attention(
         if ATTN_FUSE_OUTPROJ:
             from ..ops.pallas.attention import flash_attention_qkv_outproj
 
-            return flash_attention_qkv_outproj(
+            return checkpoint_name(flash_attention_qkv_outproj(
                 qkv, out_w.astype(compute_dtype), out_b.astype(compute_dtype),
-                num_heads, mask_row=mask_row, block_b=block_b)
-        ctx = flash_attention_qkv(qkv, num_heads, mask_row=mask_row, block_b=block_b)
+                num_heads, mask_row=mask_row, block_b=block_b), "attn_ctx")
+        ctx = checkpoint_name(
+            flash_attention_qkv(qkv, num_heads, mask_row=mask_row, block_b=block_b),
+            "attn_ctx")
         out = jnp.dot(ctx, out_w.astype(compute_dtype), preferred_element_type=compute_dtype,
                       precision=_precision(compute_dtype))
         return out + out_b.astype(compute_dtype)
@@ -248,11 +251,42 @@ def fused_qkv_attention(
     probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(compute_dtype)
     ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v, preferred_element_type=compute_dtype,
                      precision=prec)
-    ctx = ctx.transpose(0, 2, 1, 3).reshape(B, N, D)
+    ctx = checkpoint_name(ctx.transpose(0, 2, 1, 3).reshape(B, N, D), "attn_ctx")
 
     out = jnp.dot(ctx, out_w.astype(compute_dtype), preferred_element_type=compute_dtype,
                   precision=prec)
     return out + out_b.astype(compute_dtype)
+
+
+# Checkpoint-name tags a remat policy can elect to save (tagged above):
+#   attn → "attn_ctx" [B,N,D]   the attention context (flash kernel output) —
+#          without it remat re-runs the flash forward in the backward ON TOP
+#          of the kernel backward's own internal P recompute (attention would
+#          be computed 3× per step; docs/PERF.md round-4 ledger)
+#   qkv  → "qkv"      [B,N,3D]  the fused qkv projection output
+#   mlp  → "mlp_mid"  [B,N,F]   the post-GELU MLP intermediate
+_REMAT_TAGS = {"attn": "attn_ctx", "qkv": "qkv", "mlp": "mlp_mid"}
+
+
+def remat_policy(spec):
+    """Map a remat spec to a jax.checkpoint policy.
+
+    spec: True → None (blanket remat: save nothing, recompute everything);
+    "attn" / "qkv" / "mlp" or "+"-joined combinations ("attn+mlp") → save
+    only those tagged intermediates; "dots" → XLA's
+    dots_with_no_batch_dims_saveable (save every matmul output).
+    """
+    if spec is True:
+        return None
+    if spec == "dots":
+        return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    try:
+        names = tuple(_REMAT_TAGS[p] for p in str(spec).split("+"))
+    except KeyError:
+        raise ValueError(
+            f"unknown remat policy {spec!r}: expected True, 'dots', or a "
+            f"'+'-joined subset of {sorted(_REMAT_TAGS)}") from None
+    return jax.checkpoint_policies.save_only_these_names(*names)
 
 
 def transformer_stack(
@@ -264,7 +298,7 @@ def transformer_stack(
     mask_bias: Optional[jnp.ndarray] = None,
     lora: Optional[dict] = None,
     compute_dtype=jnp.bfloat16,
-    remat: bool = False,
+    remat=False,
     activation: str = "gelu",
     fast_math: bool = True,
 ) -> jnp.ndarray:
@@ -278,6 +312,12 @@ def transformer_stack(
     lora: dict of stacked arrays a_q [L,D,r], b_q [L,r,D], a_v, b_v (or None).
     fast_math: tanh GELU + bf16 LN arithmetic; only takes effect under bf16
     compute (fp32 runs stay exact-erf/fp32-LN for checkpoint-parity tests).
+    remat: False = no rematerialization; True = blanket jax.checkpoint of the
+    block (recompute everything in the backward); a policy string (see
+    `remat_policy`) saves the named intermediates so the backward skips their
+    recompute — in particular "attn" keeps the flash kernel from being run a
+    third time per step (remat recompute + the kernel backward's own internal
+    P recompute).  Policies never change the math, only what is stored.
     """
     fast = fast_math and compute_dtype != jnp.float32
 
@@ -307,7 +347,9 @@ def transformer_stack(
                     p["fc1_w"].astype(compute_dtype), p["fc1_b"].astype(compute_dtype),
                     p["fc2_w"].astype(compute_dtype), p["fc2_b"].astype(compute_dtype),
                     activation=kernel_act)
-            hmid = act(linear({"w": p["fc1_w"], "b": p["fc1_b"]}, inp, compute_dtype))
+            hmid = checkpoint_name(
+                act(linear({"w": p["fc1_w"], "b": p["fc1_b"]}, inp, compute_dtype)),
+                "mlp_mid")
             return linear({"w": p["fc2_w"], "b": p["fc2_b"]}, hmid, compute_dtype)
 
         ln1 = {"scale": p["ln1_scale"], "bias": p["ln1_bias"]}
@@ -321,7 +363,7 @@ def transformer_stack(
         return h, None
 
     if remat:
-        block = jax.checkpoint(block)
+        block = jax.checkpoint(block, policy=remat_policy(remat))
 
     num_layers = stacked["qkv_w"].shape[0]
     if lora is None:

@@ -347,3 +347,52 @@ def test_async_checkpoint_writer(tmp_path):
 
     with pytest.raises(RuntimeError):
         w2.wait()
+
+
+def test_remat_policy_loss_and_grad_parity(monkeypatch):
+    """Remat save-policies only change WHAT is stored for the backward, never
+    the math: loss and one-step parameter updates must be identical (fp32)
+    across no-remat, blanket remat, and every named save policy."""
+    from clibd_tpu.engine import train as train_mod
+    from clibd_tpu.engine.schedules import build_schedule
+
+    monkeypatch.setattr(train_mod, "train_augment", lambda rng, x: x)
+
+    def run(remat, policy):
+        cfg = ExperimentConfig()
+        cfg.batch_size = 3
+        cfg.output_dim = 16
+        cfg.amp = False  # fp32 → policy equivalence is exact, not tolerance
+        cfg.remat = remat
+        cfg.remat_policy = policy
+        cfg.image.vit = ViTConfig(image_size=32, patch_size=16, hidden_size=32,
+                                  num_layers=2, num_heads=4, mlp_dim=64)
+        cfg.dna.bert = BertConfig(vocab_size=1027, hidden_size=32, num_layers=2,
+                                  num_heads=4, intermediate_size=64,
+                                  max_position_embeddings=140, with_mlm_head=True)
+        cfg.language.enable = False
+        params = init_clibd_params(jax.random.PRNGKey(0), cfg)
+        schedule = build_schedule(cfg.optim, total_steps=4, batch_size=cfg.batch_size)
+        optimizer = build_optimizer(cfg, params, schedule)
+        opt_state = optimizer.init(params)
+        rng = np.random.default_rng(0)
+        batch = {
+            "image": rng.random((3, 32, 32, 3), dtype=np.float32),
+            "dna": rng.integers(0, 1027, (3, 133)).astype(np.int32),
+            "label": np.arange(3, dtype=np.int32),
+        }
+        step = make_train_step(cfg, optimizer, donate=False)
+        p, _, loss = step(params, opt_state, batch, jax.random.PRNGKey(7))
+        return float(loss), jax.tree.leaves(jax.device_get(p))
+
+    loss_ref, p_ref = run(False, "attn")
+    for policy in ("none", "attn", "qkv", "mlp", "attn+mlp", "dots"):
+        loss_p, p_p = run(True, policy)
+        assert loss_p == pytest.approx(loss_ref, abs=1e-6), policy
+        for a, b in zip(p_p, p_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6, rtol=1e-5, err_msg=policy)
+
+    with pytest.raises(ValueError):
+        from clibd_tpu.models.layers import remat_policy
+        remat_policy("bogus")

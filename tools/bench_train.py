@@ -1,10 +1,14 @@
 """Training-step throughput on the real chip (flagship recipe).
 
-Usage: python tools/bench_train.py [batch ...]   (default: 128 500)
+Usage: python tools/bench_train.py [batch ...] [--policy P ...]
+       (default: 128 500; default policy: the config default)
 
 batch 128: image+DNA LoRA config (round-1 comparison point).
 batch 500: tri-modal full fine-tune with remat — the reference's released
 recipe batch (for_bioscan_1m/final_experiments/image_dna_text_seed_42.yaml).
+--policy: remat policies to sweep per batch — "none" (blanket recompute),
+"off" (no remat), or a save-policy spec ("attn", "attn+mlp", "dots", ...;
+models/layers.remat_policy).
 """
 import sys
 import time
@@ -21,12 +25,17 @@ from clibd_tpu.engine.schedules import build_schedule
 from clibd_tpu.models import init_clibd_params
 
 
-def bench(batch: int, tri_modal: bool, lora: bool, remat: bool, iters=8, warmup=2):
+def bench(batch: int, tri_modal: bool, lora: bool, remat: bool, iters=8, warmup=2,
+          policy: str | None = None):
     cfg = ExperimentConfig()
     cfg.batch_size = batch
     cfg.language.enable = tri_modal
     cfg.disable_lora = not lora
     cfg.remat = remat
+    if policy == "off":
+        cfg.remat = False
+    elif policy is not None:
+        cfg.remat_policy = policy
     params = init_clibd_params(jax.random.PRNGKey(0), cfg)
     schedule = build_schedule(cfg.optim, total_steps=1000, batch_size=batch)
     optimizer = train_mod.build_optimizer(cfg, params, schedule)
@@ -59,18 +68,35 @@ def bench(batch: int, tri_modal: bool, lora: bool, remat: bool, iters=8, warmup=
         np.asarray(loss)
         best = min(best, time.perf_counter() - t0)
     dt = best / iters
-    mode = ("tri-modal" if tri_modal else "image+DNA") + (" lora" if lora else " full-ft") + (" remat" if remat else "")
+    mode = ("tri-modal" if tri_modal else "image+DNA") + (" lora" if lora else " full-ft")
+    mode += f" remat[{policy or cfg.remat_policy}]" if cfg.remat else " no-remat"
     print(f"train step batch {batch} ({mode}): {dt*1e3:.1f} ms/step  "
           f"{batch/dt:.0f} samples/s/chip  loss={float(loss):.4f}", flush=True)
 
 
 def main():
-    batches = [int(a) for a in sys.argv[1:]] or [128, 500]
-    for b in batches:
-        if b >= 256:
-            bench(b, tri_modal=True, lora=False, remat=True)
+    batches, policies = [], []
+    args = sys.argv[1:]
+    i = 0
+    while i < len(args):
+        if args[i] == "--policy":
+            policies.append(args[i + 1])
+            i += 2
         else:
-            bench(b, tri_modal=False, lora=True, remat=True)
+            batches.append(int(args[i]))
+            i += 1
+    batches = batches or [128, 500]
+    policies = policies or [None]
+    for b in batches:
+        for p in policies:
+            try:
+                if b >= 256:
+                    bench(b, tri_modal=True, lora=False, remat=True, policy=p)
+                else:
+                    bench(b, tri_modal=False, lora=True, remat=True, policy=p)
+            except Exception as e:  # OOM policies report and continue the sweep
+                print(f"train step batch {b} policy {p}: FAILED "
+                      f"{type(e).__name__}: {str(e)[:200]}", flush=True)
 
 
 if __name__ == "__main__":
