@@ -274,6 +274,11 @@ class ExperimentConfig:
     # recipe, so "attn" is the widest policy that fits the flagship
     # workload.  Policies never change the math, only what is stored.
     remat_policy: str = "attn"
+    # mid-epoch failure recovery: also write last/ every N optimizer steps
+    # (0 = epoch cadence only, the reference's behavior).  Resume realigns
+    # to the exact batch via the loader's start_batch + batch-indexed
+    # augmentation keys, so a killed run continues bit-exact.
+    checkpoint_every_steps: int = 0
     random_seed: bool = False
     default_seed: int = 42
     using_train_seen_for_pre_train: bool = True

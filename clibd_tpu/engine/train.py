@@ -325,6 +325,17 @@ class Trainer:
             )
             self.global_step += 1
             n_steps += 1
+            # step-cadence last/ (mid-epoch failure recovery; async, so the
+            # disk leg overlaps the next step — snapshot happens here, before
+            # the buffers are donated to it)
+            if (cfg.checkpoint_every_steps
+                    and self.global_step % cfg.checkpoint_every_steps == 0
+                    and self.gcfg.save_ckpt and is_main_process()):
+                # meta.epoch records the last COMPLETED epoch (resume
+                # realigns to step − (epoch+1)·steps_per_epoch inside the
+                # next one, _apply_resume_state)
+                self.checkpointer.save_last(
+                    self.params, self.opt_state, self.global_step, epoch - 1)
             lr = float(self.schedule(self.global_step - 1))
             if pending is not None:
                 emit(pending)

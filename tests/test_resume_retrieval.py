@@ -87,3 +87,67 @@ def test_loader_start_batch_resume(tiny_hdf5):
         np.testing.assert_array_equal(a["index"], b["index"])
         np.testing.assert_array_equal(a["image"], b["image"])
         np.testing.assert_array_equal(a["dna"], b["dna"])
+
+
+def test_midepoch_step_checkpoint_kill_resume_bitexact(tiny_hdf5, tmp_path):
+    """checkpoint_every_steps + kill mid-epoch + resume must reproduce the
+    uninterrupted run's remaining per-step losses BIT-EXACTLY (deterministic
+    loader order + batch-indexed augmentation keys + restored optimizer
+    state)."""
+    from tests.test_train import tiny_global_cfg
+
+    from clibd_tpu.engine.train import Trainer
+    from clibd_tpu.parallel.mesh import create_mesh
+
+    def make(outdir, every=0, log=None):
+        g = tiny_global_cfg()
+        g.model_config.batch_size = 2  # ×2 devices → 3 steps/epoch on 12 records
+        g.model_config.epochs = 3
+        g.model_config.evaluation_period = 10  # no eval (speed)
+        g.model_config.eval_skip_epoch = 10
+        g.model_config.checkpoint_every_steps = every
+        return Trainer(
+            g, tiny_hdf5, output_dir=outdir,
+            eval_splits={"keys": "all_keys", "seen": "val_seen", "unseen": "val_unseen"},
+            mesh=create_mesh(jax.devices()[:2]), num_workers=0,
+            log_fn=log,
+        )
+
+    losses_a = {}
+    ta = make(str(tmp_path / "a"),
+              log=lambda d: losses_a.update({d["step"]: d["loss"]}) if "loss" in d else None)
+    ta.fit()
+    total_steps = ta.global_step
+    ta.close()
+    assert total_steps >= 6
+
+    # interrupted run: step-cadence checkpoints, killed after the 4th step
+    # (mid-epoch-0) via an exception from the loss callback
+    class Kill(Exception):
+        pass
+
+    def killer(d):
+        if d.get("step", 0) >= 4:
+            raise Kill
+
+    tb = make(str(tmp_path / "b"), every=2, log=killer)
+    with pytest.raises(Kill):
+        tb.fit()
+    killed_at = tb.global_step
+    tb.close()
+    assert killed_at < total_steps  # genuinely interrupted
+
+    losses_b = {}
+    tb2 = make(str(tmp_path / "b"), every=2,
+               log=lambda d: losses_b.update({d["step"]: d["loss"]}) if "loss" in d else None)
+    start = tb2.resume(str(tmp_path / "b" / "last"))
+    assert tb2.global_step == 4  # the step-cadence checkpoint, not epoch-end
+    assert start == 1 and tb2._resume_start_batch == 1
+    tb2.fit(start_epoch=start)
+    tb2.close()
+
+    # steps 4..N from the resumed run equal the uninterrupted run bit-exactly
+    resumed_steps = sorted(losses_b)
+    assert resumed_steps[0] == 5 and resumed_steps[-1] == total_steps
+    for s in resumed_steps:
+        assert losses_b[s] == losses_a[s], f"step {s}: {losses_b[s]} != {losses_a[s]}"
