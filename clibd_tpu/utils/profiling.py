@@ -75,3 +75,37 @@ def device_memory_stats() -> List[dict]:
                 }
             )
     return out
+
+
+class PhaseTimer:
+    """Named wall-time phases for multi-stage pipelines (e.g. `clibd eval`:
+    extract/load → kNN grid → plots → report).  Collects always (cheap);
+    `report()` prints one line per phase plus the total."""
+
+    def __init__(self):
+        import time
+
+        self._time = time.perf_counter
+        self.phases: List[tuple] = []
+
+    def phase(self, name: str):
+        timer = self
+
+        class _Ctx:
+            def __enter__(self):
+                self.t0 = timer._time()
+                return self
+
+            def __exit__(self, *exc):
+                timer.phases.append((name, timer._time() - self.t0))
+                return False
+
+        return _Ctx()
+
+    def report(self, prefix: str = "eval timing") -> str:
+        total = sum(dt for _, dt in self.phases)
+        lines = [f"{prefix}: total {total:.2f}s"]
+        for name, dt in self.phases:
+            pct = 100.0 * dt / total if total else 0.0
+            lines.append(f"  {name:28s} {dt:8.2f}s  {pct:5.1f}%")
+        return "\n".join(lines)
