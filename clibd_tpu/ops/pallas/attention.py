@@ -17,10 +17,13 @@ round-1 per-(batch,head) `fused_mha` kernel lost to this layout (measured
 ~1s/layer vs ~5ms; docs/PERF.md "measured and rejected") and was removed in
 round 3.
 
-Layout: input [B, N, 3·H·hd] fused qkv; the wrapper pads N to the tile
-multiple and B to block_b; padded key columns are masked to -inf before the
-softmax; padded rows are sliced off.  `interpret=True` keeps every kernel
-testable on the CPU backend (tests/test_pallas.py).
+Layout: input [B, N, 3·H·hd] fused qkv; the wrapper pads B to block_b and
+leaves N ragged by default (Mosaic tiles the [197, ...] VMEM block
+internally; `CLIBD_ATTN_NPAD16=1` restores the old explicit N→16-multiple
+HBM pad, which a round-4 trace measured at ~13% of the extraction step —
+see `_seq_pad`).  When padding is present, padded key columns are masked to
+-inf before the softmax and padded rows are sliced off.  `interpret=True`
+keeps every kernel testable on the CPU backend (tests/test_pallas.py).
 """
 
 from __future__ import annotations
@@ -48,6 +51,24 @@ def _round_up(x: int, m: int) -> int:
 #              (the score tensor materializes inside the backward, which the
 #              plain XLA training path pays anyway).
 ATTN_BWD_IMPL = os.environ.get("CLIBD_ATTN_BWD", "pallas")
+
+
+def _seq_pad(n: int) -> int:
+    """Sequence-axis padding for the flash kernels.
+
+    Default: none.  Mosaic waives the block-shape divisibility rule when a
+    block dim equals the array dim (our N and 3D block dims always do), and
+    it tiles the ragged [197, ...] / [133, ...] VMEM blocks internally — so
+    the explicit HBM pad N→16-multiple the wrapper used to do was pure copy
+    traffic: a round-4 profiler trace of the batch-256 extraction step
+    measured 15.0 ms of `pad` + 3.1 ms of `slice` per 135 ms execution
+    (~13% of device time; docs/PERF.md round-4 extraction profile), and the
+    unpadded kernel output is bit-identical on the chip.
+    `CLIBD_ATTN_NPAD16=1` restores the old rounding for A/B.
+    """
+    if os.environ.get("CLIBD_ATTN_NPAD16", "0") == "1":
+        return _round_up(n, 16)
+    return n
 
 
 # ---------------------------------------------------------------------------
@@ -90,12 +111,13 @@ def _flash_kernel(*refs, num_heads: int, head_dim: int,
             ) * scale  # [Npad, Npad] fp32
             if has_mask:
                 s = s + mrow
-            # padded key columns must rank strictly below even fully-masked
-            # real columns (HF mask bias = float32 finfo.min): -inf makes an
-            # all-masked row fall back to a uniform softmax over the REAL
-            # keys, matching the XLA path
-            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-            s = jnp.where(col < valid_len, s, -jnp.inf)
+            if valid_len < s.shape[1]:
+                # padded key columns must rank strictly below even fully-
+                # masked real columns (HF mask bias = float32 finfo.min):
+                # -inf makes an all-masked row fall back to a uniform softmax
+                # over the REAL keys, matching the XLA path
+                col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                s = jnp.where(col < valid_len, s, -jnp.inf)
             m = jnp.max(s, axis=-1, keepdims=True)
             e = jnp.exp(s - m)
             p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(jnp.bfloat16)
@@ -140,8 +162,9 @@ def _flash_bwd_kernel(*refs, num_heads: int, head_dim: int,
             ) * scale
             if has_mask:
                 s = s + mrow
-            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-            s = jnp.where(col < valid_len, s, -jnp.inf)
+            if valid_len < s.shape[1]:
+                col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                s = jnp.where(col < valid_len, s, -jnp.inf)
             m = jnp.max(s, axis=-1, keepdims=True)
             e = jnp.exp(s - m)
             p = e / jnp.sum(e, axis=-1, keepdims=True)  # fp32 [Nq, Nk]
@@ -204,8 +227,9 @@ def _flash_outproj_kernel(*refs, num_heads: int, head_dim: int,
             ) * scale
             if has_mask:
                 s = s + mrow
-            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-            s = jnp.where(col < valid_len, s, -jnp.inf)
+            if valid_len < s.shape[1]:
+                col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                s = jnp.where(col < valid_len, s, -jnp.inf)
             m = jnp.max(s, axis=-1, keepdims=True)
             e = jnp.exp(s - m)
             p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(jnp.bfloat16)
@@ -445,18 +469,23 @@ def flash_attention_qkv_outproj(qkv: jnp.ndarray, out_w: jnp.ndarray,
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     B, N, threeD = qkv.shape
-    npad = _round_up(N, 16)
+    npad = _seq_pad(N)
     bpad = _round_up(B, block_b)
-    qkvp = jnp.pad(qkv, ((0, bpad - B), (0, npad - N), (0, 0)))
+    qkvp = qkv
+    if bpad != B or npad != N:
+        qkvp = jnp.pad(qkv, ((0, bpad - B), (0, npad - N), (0, 0)))
     has_mask = mask_row is not None
     maskp = None
     if has_mask:
-        maskp = jnp.pad(mask_row.astype(jnp.float32),
-                        ((0, bpad - B), (0, npad - N)))
+        maskp = mask_row.astype(jnp.float32)
+        if bpad != B or npad != N:
+            maskp = jnp.pad(maskp, ((0, bpad - B), (0, npad - N)))
     fn = _make_flash_outproj(num_heads, N, npad, block_b, has_mask, interpret,
                              bwd_impl=ATTN_BWD_IMPL)
     out = fn(qkvp, maskp, out_w, out_b)
-    return out[:B, :N, :]
+    if bpad != B or npad != N:
+        out = out[:B, :N, :]
+    return out
 
 
 _BLOCK_B_WARNED: set = set()
@@ -505,15 +534,20 @@ def flash_attention_qkv(qkv: jnp.ndarray, num_heads: int,
     if interpret is None:
         interpret = jax.default_backend() == "cpu"
     B, N, threeD = qkv.shape
-    npad = _round_up(N, 16)
+    npad = _seq_pad(N)
     bpad = _round_up(B, block_b)
-    qkvp = jnp.pad(qkv, ((0, bpad - B), (0, npad - N), (0, 0)))
+    qkvp = qkv
+    if bpad != B or npad != N:
+        qkvp = jnp.pad(qkv, ((0, bpad - B), (0, npad - N), (0, 0)))
     has_mask = mask_row is not None
     maskp = None
     if has_mask:
-        maskp = jnp.pad(mask_row.astype(jnp.float32),
-                        ((0, bpad - B), (0, npad - N)))
+        maskp = mask_row.astype(jnp.float32)
+        if bpad != B or npad != N:
+            maskp = jnp.pad(maskp, ((0, bpad - B), (0, npad - N)))
     fn = _make_flash(num_heads, N, npad, block_b, has_mask, interpret,
                      bwd_impl=ATTN_BWD_IMPL)
     ctx = fn(qkvp, maskp)
-    return ctx[:B, :N, :]
+    if bpad != B or npad != N:
+        ctx = ctx[:B, :N, :]
+    return ctx

@@ -288,3 +288,28 @@ def test_vmem_safe_block_b_clamps_to_measured_ceiling():
         assert vmem_safe_block_b(8, 197, 768) == 3   # repeat: no second warning
     assert sum("scoped-VMEM" in str(x.message) for x in w) == 3  # once per (req, shape)
     _BLOCK_B_WARNED.clear()
+
+
+@pytest.mark.parametrize("masked", [False, True])
+def test_flash_attention_npad16_escape_hatch_matches_default(rng, masked, monkeypatch):
+    """Round-4 removed the explicit HBM N->16-multiple pad/slice around the
+    flash kernels (~13% of the extraction step in the device trace); the
+    CLIBD_ATTN_NPAD16=1 escape hatch restores it for A/B and must stay
+    numerically identical to the new unpadded default."""
+    B, N, H, hd = 3, 197, 4, 16
+    qkv = jnp.asarray(rng.standard_normal((B, N, 3 * H * hd)).astype(np.float32))
+    mask = None
+    if masked:
+        m = np.zeros((B, N), np.float32)
+        m[:, N - 7:] = np.finfo(np.float32).min
+        mask = jnp.asarray(m)
+
+    monkeypatch.delenv("CLIBD_ATTN_NPAD16", raising=False)
+    out_default = np.asarray(flash_attention_qkv(qkv, H, mask_row=mask, interpret=True))
+    monkeypatch.setenv("CLIBD_ATTN_NPAD16", "1")
+    out_padded = np.asarray(flash_attention_qkv(qkv, H, mask_row=mask, interpret=True))
+    # On the real chip the two paths are bit-identical (measured 2026-08-19;
+    # Mosaic tiles both to the same lanes).  CPU interpret mode reduces over
+    # 197- vs 208-wide rows with different fp32 summation trees, so a few
+    # softmax probs flip one bf16 ulp -> ~1e-4-scale output noise.
+    np.testing.assert_allclose(out_default, out_padded, atol=5e-4, rtol=1e-3)
