@@ -91,6 +91,33 @@ def _seq_pad(n: int) -> int:
 # training path pays anyway).
 
 
+# Forward statement ordering: "phased" issues every head's QK^T dot
+# back-to-back, then every softmax, then every PV dot, making the cross-head
+# independence explicit so Mosaic can overlap VPU softmaxes with MXU dots of
+# other heads.  Per-head math (and therefore the output) is bit-identical to
+# the interleaved order; a looped-dispatch microbench measured phased 10-15%
+# faster at both tower shapes (tools/exp_flash.py; docs/PERF.md round-4
+# ledger).  CLIBD_ATTN_PHASED=0 restores the interleaved order for A/B.
+ATTN_FWD_PHASED = os.environ.get("CLIBD_ATTN_PHASED", "1") == "1"
+
+
+def _softmax_masked(s, mrow, valid_len: int):
+    """fp32 softmax with the optional HF additive mask + pad-column mask.
+
+    Padded key columns must rank strictly below even fully-masked real
+    columns (HF mask bias = float32 finfo.min): -inf makes an all-masked row
+    fall back to a uniform softmax over the REAL keys, matching the XLA path.
+    """
+    if mrow is not None:
+        s = s + mrow
+    if valid_len < s.shape[1]:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < valid_len, s, -jnp.inf)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    return (e / jnp.sum(e, axis=-1, keepdims=True)).astype(jnp.bfloat16)
+
+
 def _flash_kernel(*refs, num_heads: int, head_dim: int,
                   valid_len: int, block_b: int, scale: float, has_mask: bool):
     if has_mask:
@@ -99,8 +126,25 @@ def _flash_kernel(*refs, num_heads: int, head_dim: int,
         qkv_ref, o_ref = refs
     D = num_heads * head_dim
     for b in range(block_b):
-        if has_mask:
-            mrow = mask_ref[b]  # [1, Npad] additive bias
+        mrow = mask_ref[b] if has_mask else None  # [1, Npad] additive bias
+        if ATTN_FWD_PHASED:
+            ss = []
+            for h in range(num_heads):
+                q = qkv_ref[b, :, h * head_dim:(h + 1) * head_dim]
+                k = qkv_ref[b, :, D + h * head_dim: D + (h + 1) * head_dim]
+                ss.append(jax.lax.dot_general(
+                    q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * scale)
+            ps = [_softmax_masked(s, mrow, valid_len) for s in ss]
+            for h in range(num_heads):
+                v = qkv_ref[b, :, 2 * D + h * head_dim: 2 * D + (h + 1) * head_dim]
+                ctx = jax.lax.dot_general(
+                    ps[h], v.astype(jnp.bfloat16),
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                o_ref[b, :, h * head_dim:(h + 1) * head_dim] = ctx.astype(o_ref.dtype)
+            continue
         for h in range(num_heads):
             q = qkv_ref[b, :, h * head_dim:(h + 1) * head_dim]
             k = qkv_ref[b, :, D + h * head_dim: D + (h + 1) * head_dim]
@@ -109,18 +153,7 @@ def _flash_kernel(*refs, num_heads: int, head_dim: int,
                 q, k, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) * scale  # [Npad, Npad] fp32
-            if has_mask:
-                s = s + mrow
-            if valid_len < s.shape[1]:
-                # padded key columns must rank strictly below even fully-
-                # masked real columns (HF mask bias = float32 finfo.min):
-                # -inf makes an all-masked row fall back to a uniform softmax
-                # over the REAL keys, matching the XLA path
-                col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-                s = jnp.where(col < valid_len, s, -jnp.inf)
-            m = jnp.max(s, axis=-1, keepdims=True)
-            e = jnp.exp(s - m)
-            p = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(jnp.bfloat16)
+            p = _softmax_masked(s, mrow, valid_len)
             ctx = jax.lax.dot_general(
                 p, v.astype(jnp.bfloat16),
                 dimension_numbers=(((1,), (0,)), ((), ())),

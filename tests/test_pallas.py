@@ -313,3 +313,28 @@ def test_flash_attention_npad16_escape_hatch_matches_default(rng, masked, monkey
     # 197- vs 208-wide rows with different fp32 summation trees, so a few
     # softmax probs flip one bf16 ulp -> ~1e-4-scale output noise.
     np.testing.assert_allclose(out_default, out_padded, atol=5e-4, rtol=1e-3)
+
+
+@pytest.mark.parametrize("masked", [False, True])
+def test_flash_attention_phased_matches_interleaved(rng, masked, monkeypatch):
+    """Round-4 made the flash forward issue all heads' QK^T dots, then all
+    softmaxes, then all PV dots ("phased" — measured +6.6% extraction
+    headline same-session, bit-identical on the chip for both tower shapes;
+    docs/PERF.md round-4 ledger).  Per-head math is untouched, so the
+    CLIBD_ATTN_PHASED=0 interleaved escape hatch must produce exactly the
+    same output."""
+    from clibd_tpu.ops.pallas import attention as attn_mod
+
+    B, N, H, hd = 3, 197, 4, 16
+    qkv = jnp.asarray(rng.standard_normal((B, N, 3 * H * hd)).astype(np.float32))
+    mask = None
+    if masked:
+        m = np.zeros((B, N), np.float32)
+        m[:, N - 7:] = np.finfo(np.float32).min
+        mask = jnp.asarray(m)
+
+    monkeypatch.setattr(attn_mod, "ATTN_FWD_PHASED", True)
+    out_phased = np.asarray(flash_attention_qkv(qkv, H, mask_row=mask, interpret=True))
+    monkeypatch.setattr(attn_mod, "ATTN_FWD_PHASED", False)
+    out_interleaved = np.asarray(flash_attention_qkv(qkv, H, mask_row=mask, interpret=True))
+    np.testing.assert_array_equal(out_phased, out_interleaved)
