@@ -60,6 +60,14 @@ _ATTN_BLOCK_B = int(os.environ.get("CLIBD_ATTN_BLOCK_B", "2"))
 # more DMA than XLA's near-roofline intermediate streaming (docs/PERF.md).
 MLP_IMPL = os.environ.get("CLIBD_MLP_IMPL", "xla")
 
+# lax.scan unroll factor for the tower layer loop.  A round-4 train-step
+# trace showed the scan-carried weight-grad accumulation (GEMM fused into a
+# dynamic-update-slice onto the stacked [L, ...] grad arrays) ~10x off the
+# MXU roofline (~165 ms of a 1007 ms batch-500 step); with unroll the layer
+# indices become constants and XLA can lay out each layer's grad GEMM
+# separately.  1 = plain scan (default); L or more = fully unrolled.
+SCAN_UNROLL = int(os.environ.get("CLIBD_SCAN_UNROLL", "1"))
+
 _FLASH_CTX = __import__("threading").local()
 
 
@@ -379,7 +387,8 @@ def transformer_stack(
         p, lo = layer_params
         return block(h, (p, lo if use_lora else None))
 
-    x, _ = jax.lax.scan(scan_body, x, (stacked, lora))
+    x, _ = jax.lax.scan(scan_body, x, (stacked, lora),
+                        unroll=min(SCAN_UNROLL, num_layers))
     return x
 
 
