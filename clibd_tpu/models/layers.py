@@ -350,11 +350,18 @@ def transformer_stack(
 
                 kernel_act = ("gelu_tanh" if fast else "gelu") if activation == "gelu" \
                     else activation
-                return fused_mlp(
+                # The fused kernel never materializes the [B,N,F] post-GELU
+                # intermediate in HBM, so the "mlp_mid" tag lands on the
+                # kernel's [B,N,D] OUTPUT instead: an "mlp" remat policy then
+                # saves the output (the backward skips re-running the fused
+                # forward; its custom VJP recomputes the mid internally
+                # regardless).  Without this tag the policy silently saved
+                # nothing on this branch (round-4 ADVICE).
+                return checkpoint_name(fused_mlp(
                     inp.astype(compute_dtype),
                     p["fc1_w"].astype(compute_dtype), p["fc1_b"].astype(compute_dtype),
                     p["fc2_w"].astype(compute_dtype), p["fc2_b"].astype(compute_dtype),
-                    activation=kernel_act)
+                    activation=kernel_act), "mlp_mid")
             hmid = checkpoint_name(
                 act(linear({"w": p["fc1_w"], "b": p["fc1_b"]}, inp, compute_dtype)),
                 "mlp_mid")

@@ -77,7 +77,8 @@ def _select_roll_shift(x: jnp.ndarray, k: jnp.ndarray, pad: int, axis: int,
     return jax.lax.slice_in_dim(xp, 0, L, axis=axis)
 
 
-def random_rotate(key, images: jnp.ndarray, max_degrees: float = 45.0) -> jnp.ndarray:
+def random_rotate(key, images: jnp.ndarray, max_degrees: float = 45.0,
+                  angles: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Per-image rotation by U(−max, max) degrees, nearest-neighbour sampling
     around the image center, zero fill (torchvision rotate tensor semantics:
     inverse affine map, align_corners=False grid; reference transform tail at
@@ -97,7 +98,8 @@ def random_rotate(key, images: jnp.ndarray, max_degrees: float = 45.0) -> jnp.nd
     dtype cast: augmenting in bf16 equals casting the fp32 augment result.
     """
     B, H, W, C = images.shape
-    angles = jax.random.uniform(key, (B,), minval=-max_degrees, maxval=max_degrees)
+    if angles is None:
+        angles = jax.random.uniform(key, (B,), minval=-max_degrees, maxval=max_degrees)
     theta = jnp.deg2rad(angles)
     alpha = -jnp.tan(theta / 2.0)  # shear_x factor (passes 1 and 3)
     beta = jnp.sin(theta)          # shear_y factor (pass 2)

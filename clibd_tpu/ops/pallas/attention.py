@@ -527,28 +527,42 @@ _BLOCK_B_WARNED: set = set()
 def vmem_safe_block_b(requested: int, n: int, d: int) -> int:
     """Clamp a flash block_b so a *differentiated* call cannot OOM scoped VMEM.
 
-    Measured (2026-08-18, v5e, 16 MB VMEM): under remat training the
-    recomputed flash forward and its backward land in ONE scoped-VMEM scope;
-    the compiler reported 22.48 MB at block_b=8, Npad=144, D=768 —
-    ≈ 12.7 · block_b · Npad · D · 2 bytes.  The model predicts caps of 3
-    (Npad=224, ViT) and 5 (Npad=144, BarcodeBERT), exactly matching which
-    train-step compiles fail (block_b 4 and 8 OOM; 1–2 run).  Standalone
-    forward-only calls tolerate block_b=8+ but measure no faster
+    Two calibrations, keyed on ATTN_FWD_PHASED (the round-4 phased forward
+    keeps every head's fp32 QK^T score tile + bf16 prob tile live at once,
+    so its per-batch-row footprint is larger):
+
+    * PHASED (default; re-measured 2026-08-20 with `tools/exp_vmem.py` —
+      jax.grad of a 2-block remat(save-attn) stack at batch 500, AOT
+      compile, no N-pad): ViT N=197 fails at block_b=3 (compiler: 16.19 MB
+      scoped vs 16 MB limit → ~5.40 MB/row) and BarcodeBERT N=133 fails at
+      block_b=5 (19.38 MB → ~3.9 MB/row); block_b 2 / 4 compile.  Both
+      boundaries are reproduced by bytes/row ≈ 18.5 · N · D · 2 (caps: 2
+      ViT, 4 BERT — exactly the measured OK values).
+    * INTERLEAVED (`CLIBD_ATTN_PHASED=0`; measured 2026-08-18 on the old
+      N→16-pad kernel): compiler reported 22.48 MB at block_b=8, Npad=144
+      → ≈ 12.7 · block_b · Npad · D · 2 bytes; caps 3 (ViT) / 5 (BERT)
+      matched which train-step compiles failed.
+
+    Standalone forward-only calls tolerate block_b=8+ but measure no faster
     (docs/PERF.md), so one conservative policy serves both.  Callers probing
     the kernel directly (tools/, tests/) bypass this by passing block_b
     explicitly to flash_attention_qkv.
     """
-    npad = _round_up(n, 16)
-    cap = max(1, int(15.5e6 / (npad * d * 2 * 12.7)))
+    if ATTN_FWD_PHASED:
+        cap = max(1, int(15.5e6 / (n * d * 2 * 18.5)))
+    else:
+        npad = _round_up(n, 16)
+        cap = max(1, int(15.5e6 / (npad * d * 2 * 12.7)))
     if requested > cap:
-        key = (requested, npad, d)
+        key = (requested, n, d, ATTN_FWD_PHASED)
         if key not in _BLOCK_B_WARNED:
             _BLOCK_B_WARNED.add(key)
             import warnings
 
             warnings.warn(
                 f"CLIBD_ATTN_BLOCK_B={requested} exceeds the measured scoped-VMEM "
-                f"ceiling for Npad={npad}, D={d} under remat training; clamping to "
+                f"ceiling for N={n}, D={d} (phased={ATTN_FWD_PHASED}) under remat "
+                f"training; clamping to "
                 f"{cap} (16 MB VMEM; see ops/pallas/attention.vmem_safe_block_b).")
         return cap
     return requested

@@ -152,8 +152,12 @@ def _smooth_jpeg(h: int, w: int) -> bytes:
 
 def test_eval_crop_fastpath_exact_at_production_geometry(decoder, rng):
     """256px-shorter-edge sources (the BIOSCAN HDF5 production case) take the
-    crop-window partial decode (jpeg_crop_scanline/skip_scanlines); the
-    identity resize makes it bit-exact vs the full decode+resize+crop path."""
+    eval crop fast path: decode-and-discard rows above the crop window, stop
+    at its last row (jpeg_abort_decompress), convert only the window to float.
+    libjpeg's jpeg_crop_scanline/jpeg_skip_scanlines are deliberately NOT used
+    (measured non-bit-exact on 4:2:0 — they change the chroma-upsampling
+    context; native/decoder.cpp).  The identity resize makes this bit-exact
+    vs the full decode+resize+crop path."""
     from tests.fixtures import random_jpeg_bytes
 
     jpegs = [

@@ -267,27 +267,38 @@ def test_flash_attention_all_masked_row_matches_xla(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-2, rtol=2e-2)
 
 
-def test_vmem_safe_block_b_clamps_to_measured_ceiling():
+def test_vmem_safe_block_b_clamps_to_measured_ceiling(monkeypatch):
     """CLIBD_ATTN_BLOCK_B values that would OOM the 16 MB scoped-VMEM budget
     under remat training must clamp (with a warning), not crash the compile.
-    Caps come from the measured 12.7·block_b·Npad·D·2-byte scope model
-    (2026-08-18 train-step compiles: block_b 4+ OOMs at ViT Npad=224,
-    8+ at BarcodeBERT Npad=144; 1-2 run)."""
+    Two calibrations (ops/pallas/attention.vmem_safe_block_b): the PHASED
+    forward (default; tools/exp_vmem.py 2026-08-20 — ViT block_b=3 and BERT
+    block_b=5 OOM at batch 500 under remat, 2/4 compile → 18.5·N·D·2
+    bytes/row) and the legacy interleaved kernel (2026-08-18 —
+    12.7·Npad·D·2, caps 3 ViT / 5 BERT)."""
     import warnings
 
-    from clibd_tpu.ops.pallas.attention import _BLOCK_B_WARNED, vmem_safe_block_b
+    from clibd_tpu.ops.pallas import attention as A
 
-    _BLOCK_B_WARNED.clear()
-    assert vmem_safe_block_b(2, 197, 768) == 2       # default untouched
-    assert vmem_safe_block_b(3, 197, 768) == 3       # at the ViT cap
+    A._BLOCK_B_WARNED.clear()
+    # phased (default) calibration
+    monkeypatch.setattr(A, "ATTN_FWD_PHASED", True)
+    assert A.vmem_safe_block_b(2, 197, 768) == 2     # default untouched
+    assert A.vmem_safe_block_b(4, 133, 768) == 4     # at the BERT cap
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
-        assert vmem_safe_block_b(8, 197, 768) == 3   # ViT: Npad=224 → 3
-        assert vmem_safe_block_b(8, 133, 768) == 5   # BarcodeBERT: Npad=144 → 5
-        assert vmem_safe_block_b(64, 133, 768) == 5
-        assert vmem_safe_block_b(8, 197, 768) == 3   # repeat: no second warning
+        assert A.vmem_safe_block_b(3, 197, 768) == 2  # ViT: measured OOM at 3
+        assert A.vmem_safe_block_b(8, 133, 768) == 4  # BERT: measured OOM at 5
+        assert A.vmem_safe_block_b(3, 197, 768) == 2  # repeat: no second warning
+    assert sum("scoped-VMEM" in str(x.message) for x in w) == 2
+    # legacy interleaved calibration
+    monkeypatch.setattr(A, "ATTN_FWD_PHASED", False)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert A.vmem_safe_block_b(8, 197, 768) == 3   # ViT: Npad=208 → 3
+        assert A.vmem_safe_block_b(8, 133, 768) == 5   # BarcodeBERT: Npad=144 → 5
+        assert A.vmem_safe_block_b(64, 133, 768) == 5
     assert sum("scoped-VMEM" in str(x.message) for x in w) == 3  # once per (req, shape)
-    _BLOCK_B_WARNED.clear()
+    A._BLOCK_B_WARNED.clear()
 
 
 @pytest.mark.parametrize("masked", [False, True])

@@ -138,3 +138,65 @@ def test_rotation_90_degrees_structure():
     key = jax.random.PRNGKey(1)
     out = np.asarray(random_rotate(key, jnp.asarray(img), max_degrees=45.0))
     assert out.sum() <= 1.0  # mass preserved or clipped, never duplicated > source
+
+
+def test_rotation_source_displacement_vs_direct_nearest_map():
+    """Bound the 3-shear select-roll rotation's deviation from the direct
+    inverse-map nearest rotation (torchvision RandomRotation semantics,
+    reference util/dataset.py:185-195).
+
+    Per-shear rounding can pick a source up to 1 px (Chebyshev) away from
+    the single-rounding direct map — the trade documented in docs/PERF.md
+    (round-4 training ledger) and RELEASE_PARITY.md (training-reproduction
+    expectations).  This pins that bound: encode each source pixel's (row,
+    col) as its value, rotate, decode, and compare against the direct map.
+    """
+    import jax.numpy as jnp
+
+    from clibd_tpu.ops.augment import random_rotate
+    import jax
+
+    H = W = 48
+    idx = np.arange(1, H * W + 1, dtype=np.float32).reshape(1, H, W, 1)
+    key = jax.random.PRNGKey(0)  # unused: angles passed explicitly
+
+    for deg in (7.3, -22.5, 33.0, 45.0, -45.0):
+        out = np.asarray(random_rotate(
+            key, jnp.asarray(idx), max_degrees=45.0,
+            angles=jnp.asarray([deg], jnp.float32)))[0, :, :, 0]
+
+        # direct inverse nearest map (align_corners=False center)
+        th = np.deg2rad(deg)
+        cy, cx = (H - 1) / 2.0, (W - 1) / 2.0
+        yy, xx = np.mgrid[0:H, 0:W].astype(np.float64)
+        # torchvision rotate: output pixel reads input at R(-θ)·(p − c) + c
+        sx = np.cos(th) * (xx - cx) + np.sin(th) * (yy - cy) + cx
+        sy = -np.sin(th) * (xx - cx) + np.cos(th) * (yy - cy) + cy
+        sxi, syi = np.round(sx).astype(int), np.round(sy).astype(int)
+        valid = (sxi >= 0) & (sxi < W) & (syi >= 0) & (syi < H)
+
+        got = out.astype(np.int64)
+        have = got > 0
+        # compare where both maps sample a real source pixel
+        both = valid & have
+        assert both.mean() > 0.5, "degenerate comparison region"
+        gr, gc = (got[both] - 1) // W, (got[both] - 1) % W
+        dr = gr - syi[both]
+        dc = gc - sxi[both]
+        cheb = np.maximum(np.abs(dr), np.abs(dc))
+        assert cheb.max() <= 1, (
+            f"deg={deg}: 3-shear source strayed {cheb.max()} px from the "
+            f"direct nearest map (bound is 1)")
+        # the majority agree exactly and the ±1 px jitter is UNBIASED per
+        # axis (measured: symmetric off-by-one histograms, mean |Δ| < 0.01)
+        assert (cheb == 0).mean() > 0.5, f"deg={deg}: exact-agree {(cheb == 0).mean():.3f}"
+        assert abs(dr.mean()) < 0.05 and abs(dc.mean()) < 0.05, (
+            f"deg={deg}: biased displacement dr={dr.mean():.3f} dc={dc.mean():.3f}")
+        # fill-disagreement only at the validity boundary: any pixel where
+        # one map fills and the other samples must sit within 1 px of the
+        # source-image border in the direct map's coordinates
+        edge = valid != have
+        if edge.any():
+            near = (np.minimum.reduce([sx[edge], W - 1 - sx[edge],
+                                       sy[edge], H - 1 - sy[edge]]))
+            assert np.abs(near).max() <= 1.5, "fill mismatch away from border"
