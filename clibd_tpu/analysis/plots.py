@@ -81,27 +81,56 @@ def generate_embedding_plot(
     num_classes: int = 10,
     seed: int = 0,
     formats: Sequence[str] = ("png",),
+    max_points: int = 20_000,
 ) -> List[str]:
     """One scatter per level, colored by class, marker by modality.
-    → list of written file paths."""
+    → list of written file paths.
+
+    Deviation from the reference (inference_and_eval.py:108-118, which
+    UMAP-projects EVERY record of the split before filtering): the level
+    filters (`select_plot_indices` — pure label logic, projection-free) run
+    FIRST and only the union of plotted records (capped at `max_points`,
+    seeded subsample) is projected.  The reference's order is O(split-size)
+    through UMAP — multicore-UMAP-on-a-GPU-host affordable, but this host's
+    fallback chain (no umap wheel → sklearn TSNE, 1 core) measured ~50 min
+    at 50k×768 rows for points that were then thrown away by the filters.
+    Neighbor-embedding plots are qualitative; projecting the plotted subset
+    changes only which OTHER points shape the manifold, not the analysis
+    semantics (same filters, same classes, same marker/color encoding)."""
     import matplotlib
 
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
+    # 1. per-level plotted records (label-only logic — safe before projection)
+    level_indices = {
+        level: select_plot_indices(gt_labels, level, embeddings_filters, num_classes, seed)
+        for level in LEVELS
+    }
+    sel = sorted(set().union(*level_indices.values())) if gt_labels else []
+    if not sel:
+        return []
+    if len(sel) > max_points:
+        rng = np.random.default_rng(seed)
+        sel = sorted(rng.choice(np.asarray(sel), max_points, replace=False).tolist())
+    kept = set(sel)
+    pos = {orig: j for j, orig in enumerate(sel)}
+    sel_arr = np.asarray(sel)
+    sub_labels = [gt_labels[i] for i in sel]
+
     feats, names = [], []
     lang_inverse = None
     if language_features is not None:
         uniq, first_idx, inverse = np.unique(
-            language_features, axis=0, return_index=True, return_inverse=True
+            language_features[sel_arr], axis=0, return_index=True, return_inverse=True
         )
-        lang_inverse = inverse
+        lang_inverse = inverse  # length len(sel), indexes rows of `uniq`
         language_unique = uniq
     else:
         language_unique = None
     for name, f in (("image", image_features), ("dna", dna_features), ("text", language_unique)):
         if f is not None:
-            feats.append(f)
+            feats.append(f if name == "text" else f[sel_arr])
             names.append(name)
     if not feats:
         raise ValueError("No image, DNA, or language features provided.")
@@ -117,10 +146,11 @@ def generate_embedding_plot(
     written = []
     markers = {"image": "o", "dna": "^", "text": "s"}
     for level in LEVELS:
-        indices = select_plot_indices(gt_labels, level, embeddings_filters, num_classes, seed)
+        # remap original record indices → rows of the projected subset
+        indices = [pos[i] for i in level_indices[level] if i in kept]
         if not indices:
             continue
-        classes = sorted({gt_labels[i][level] for i in indices})
+        classes = sorted({sub_labels[i][level] for i in indices})
         cmap = plt.get_cmap("tab10")
         color_of = {c: cmap(k % 10) for k, c in enumerate(classes)}
         fig, ax = plt.subplots(figsize=(8, 8))
@@ -129,7 +159,7 @@ def generate_embedding_plot(
                 pts = pieces["text"][lang_inverse[indices]]
             else:
                 pts = pieces[name][indices]
-            colors = [color_of[gt_labels[i][level]] for i in indices]
+            colors = [color_of[sub_labels[i][level]] for i in indices]
             ax.scatter(pts[:, 0], pts[:, 1], c=colors, marker=markers[name], s=12,
                        alpha=0.7, label=name, linewidths=0)
         ax.set_title(f"Embeddings by {level}")
@@ -150,7 +180,7 @@ def generate_embedding_plot(
 
         written.append(write_interactive_embedding_plot(
             os.path.join(output_dir, "embedding_interactive.html"),
-            pieces, gt_labels, lang_inverse=lang_inverse, seed=seed))
+            pieces, sub_labels, lang_inverse=lang_inverse, seed=seed))
     return written
 
 

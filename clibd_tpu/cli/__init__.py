@@ -54,6 +54,12 @@ def main(argv: Optional[List[str]] = None) -> int:
     common(p_extract)
     p_extract.add_argument("--split", default="all_keys")
     p_extract.add_argument("--out", default="embeddings.hdf5")
+    p_extract.add_argument("--stream", action="store_true",
+                           help="append per batch (resizable HDF5; 5M-scale "
+                                "exports that do not fit RAM)")
+    p_extract.add_argument("--resume", action="store_true",
+                           help="with --stream: continue a partial output "
+                                "(bit-identical to an uninterrupted run)")
 
     p_simclr = sub.add_parser("simclr", help="SimCLR image pretraining (unimodel/)")
     common(p_simclr)

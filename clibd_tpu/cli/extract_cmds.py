@@ -23,6 +23,20 @@ def cmd_extract(args, overrides) -> int:
     params = _resolve_params(cfg)
     hdf5 = args.hdf5 or _dataset_hdf5_path(cfg)
     spec = BatchSpec.eval_spec(mc)
+    if getattr(args, "stream", False):
+        # per-batch append (5M-scale exports; --resume continues a killed
+        # run bit-identically — engine/extract.stream_extract_split)
+        from ..data.pipeline import BioscanLoader
+        from ..engine.extract import stream_extract_split
+
+        loader = BioscanLoader(hdf5, args.split, spec,
+                               num_workers=cfg.pipeline.num_workers,
+                               use_native=cfg.pipeline.use_native_decoder)
+        written = stream_extract_split(params, mc, loader, args.out,
+                                       resume=args.resume, progress=True)
+        loader.close()
+        print(f"Streamed {written} embeddings for split {args.split!r} to {args.out}")
+        return 0
     out = _extract_split_auto(params, mc, cfg, hdf5, args.split, spec, progress=True)
     if is_main_process():
         save_embedding_export(args.out, out)

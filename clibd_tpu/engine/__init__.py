@@ -20,6 +20,7 @@ from .extract import (
     load_extracted_features,
     make_encode_step,
     save_embedding_export,
+    stream_extract_split,
     save_extracted_features,
     save_labels_and_ids,
 )
@@ -60,6 +61,7 @@ __all__ = [
     "load_extracted_features",
     "make_encode_step",
     "save_embedding_export",
+    "stream_extract_split",
     "save_extracted_features",
     "save_labels_and_ids",
     "make_finetune_step",

@@ -362,14 +362,34 @@ class AppendableEmbeddingWriter:
     created with unlimited maxshape and appended per batch, so 5M-scale
     exports stream without holding everything in RAM."""
 
-    def __init__(self, path: str, feature_dim: int, compress: bool = True):
+    def __init__(self, path: str, feature_dim: int, compress: bool = True,
+                 resume: bool = False):
         os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-        self.file = h5py.File(path, "w")
+        mode = "a" if (resume and os.path.exists(path)) else "w"
+        self.file = h5py.File(path, mode)
         kw = {"compression": "gzip"} if compress else {}
         self.kw = kw
         self.feature_dim = feature_dim
-        self._n = 0
-        self._datasets: Dict[str, h5py.Dataset] = {}
+        self._datasets: Dict[str, h5py.Dataset] = (
+            {name: self.file[name] for name in self.file.keys()} if mode == "a" else {}
+        )
+        # a kill mid-append can leave datasets at different lengths (they are
+        # resized one at a time) — the consistent prefix is the minimum
+        self._n = (min(ds.shape[0] for ds in self._datasets.values())
+                   if self._datasets else 0)
+
+    @property
+    def n_rows(self) -> int:
+        """Rows present in EVERY dataset (the consistent prefix)."""
+        return self._n
+
+    def truncate(self, n: int) -> None:
+        """Trim every dataset to its first `n` rows — used by resume to cut a
+        possibly-inconsistent killed-mid-append tail back to a batch boundary."""
+        for ds in self._datasets.values():
+            if ds.shape[0] > n:
+                ds.resize(n, axis=0)
+        self._n = min(n, self._n)
 
     def _ensure(self, name: str, shape_tail, dtype):
         if name not in self._datasets:
@@ -403,3 +423,89 @@ class AppendableEmbeddingWriter:
 
     def close(self):
         self.file.close()
+
+
+def stream_extract_split(
+    params,
+    cfg: ExperimentConfig,
+    loader: BioscanLoader,
+    out_path: str,
+    resume: bool = False,
+    compress: bool = True,
+    progress: bool = False,
+    max_batches: Optional[int] = None,
+    compute_dtype=None,
+) -> int:
+    """Streaming embedding export: encode a split batch-by-batch and APPEND
+    each batch to `out_path` (AppendableEmbeddingWriter schema — the
+    reference's extract_embedding_for_backend.py resizable layout) instead of
+    holding the whole split in RAM like `save_embedding_export`.  This is the
+    5M-scale export path.
+
+    resume=True restarts from a partial output: the killed file's consistent
+    prefix (datasets can differ by one batch after a mid-append SIGKILL) is
+    truncated to a batch boundary and extraction continues from that batch —
+    the loader's deterministic shuffle=False order makes the result
+    bit-identical to an uninterrupted run (tests/test_extract_eval.py).
+
+    max_batches stops early after N batches (smoke tests / the soak's kill
+    leg).  Returns the number of records written in THIS call.
+    Single-process only: multi-host pods shard extraction via
+    extract_split_multihost and write through process 0 instead.
+    """
+    import jax
+
+    if jax.process_count() > 1:
+        raise RuntimeError("stream_extract_split is single-process; "
+                           "use extract_split_multihost on pods")
+    if compute_dtype is None:
+        compute_dtype = jnp.bfloat16 if cfg.amp else jnp.float32
+    bs = loader.spec.batch_size
+    labels = loader.label_dicts()
+    ids = loader.ids()
+
+    writer = AppendableEmbeddingWriter(out_path, feature_dim=cfg.output_dim,
+                                       compress=compress, resume=resume)
+    done = (writer.n_rows // bs) * bs  # consistent prefix → batch boundary
+    if resume and writer.n_rows != done:
+        writer.truncate(done)
+    start_batch = done // bs
+
+    step = make_encode_step(cfg, compute_dtype=compute_dtype)
+    t0 = time.time()
+    written = 0
+    pending = None  # one-step-delayed drain: device encodes batch i+1 while
+    # the host gzip-appends batch i
+
+    def drain(item):
+        nonlocal done, written
+        out, n = item
+        feats = {f"encoded_{k}_feature": np.asarray(v[:n], np.float32)
+                 for k, v in out.items()}
+        writer.append(feats, labels[done:done + n], ids[done:done + n])
+        done += n
+        written += n
+        if progress:
+            dt = time.time() - t0
+            print(f"\rstreamed {done}/{len(labels)} records "
+                  f"({written/max(dt,1e-9):.1f}/s this run)", end="")
+
+    n_batches = 0
+    for batch in loader.batches(epoch=0, shuffle=False, start_batch=start_batch):
+        model_batch = {k: batch[k] for k in ("image", "dna", "language") if k in batch}
+        # pad the ragged final batch to the compiled batch shape (one XLA
+        # program for the whole stream), trim on the host
+        padded, n = pad_to_multiple(model_batch, bs)
+        out = step(params, padded)
+        if pending is not None:
+            drain(pending)
+        pending = (out, n)
+        n_batches += 1
+        if max_batches is not None and n_batches >= max_batches:
+            break
+    if pending is not None:
+        drain(pending)
+    if progress:
+        print()
+    writer.close()
+    return written

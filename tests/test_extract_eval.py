@@ -217,6 +217,40 @@ def test_appendable_embedding_writer(tmp_path, rng):
         assert f["file_name"][0].decode() == "id0_0"
 
 
+def test_stream_extract_kill_resume_bit_identical(tmp_path, tiny_hdf5_module, tiny_cfg):
+    """Streaming export (engine/extract.stream_extract_split — the 5M-scale
+    per-batch-append path, reference extract_embedding_for_backend.py) must
+    survive a mid-append kill: resume trims the torn tail to a batch boundary
+    and continues, producing a file bit-identical to an uninterrupted run
+    (VERDICT r4 #7)."""
+    from clibd_tpu.engine.extract import stream_extract_split
+
+    params = init_clibd_params(jax.random.PRNGKey(0), tiny_cfg)
+    spec = BatchSpec(batch_size=5, train=False)  # 12 records → 5,5,2 (ragged tail)
+
+    def run(path, **kw):
+        loader = BioscanLoader(tiny_hdf5_module, "all_keys", spec, num_workers=0)
+        n = stream_extract_split(params, tiny_cfg, loader, path, **kw)
+        loader.close()
+        return n
+
+    a_path = str(tmp_path / "oneshot.hdf5")
+    assert run(a_path) == 12
+
+    # partial run (2 of 3 batches), then a torn append: a SIGKILL between the
+    # per-dataset resizes leaves datasets at different lengths
+    b_path = str(tmp_path / "killed.hdf5")
+    assert run(b_path, max_batches=2) == 10
+    with h5py.File(b_path, "r+") as f:
+        f["species_list"].resize((7,))
+    # resume: consistent prefix 7 → batch boundary 5 → batches 1..2 re-run
+    assert run(b_path, resume=True) == 7
+    with h5py.File(a_path) as fa, h5py.File(b_path) as fb:
+        assert set(fa.keys()) == set(fb.keys())
+        for k in fa.keys():
+            np.testing.assert_array_equal(fa[k][:], fb[k][:])
+
+
 def test_simclr_backbone_loading(tmp_path, tiny_cfg):
     from clibd_tpu.engine.checkpoint import save_train_state
     from clibd_tpu.models import init_clibd_params

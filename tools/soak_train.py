@@ -38,18 +38,24 @@ N_TRAIN = 50_000
 BATCH = 500
 
 
-def build():
+def build(path: str = DATA, splits=None, n_species: int = 200):
+    """Synthesize a DATA.md-schema HDF5 of unique 256×256 JPEGs at scale.
+
+    splits: ((name, n_records), ...) — defaults to the training-soak layout;
+    tools/soak_extract.py reuses this with eval-sized test/key splits."""
     import h5py
     from PIL import Image
 
     rng = np.random.default_rng(0)
-    n_species = 200
     colors = rng.integers(40, 220, size=(n_species, 3))
     motifs = ["".join(rng.choice(list("ACGT"), size=60)) for _ in range(n_species)]
     t0 = time.time()
-    with h5py.File(DATA, "w") as f:
-        for split, n in (("no_split_and_seen_train", N_TRAIN), ("val_seen", 256),
-                         ("val_unseen", 256), ("all_keys", 512)):
+    if splits is None:
+        splits = (("no_split_and_seen_train", N_TRAIN), ("val_seen", 256),
+                  ("val_unseen", 256), ("all_keys", 512))
+    total = sum(n for _, n in splits)
+    with h5py.File(path, "w") as f:
+        for split, n in splits:
             g = f.create_group(split)
             img_ds = None
             maxlen = 0
@@ -96,8 +102,8 @@ def build():
             g.create_dataset("language_tokens_input_ids", data=toks)
             g.create_dataset("language_tokens_token_type_ids", data=np.zeros_like(toks))
             g.create_dataset("language_tokens_attention_mask", data=toks)
-    sz = os.path.getsize(DATA) / 1e9
-    print(f"built {DATA}: {N_TRAIN} train records, {sz:.2f} GB, {time.time()-t0:.0f}s")
+    sz = os.path.getsize(path) / 1e9
+    print(f"built {path}: {total} records, {sz:.2f} GB, {time.time()-t0:.0f}s")
 
 
 def run(tag: str, kill_at: int = 0, resume: bool = False):
