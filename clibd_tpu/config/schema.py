@@ -274,6 +274,12 @@ class ExperimentConfig:
     # recipe, so "attn" is the widest policy that fits the flagship
     # workload.  Policies never change the math, only what is stored.
     remat_policy: str = "attn"
+    # gradient-cache microbatch accumulation (engine/train.
+    # make_train_step_accum): >1 splits each batch into k microbatches with
+    # the EXACT full-batch contrastive loss/grads (two-pass GradCache
+    # construction) at ~1/k the activation memory — an alternative or
+    # complement to remat for batches that exceed HBM.  1 = monolithic step.
+    accum_steps: int = 1
     # mid-epoch failure recovery: also write last/ every N optimizer steps
     # (0 = epoch cadence only, the reference's behavior).  Resume realigns
     # to the exact batch via the loader's start_batch + batch-indexed

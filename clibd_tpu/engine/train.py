@@ -119,6 +119,116 @@ def make_train_step(
     return jax.jit(step, donate_argnums=(0, 1) if donate else ())
 
 
+def make_train_step_accum(
+    cfg: ExperimentConfig,
+    optimizer: optax.GradientTransformation,
+    accum_steps: int,
+    donate: bool = True,
+) -> Callable:
+    """Gradient-cache accumulation step: the EXACT full-batch CLIP loss and
+    gradients of `make_train_step` at ~1/accum_steps the activation memory.
+
+    A contrastive loss couples every sample in the batch, so naive microbatch
+    accumulation would change the objective (k independent batch-B/k CLIP
+    losses ≠ one batch-B CLIP loss).  This is the gradient-cache construction
+    instead (the structure of Gao et al. 2021's GradCache, re-derived for
+    jax transforms):
+
+      1. `lax.scan` of NO-GRAD encoder forwards over the k microbatches —
+         only the [B, D] feature matrices persist, never a microbatch's
+         activations beyond its scan iteration;
+      2. full-batch loss + cotangents d(loss)/d(features) on those [B, D]
+         matrices (+ d/d(logit_scale) straight to its param leaf) — cheap;
+      3. `lax.scan` of per-microbatch encoder VJPs against the cached
+         feature cotangents, accumulating the parameter gradients.
+
+    Passes 1 and 3 compute the same function (same params, same per-
+    microbatch fold_in rng), so the total gradient equals the monolithic
+    step's exactly (up to scan-order fp addition; pinned by
+    tests/test_train.py).  FLOP cost = one extra no-grad forward — the
+    memory-for-compute trade this makes is an ALTERNATIVE to remat
+    (cfg.remat still applies inside each microbatch if set); measured
+    against remat on the flagship recipe in docs/PERF.md (round 5).
+
+    Single-mesh/global-jit variant (sharding carried by input placement,
+    like make_train_step); B must divide by accum_steps.
+    """
+    if accum_steps < 2:
+        return make_train_step(cfg, optimizer, donate=donate)
+    compute_dtype = jnp.bfloat16 if cfg.amp else jnp.float32
+
+    def encode_mb(params, mbatch, mb_rng):
+        image_in = mbatch.get("image")
+        if image_in is not None and cfg.image.input_type == "image":
+            image_in = train_augment(
+                mb_rng, dequantize_image(image_in).astype(compute_dtype))
+        out = clibd_apply(
+            params,
+            cfg,
+            image_input=image_in,
+            dna_input=mbatch.get("dna"),
+            language_input=mbatch.get("language"),
+            compute_dtype=compute_dtype,
+            remat=remat_arg(cfg),
+        )
+        return {m: out[m] for m in ("image", "dna", "language")
+                if out[m] is not None}
+
+    def split_mb(batch):
+        """[B, ...] leaves → [k, B//k, ...] (labels stay full-batch)."""
+        def r(x):
+            assert x.shape[0] % accum_steps == 0, (
+                f"batch {x.shape[0]} not divisible by accum_steps={accum_steps}")
+            return x.reshape(accum_steps, x.shape[0] // accum_steps, *x.shape[1:])
+
+        return jax.tree.map(r, {k: v for k, v in batch.items() if k != "label"})
+
+    def step(params, opt_state, batch, rng):
+        mbs = split_mb(batch)
+        mb_rngs = jax.vmap(lambda i: jax.random.fold_in(rng, i))(
+            jnp.arange(accum_steps))
+
+        # pass 1: no-grad features, one microbatch resident at a time
+        def fwd(_, xs):
+            mb, r = xs
+            return None, encode_mb(params, mb, r)
+
+        _, feats_stacked = jax.lax.scan(fwd, None, (mbs, mb_rngs))
+        feats = jax.tree.map(
+            lambda x: x.reshape(x.shape[0] * x.shape[1], *x.shape[2:]),
+            feats_stacked)
+
+        # pass 2: loss + feature/logit_scale cotangents on [B, D] only
+        def head(ls_param, f):
+            logit_scale = ((1.0 / 0.07) if cfg.loss.fix_temperature
+                           else jnp.exp(ls_param))
+            return clip_loss(f, batch["label"], logit_scale, cfg.loss)
+
+        loss, (d_ls, d_feats) = jax.value_and_grad(head, argnums=(0, 1))(
+            params["logit_scale"], feats)
+        d_feats_stacked = jax.tree.map(
+            lambda x: x.reshape(accum_steps, x.shape[0] // accum_steps,
+                                *x.shape[1:]),
+            d_feats)
+
+        # pass 3: per-microbatch VJPs, grads accumulated in the scan carry
+        def bwd(acc, xs):
+            mb, r, ct = xs
+            _, vjp = jax.vjp(lambda p: encode_mb(p, mb, r), params)
+            (g,) = vjp(ct)
+            return jax.tree.map(jnp.add, acc, g), None
+
+        zero = jax.tree.map(jnp.zeros_like, params)
+        grads, _ = jax.lax.scan(bwd, zero, (mbs, mb_rngs, d_feats_stacked))
+        grads["logit_scale"] = grads["logit_scale"] + d_ls
+
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return jax.jit(step, donate_argnums=(0, 1) if donate else ())
+
+
 def make_train_step_shard_map(
     cfg: ExperimentConfig,
     optimizer: optax.GradientTransformation,
@@ -274,7 +384,13 @@ class Trainer:
         self.optimizer = build_optimizer(cfg, params, self.schedule)
         self.opt_state = replicate(self.mesh, self.optimizer.init(params))
         if cfg.step_impl == "shard_map":
+            if cfg.accum_steps > 1:
+                raise ValueError("accum_steps>1 requires step_impl=jit "
+                                 "(gradient-cache step is global-math)")
             self.step_fn = make_train_step_shard_map(cfg, self.optimizer, self.mesh)
+        elif cfg.accum_steps > 1:
+            self.step_fn = make_train_step_accum(cfg, self.optimizer,
+                                                 cfg.accum_steps)
         else:
             self.step_fn = make_train_step(cfg, self.optimizer, mesh=self.mesh)
         self.global_step = 0

@@ -396,3 +396,53 @@ def test_remat_policy_loss_and_grad_parity(monkeypatch):
     with pytest.raises(ValueError):
         from clibd_tpu.models.layers import remat_policy
         remat_policy("bogus")
+
+
+def test_gradcache_accum_step_matches_monolithic(monkeypatch):
+    """make_train_step_accum (gradient-cache microbatching) computes the EXACT
+    full-batch contrastive loss and gradients of the monolithic step — not k
+    independent batch-B/k CLIP losses.  fp32, augmentation stubbed (the accum
+    path folds the rng per microbatch, a deliberate stream difference), so
+    loss and one-step parameter updates must agree to fp32 tolerance."""
+    from clibd_tpu.engine import train as train_mod
+    from clibd_tpu.engine.schedules import build_schedule
+    from clibd_tpu.engine.train import make_train_step, make_train_step_accum
+
+    monkeypatch.setattr(train_mod, "train_augment", lambda rng, x: x)
+
+    cfg = ExperimentConfig()
+    cfg.batch_size = 8
+    cfg.output_dim = 16
+    cfg.amp = False
+    cfg.remat = False
+    cfg.image.vit = ViTConfig(image_size=32, patch_size=16, hidden_size=32,
+                              num_layers=2, num_heads=4, mlp_dim=64)
+    cfg.dna.bert = BertConfig(vocab_size=1027, hidden_size=32, num_layers=2,
+                              num_heads=4, intermediate_size=64,
+                              max_position_embeddings=140, with_mlm_head=True)
+    cfg.language.enable = False
+    params = init_clibd_params(jax.random.PRNGKey(0), cfg)
+    schedule = build_schedule(cfg.optim, total_steps=4, batch_size=cfg.batch_size)
+    optimizer = build_optimizer(cfg, params, schedule)
+    opt_state = optimizer.init(params)
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": rng.random((8, 32, 32, 3), dtype=np.float32),
+        "dna": rng.integers(0, 1027, (8, 133)).astype(np.int32),
+        "label": np.arange(8, dtype=np.int32),
+    }
+
+    step = make_train_step(cfg, optimizer, donate=False)
+    p_ref, _, loss_ref = step(params, opt_state, batch, jax.random.PRNGKey(7))
+
+    for k in (2, 4):
+        astep = make_train_step_accum(cfg, optimizer, k, donate=False)
+        p_k, _, loss_k = astep(params, opt_state, batch, jax.random.PRNGKey(7))
+        assert float(loss_k) == pytest.approx(float(loss_ref), abs=1e-6), k
+        for a, b in zip(jax.tree.leaves(jax.device_get(p_k)),
+                        jax.tree.leaves(jax.device_get(p_ref))):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6, rtol=1e-5, err_msg=f"accum={k}")
+
+    # accum_steps=1 degrades to the monolithic builder
+    assert make_train_step_accum(cfg, optimizer, 1, donate=False) is not None

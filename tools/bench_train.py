@@ -26,7 +26,7 @@ from clibd_tpu.models import init_clibd_params
 
 
 def bench(batch: int, tri_modal: bool, lora: bool, remat: bool, iters=8, warmup=2,
-          policy: str | None = None):
+          policy: str | None = None, accum: int = 1):
     cfg = ExperimentConfig()
     cfg.batch_size = batch
     cfg.language.enable = tri_modal
@@ -40,7 +40,10 @@ def bench(batch: int, tri_modal: bool, lora: bool, remat: bool, iters=8, warmup=
     schedule = build_schedule(cfg.optim, total_steps=1000, batch_size=batch)
     optimizer = train_mod.build_optimizer(cfg, params, schedule)
     opt_state = optimizer.init(params)
-    step = train_mod.make_train_step(cfg, optimizer, donate=True)
+    if accum > 1:
+        step = train_mod.make_train_step_accum(cfg, optimizer, accum, donate=True)
+    else:
+        step = train_mod.make_train_step(cfg, optimizer, donate=True)
 
     rng = np.random.default_rng(0)
     batch_data = {
@@ -70,33 +73,42 @@ def bench(batch: int, tri_modal: bool, lora: bool, remat: bool, iters=8, warmup=
     dt = best / iters
     mode = ("tri-modal" if tri_modal else "image+DNA") + (" lora" if lora else " full-ft")
     mode += f" remat[{policy or cfg.remat_policy}]" if cfg.remat else " no-remat"
+    if accum > 1:
+        mode += f" accum={accum}"
     print(f"train step batch {batch} ({mode}): {dt*1e3:.1f} ms/step  "
           f"{batch/dt:.0f} samples/s/chip  loss={float(loss):.4f}", flush=True)
 
 
 def main():
-    batches, policies = [], []
+    batches, policies, accums = [], [], []
     args = sys.argv[1:]
     i = 0
     while i < len(args):
         if args[i] == "--policy":
             policies.append(args[i + 1])
             i += 2
+        elif args[i] == "--accum":
+            accums.append(int(args[i + 1]))
+            i += 2
         else:
             batches.append(int(args[i]))
             i += 1
     batches = batches or [128, 500]
     policies = policies or [None]
+    accums = accums or [1]
     for b in batches:
         for p in policies:
-            try:
-                if b >= 256:
-                    bench(b, tri_modal=True, lora=False, remat=True, policy=p)
-                else:
-                    bench(b, tri_modal=False, lora=True, remat=True, policy=p)
-            except Exception as e:  # OOM policies report and continue the sweep
-                print(f"train step batch {b} policy {p}: FAILED "
-                      f"{type(e).__name__}: {str(e)[:200]}", flush=True)
+            for a in accums:
+                try:
+                    if b >= 256:
+                        bench(b, tri_modal=True, lora=False, remat=True, policy=p,
+                              accum=a)
+                    else:
+                        bench(b, tri_modal=False, lora=True, remat=True, policy=p,
+                              accum=a)
+                except Exception as e:  # OOM policies report, sweep continues
+                    print(f"train step batch {b} policy {p} accum {a}: FAILED "
+                          f"{type(e).__name__}: {str(e)[:200]}", flush=True)
 
 
 if __name__ == "__main__":
