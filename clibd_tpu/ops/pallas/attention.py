@@ -162,6 +162,20 @@ def _flash_kernel(*refs, num_heads: int, head_dim: int,
             o_ref[b, :, h * head_dim:(h + 1) * head_dim] = ctx.astype(o_ref.dtype)
 
 
+# Backward head-group phasing: process CLIBD_ATTN_BWD_GROUP heads at a time
+# with the per-stage statements batched across the group (all S dots, then
+# all softmaxes, then all dV/dP dots, then all dS, then all dQ/dK dots) —
+# the backward's analogue of the forward's phased ordering: cross-head
+# independence made explicit so Mosaic can overlap the VPU softmax/dS work
+# of one head with MXU dots of its neighbors.  Per-head math (and output)
+# is bit-identical to group=1 (the original interleaved order).  VMEM cost
+# grows ~0.6 MB per extra grouped head per batch row (live fp32 P/dP +
+# bf16 Pb/dS tiles), so full phasing (group=num_heads) OOMs under remat —
+# that was round 4's measured-rejected "phased backward"; small groups are
+# the middle ground.  Measured on chip (docs/PERF.md round-5 ledger).
+ATTN_BWD_GROUP = int(os.environ.get("CLIBD_ATTN_BWD_GROUP", "1"))
+
+
 def _flash_bwd_kernel(*refs, num_heads: int, head_dim: int,
                       valid_len: int, block_b: int, scale: float,
                       has_mask: bool):
@@ -176,59 +190,74 @@ def _flash_bwd_kernel(*refs, num_heads: int, head_dim: int,
       dS = P ∘ (dP − rowsum(P ∘ dP))
       dQ = dS K · scale,  dK = dSᵀ Q · scale
     Zero-padded dO rows make every padded-row/col contribution vanish.
+    Heads are processed ATTN_BWD_GROUP at a time with per-stage statements
+    batched across the group (see the flag comment above).
     """
     if has_mask:
         qkv_ref, do_ref, mask_ref, dqkv_ref = refs
     else:
         qkv_ref, do_ref, dqkv_ref = refs
     D = num_heads * head_dim
+    group = max(1, min(ATTN_BWD_GROUP, num_heads))
     for b in range(block_b):
         if has_mask:
             mrow = mask_ref[b]  # [1, Npad] additive bias
-        for h in range(num_heads):
-            q = qkv_ref[b, :, h * head_dim:(h + 1) * head_dim]
-            k = qkv_ref[b, :, D + h * head_dim: D + (h + 1) * head_dim]
-            v = qkv_ref[b, :, 2 * D + h * head_dim: 2 * D + (h + 1) * head_dim]
-            s = jax.lax.dot_general(
+        for h0 in range(0, num_heads, group):
+            hs = list(range(h0, min(h0 + group, num_heads)))
+            qg = [qkv_ref[b, :, h * head_dim:(h + 1) * head_dim] for h in hs]
+            kg = [qkv_ref[b, :, D + h * head_dim: D + (h + 1) * head_dim]
+                  for h in hs]
+            vg = [qkv_ref[b, :, 2 * D + h * head_dim: 2 * D + (h + 1) * head_dim]
+                  for h in hs]
+            dog = [do_ref[b, :, h * head_dim:(h + 1) * head_dim].astype(jnp.bfloat16)
+                   for h in hs]
+            # stage 1: every head's S dot
+            sg = [jax.lax.dot_general(
                 q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * scale
-            if has_mask:
-                s = s + mrow
-            if valid_len < s.shape[1]:
-                col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-                s = jnp.where(col < valid_len, s, -jnp.inf)
-            m = jnp.max(s, axis=-1, keepdims=True)
-            e = jnp.exp(s - m)
-            p = e / jnp.sum(e, axis=-1, keepdims=True)  # fp32 [Nq, Nk]
-            pb = p.astype(jnp.bfloat16)
-            do = do_ref[b, :, h * head_dim:(h + 1) * head_dim].astype(jnp.bfloat16)
-            # dV = Pᵀ dO  (contract the query axis)
-            dv = jax.lax.dot_general(
+                preferred_element_type=jnp.float32) * scale
+                for q, k in zip(qg, kg)]
+            # stage 2: softmaxes (fp32 P + bf16 Pb)
+            pg = []
+            for s in sg:
+                if has_mask:
+                    s = s + mrow
+                if valid_len < s.shape[1]:
+                    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                    s = jnp.where(col < valid_len, s, -jnp.inf)
+                m = jnp.max(s, axis=-1, keepdims=True)
+                e = jnp.exp(s - m)
+                pg.append(e / jnp.sum(e, axis=-1, keepdims=True))  # fp32 [Nq, Nk]
+            pbg = [p.astype(jnp.bfloat16) for p in pg]
+            # stage 3: dV = Pᵀ dO (contract the query axis) and dP = dO Vᵀ
+            dvg = [jax.lax.dot_general(
                 pb, do, dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            # dP = dO Vᵀ
-            dp = jax.lax.dot_general(
+                preferred_element_type=jnp.float32)
+                for pb, do in zip(pbg, dog)]
+            dpg = [jax.lax.dot_general(
                 do, v.astype(jnp.bfloat16),
                 dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            row = jnp.sum(p * dp, axis=-1, keepdims=True)
-            ds = (p * (dp - row) * scale).astype(jnp.bfloat16)
-            dq = jax.lax.dot_general(
-                ds, k.astype(jnp.bfloat16),
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            dk = jax.lax.dot_general(
-                ds, q.astype(jnp.bfloat16),
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
-            dqkv_ref[b, :, h * head_dim:(h + 1) * head_dim] = dq.astype(dqkv_ref.dtype)
-            dqkv_ref[b, :, D + h * head_dim: D + (h + 1) * head_dim] = dk.astype(dqkv_ref.dtype)
-            dqkv_ref[b, :, 2 * D + h * head_dim: 2 * D + (h + 1) * head_dim] = dv.astype(dqkv_ref.dtype)
+                preferred_element_type=jnp.float32)
+                for do, v in zip(dog, vg)]
+            # stage 4: dS
+            dsg = []
+            for p, dp in zip(pg, dpg):
+                row = jnp.sum(p * dp, axis=-1, keepdims=True)
+                dsg.append((p * (dp - row) * scale).astype(jnp.bfloat16))
+            # stage 5: dQ/dK dots + the dqkv writes
+            for h, ds, q, k, dv in zip(hs, dsg, qg, kg, dvg):
+                dq = jax.lax.dot_general(
+                    ds, k.astype(jnp.bfloat16),
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                dk = jax.lax.dot_general(
+                    ds, q.astype(jnp.bfloat16),
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                dqkv_ref[b, :, h * head_dim:(h + 1) * head_dim] = dq.astype(dqkv_ref.dtype)
+                dqkv_ref[b, :, D + h * head_dim: D + (h + 1) * head_dim] = dk.astype(dqkv_ref.dtype)
+                dqkv_ref[b, :, 2 * D + h * head_dim: 2 * D + (h + 1) * head_dim] = dv.astype(dqkv_ref.dtype)
 
 
 def _flash_outproj_kernel(*refs, num_heads: int, head_dim: int,

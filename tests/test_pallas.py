@@ -135,6 +135,35 @@ def test_flash_bwd_kernel_matches_xla_recompute(rng):
         np.testing.assert_allclose(np.asarray(g_pl), np.asarray(g_xla), atol=2e-2, rtol=2e-2)
 
 
+def test_flash_bwd_group_phasing_bit_identical(rng, monkeypatch):
+    """CLIBD_ATTN_BWD_GROUP only batches statements across heads (all S dots,
+    then all softmaxes, ...) — per-head math is untouched, so grads must be
+    BIT-identical to group=1 for any group size, including ones that don't
+    divide num_heads and ones larger than num_heads."""
+    from clibd_tpu.ops.pallas import attention as A
+
+    B, N, H, hd = 3, 21, 4, 16
+    D = H * hd
+    qkv = jnp.asarray(rng.standard_normal((B, N, 3 * D)).astype(np.float32) * 0.4)
+    maskv = np.zeros((B, N), np.float32)
+    maskv[:, 16:] = np.finfo(np.float32).min
+    g_out = jnp.asarray(rng.standard_normal((B, N, D)).astype(np.float32))
+
+    def grad_with_group(group, mr):
+        monkeypatch.setattr(A, "ATTN_BWD_GROUP", group)
+        monkeypatch.setattr(A, "ATTN_BWD_IMPL", "pallas")
+        A._make_flash.cache_clear()
+        return jax.grad(lambda t: jnp.sum(
+            A.flash_attention_qkv(t, H, mask_row=mr, interpret=True) * g_out))(qkv)
+
+    for mr in (None, jnp.asarray(maskv)):
+        ref = np.asarray(grad_with_group(1, mr))
+        for group in (2, 3, 4, 99):
+            got = np.asarray(grad_with_group(group, mr))
+            np.testing.assert_array_equal(got, ref, err_msg=f"group={group}")
+    A._make_flash.cache_clear()
+
+
 def test_flash_attention_qkv_outproj_matches_unfused(rng):
     """flash_attention_qkv_outproj == flash_attention_qkv → @out_w + out_b,
     values and grads (incl. out_w/out_b grads), with and without mask."""

@@ -65,6 +65,7 @@ class _Tee:
     def write(self, s):
         self._out.write(s)
         self._f.write(s)
+        self._f.flush()  # progress lines visible to outside watchers
 
     def flush(self):
         self._out.flush()
