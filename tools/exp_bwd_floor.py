@@ -48,10 +48,15 @@ def table():
           f"{total_flop/(PEAK_TFS*1e12)*1e3:11.2f} "
           f"{total_flop/(PEAK_TFS*1e12)*1e3/0.30:10.1f} "
           f"{total_bytes/DMA_TUNNEL*1e3:10.1f} {total_bytes/DMA_SPEC*1e3:6.1f}")
-    print("\nvs the measured 122 ms flash-bwd share of the 1007 ms batch-500 "
-          "step (round-4 trace):\nif measured ≈ the DMA@170 column, the kernel "
-          "is tunnel-DMA-bound and compute phasing cannot help on THIS chip; "
-          "on direct-attached v5e the same kernel is MXU-bound at ~44 ms.")
+    print("""
+Measured standalone (this chip, 2026-08-20, `measure 1 2 3`): group=1
+totals 104.3 ms/step-equiv (ViT 48.6 + BERT 55.7) ≈ the traced 122 ms
+remat-context share; ATTN_BWD_GROUP=3 totals 71.8 ms (ViT 40.1 + BERT
+31.7, −31%) — within 1.6× of the 30%-tile-utilization MXU floor above,
+i.e. the kernel runs FASTER than the 170 GB/s tunnel-DMA roofline
+(~262-318 GB/s effective), so Pallas DMA streaming on this chip exceeds
+that older microbench figure and the binding constraint is MXU tile
+padding (197|133 rows, 64-wide head dots), partially hidden by grouping.""")
 
 
 def measure(groups):
@@ -82,9 +87,12 @@ def measure(groups):
                                                       block_b=2) * g_out)
                                .astype(jnp.float32))
 
-            gfn = jax.jit(jax.grad(loss))
-            out = gfn(qkv)
-            np.asarray(out)  # force
+            # reduce the [B, N, 3D] grad to a scalar ON DEVICE — reading the
+            # full dqkv back is a 454 MB d2h through the tunnel (~3 s) that
+            # would swamp the kernel time being measured
+            gfn = jax.jit(lambda t: jnp.sum(
+                jax.grad(loss)(t).astype(jnp.float32)))
+            np.asarray(gfn(qkv))  # force compile + warm
             best = 1e9
             for _ in range(3):
                 t0 = time.perf_counter()
