@@ -172,8 +172,12 @@ def _flash_kernel(*refs, num_heads: int, head_dim: int,
 # grows ~0.6 MB per extra grouped head per batch row (live fp32 P/dP +
 # bf16 Pb/dS tiles), so full phasing (group=num_heads) OOMs under remat —
 # that was round 4's measured-rejected "phased backward"; small groups are
-# the middle ground.  Measured on chip (docs/PERF.md round-5 ledger).
-ATTN_BWD_GROUP = int(os.environ.get("CLIBD_ATTN_BWD_GROUP", "1"))
+# the middle ground.  Measured on chip 2026-08-20 (docs/PERF.md round-5):
+# standalone kernel 104.3 → 71.8 ms/step-equiv at group=3 (−31%; BERT
+# tower −43%), flagship batch-500 train step 495 → 504 samples/s, grads
+# bit-identical, and the remat scoped-VMEM boundary does NOT tighten
+# (tools/exp_vmem.py re-probe at group=3) — so 3 is the default.
+ATTN_BWD_GROUP = int(os.environ.get("CLIBD_ATTN_BWD_GROUP", "3"))
 
 
 def _flash_bwd_kernel(*refs, num_heads: int, head_dim: int,
@@ -566,7 +570,11 @@ def vmem_safe_block_b(requested: int, n: int, d: int) -> int:
       scoped vs 16 MB limit → ~5.40 MB/row) and BarcodeBERT N=133 fails at
       block_b=5 (19.38 MB → ~3.9 MB/row); block_b 2 / 4 compile.  Both
       boundaries are reproduced by bytes/row ≈ 18.5 · N · D · 2 (caps: 2
-      ViT, 4 BERT — exactly the measured OK values).
+      ViT, 4 BERT — exactly the measured OK values).  Re-probed at the
+      round-5 ATTN_BWD_GROUP=3 default: the boundary does NOT tighten
+      (ViT block_b 2 AND 3 compile — the grouped backward's statement
+      schedule lowers peak scoped pressure; BERT block_b=4 compiles), so
+      the group=1-calibrated caps remain conservative.
     * INTERLEAVED (`CLIBD_ATTN_PHASED=0`; measured 2026-08-18 on the old
       N→16-pad kernel): compiler reported 22.48 MB at block_b=8, Npad=144
       → ≈ 12.7 · block_b · Npad · D · 2 bytes; caps 3 (ViT) / 5 (BERT)
