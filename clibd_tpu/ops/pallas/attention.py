@@ -100,6 +100,28 @@ def _seq_pad(n: int) -> int:
 # ledger).  CLIBD_ATTN_PHASED=0 restores the interleaved order for A/B.
 ATTN_FWD_PHASED = os.environ.get("CLIBD_ATTN_PHASED", "1") == "1"
 
+# Forward head-group size for the phased ordering: process this many heads
+# per phase batch (the forward analogue of ATTN_BWD_GROUP; 0 = all heads,
+# the round-4 fully-phased default).  Per-head math is identical for any
+# group, so the output is bit-identical.  Swept on chip 2026-08-21
+# (tools/exp_flash.py fwd_group, block_b=2, min-of-4): the backward's
+# grouping win does NOT transfer — groups 2/3/4/6 measure 0.5–15% WORSE
+# than full phasing at both tower shapes (ViT 2.17 ms @ 0 vs 2.27–2.37
+# grouped; BERT 1.85 vs 1.81–2.13, group=4's 1.81 within the ±2% noise),
+# so 0 stays the default: the forward's per-head VMEM live set (one fp32 S
+# + one bf16 P tile, no dP/dS) is small enough that full cross-head
+# overlap fits and wins.
+ATTN_FWD_GROUP = int(os.environ.get("CLIBD_ATTN_FWD_GROUP", "0"))
+
+# CLIBD_ATTN_FWD_BPHASE=1 additionally flattens the block_b loop into the
+# phases (all block_b·num_heads QK^T dots, then all softmaxes, then all PV
+# dots) — a strict superset of the per-batch-row phasing.  Same per-head
+# math, bit-identical output; live fp32 S set grows ×block_b.  Same sweep:
+# 2.103 ms (ViT) / 1.833 ms (BERT) vs 2.166 / 1.852 phased — a 1–3% edge
+# inside the tunnel's run-to-run noise, not worth the ×block_b scoped-VMEM
+# liveness growth under remat training; off by default.
+ATTN_FWD_BPHASE = os.environ.get("CLIBD_ATTN_FWD_BPHASE", "0") == "1"
+
 
 def _softmax_masked(s, mrow, valid_len: int):
     """fp32 softmax with the optional HF additive mask + pad-column mask.
@@ -125,25 +147,49 @@ def _flash_kernel(*refs, num_heads: int, head_dim: int,
     else:
         qkv_ref, o_ref = refs
     D = num_heads * head_dim
+    if ATTN_FWD_PHASED and ATTN_FWD_BPHASE:
+        bh = [(b, h) for b in range(block_b) for h in range(num_heads)]
+        ss = []
+        for b, h in bh:
+            q = qkv_ref[b, :, h * head_dim:(h + 1) * head_dim]
+            k = qkv_ref[b, :, D + h * head_dim: D + (h + 1) * head_dim]
+            ss.append(jax.lax.dot_general(
+                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale)
+        ps = [_softmax_masked(s, mask_ref[b] if has_mask else None, valid_len)
+              for (b, h), s in zip(bh, ss)]
+        for (b, h), p in zip(bh, ps):
+            v = qkv_ref[b, :, 2 * D + h * head_dim: 2 * D + (h + 1) * head_dim]
+            ctx = jax.lax.dot_general(
+                p, v.astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            o_ref[b, :, h * head_dim:(h + 1) * head_dim] = ctx.astype(o_ref.dtype)
+        return
     for b in range(block_b):
         mrow = mask_ref[b] if has_mask else None  # [1, Npad] additive bias
         if ATTN_FWD_PHASED:
-            ss = []
-            for h in range(num_heads):
-                q = qkv_ref[b, :, h * head_dim:(h + 1) * head_dim]
-                k = qkv_ref[b, :, D + h * head_dim: D + (h + 1) * head_dim]
-                ss.append(jax.lax.dot_general(
-                    q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32) * scale)
-            ps = [_softmax_masked(s, mrow, valid_len) for s in ss]
-            for h in range(num_heads):
-                v = qkv_ref[b, :, 2 * D + h * head_dim: 2 * D + (h + 1) * head_dim]
-                ctx = jax.lax.dot_general(
-                    ps[h], v.astype(jnp.bfloat16),
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                o_ref[b, :, h * head_dim:(h + 1) * head_dim] = ctx.astype(o_ref.dtype)
+            g = num_heads if ATTN_FWD_GROUP <= 0 else max(
+                1, min(ATTN_FWD_GROUP, num_heads))
+            for h0 in range(0, num_heads, g):
+                hs = list(range(h0, min(h0 + g, num_heads)))
+                ss = []
+                for h in hs:
+                    q = qkv_ref[b, :, h * head_dim:(h + 1) * head_dim]
+                    k = qkv_ref[b, :, D + h * head_dim: D + (h + 1) * head_dim]
+                    ss.append(jax.lax.dot_general(
+                        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32) * scale)
+                ps = [_softmax_masked(s, mrow, valid_len) for s in ss]
+                for h, p in zip(hs, ps):
+                    v = qkv_ref[b, :, 2 * D + h * head_dim: 2 * D + (h + 1) * head_dim]
+                    ctx = jax.lax.dot_general(
+                        p, v.astype(jnp.bfloat16),
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    o_ref[b, :, h * head_dim:(h + 1) * head_dim] = ctx.astype(o_ref.dtype)
             continue
         for h in range(num_heads):
             q = qkv_ref[b, :, h * head_dim:(h + 1) * head_dim]

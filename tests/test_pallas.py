@@ -164,6 +164,36 @@ def test_flash_bwd_group_phasing_bit_identical(rng, monkeypatch):
     A._make_flash.cache_clear()
 
 
+def test_flash_fwd_group_phasing_bit_identical(rng, monkeypatch):
+    """CLIBD_ATTN_FWD_GROUP only batches the phased forward's statements in
+    head groups (a group's QK^T dots, then its softmaxes, then its PV dots)
+    — per-head math is untouched, so the output must be BIT-identical to
+    the default all-heads phasing (group=0) for any group size, including
+    non-dividing ones and ones larger than num_heads."""
+    from clibd_tpu.ops.pallas import attention as A
+
+    B, N, H, hd = 3, 21, 4, 16
+    D = H * hd
+    qkv = jnp.asarray(rng.standard_normal((B, N, 3 * D)).astype(np.float32) * 0.4)
+    maskv = np.zeros((B, N), np.float32)
+    maskv[:, 16:] = np.finfo(np.float32).min
+
+    def fwd_with_group(group, mr, bphase=False):
+        monkeypatch.setattr(A, "ATTN_FWD_GROUP", group)
+        monkeypatch.setattr(A, "ATTN_FWD_BPHASE", bphase)
+        A._make_flash.cache_clear()
+        return A.flash_attention_qkv(qkv, H, mask_row=mr, interpret=True)
+
+    for mr in (None, jnp.asarray(maskv)):
+        ref = np.asarray(fwd_with_group(0, mr))
+        for group in (1, 2, 3, 4, 99):
+            got = np.asarray(fwd_with_group(group, mr))
+            np.testing.assert_array_equal(got, ref, err_msg=f"group={group}")
+        got = np.asarray(fwd_with_group(0, mr, bphase=True))
+        np.testing.assert_array_equal(got, ref, err_msg="bphase")
+    A._make_flash.cache_clear()
+
+
 def test_flash_attention_qkv_outproj_matches_unfused(rng):
     """flash_attention_qkv_outproj == flash_attention_qkv → @out_w + out_b,
     values and grads (incl. out_w/out_b grads), with and without mask."""

@@ -410,6 +410,51 @@ def timing(block_bs):
                           f"EXC {type(e).__name__}: {str(e)[:160]}", flush=True)
 
 
+def fwd_group_timing(groups):
+    """Sweep CLIBD_ATTN_FWD_GROUP on the production kernel (the forward
+    analogue of the round-5 backward head-group sweep): group=0 is the
+    round-4 fully-phased forward, smaller groups trade cross-head overlap
+    for a smaller live VMEM set.  Production block_b=2."""
+    from clibd_tpu.ops.pallas import attention as A
+
+    rng = np.random.default_rng(0)
+    B, H, hd = 256, 12, 64
+    print(f"backend={jax.default_backend()} B={B} block_b=2 phased={A.ATTN_FWD_PHASED}",
+          flush=True)
+    for N, masked in [(197, False), (133, True)]:
+        qkv = jnp.asarray(
+            rng.standard_normal((B, N, 3 * H * hd)).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        mask = None
+        if masked:
+            m = np.zeros((B, N), np.float32)
+            m[:, N - 9:] = np.finfo(np.float32).min
+            mask = jnp.asarray(m)
+        flops = 4 * B * H * N * N * hd
+        for g in groups:
+            # g == -1 → the CLIBD_ATTN_FWD_BPHASE variant (block_b loop
+            # flattened into the phases), full head phasing
+            A.ATTN_FWD_BPHASE = g == -1
+            A.ATTN_FWD_GROUP = max(g, 0)
+            A._make_flash.cache_clear()
+            fn = _looped(lambda x, m=mask: flash_attention_qkv(
+                x, H, mask_row=m, block_b=2, interpret=False))
+            try:
+                o = fn(qkv); np.asarray(o)
+                best = float("inf")
+                for _ in range(4):
+                    t0 = time.perf_counter()
+                    o = fn(qkv)
+                    np.asarray(o)
+                    best = min(best, (time.perf_counter() - t0) / REPS)
+                print(f"N={N} masked={masked} fwd_group={g:2d}: "
+                      f"{best*1e3:7.3f} ms/call  {flops/best/1e12:5.1f} TF/s",
+                      flush=True)
+            except Exception as e:
+                print(f"N={N} masked={masked} fwd_group={g:2d}: "
+                      f"EXC {type(e).__name__}: {str(e)[:160]}", flush=True)
+
+
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "parity"
     if mode == "parity":
@@ -418,5 +463,7 @@ if __name__ == "__main__":
         bwd_parity()
     elif mode == "bwd_time":
         bwd_timing([int(x) for x in sys.argv[2:]] or [2, 4])
+    elif mode == "fwd_group":
+        fwd_group_timing([int(x) for x in sys.argv[2:]] or [0, 2, 3, 4, 6])
     else:
         timing([int(x) for x in sys.argv[2:]] or [2, 4, 8])
