@@ -127,6 +127,45 @@ def _watchdog(seconds: float) -> None:
     t.start()
 
 
+def _supervised() -> int:
+    """Run the measurement in a child process with a bounded per-attempt
+    timeout and ONE retry.  The axon tunnel can wedge transiently (observed
+    2026-08-21: a bench attempt hung >15 min, while a probe a few minutes
+    later measured a healthy roundtrip) — a retry after a cooldown turns
+    that flake into a real number instead of the watchdog's value-0 line."""
+    import subprocess
+
+    attempt_s = float(os.environ.get("CLIBD_BENCH_ATTEMPT_S", 700))
+    env = dict(os.environ, CLIBD_BENCH_CHILD="1")
+    last_out = ""
+    for attempt in (1, 2):
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, timeout=attempt_s, capture_output=True, text=True)
+            last_out = r.stdout
+            for line in r.stdout.splitlines():
+                if line.startswith("{") and '"metric"' in line and '"error"' not in line:
+                    print(line, flush=True)
+                    return 0
+        except subprocess.TimeoutExpired:
+            last_out = f"attempt {attempt} timed out after {int(attempt_s)}s"
+        if attempt == 1:
+            time.sleep(30)  # tunnel-recovery cooldown
+    print(json.dumps({
+        "metric": "image+DNA embeddings/sec/chip",
+        "value": 0.0,
+        "unit": "samples/s/chip",
+        "vs_baseline": 0.0,
+        "error": "TPU unreachable in 2 bounded attempts (tunnel outage — "
+                 "see BENCH history for real values): " + last_out[-200:],
+    }), flush=True)
+    return 2
+
+
 if __name__ == "__main__":
-    _watchdog(float(os.environ.get("CLIBD_BENCH_TIMEOUT_S", 1500)))
-    main()
+    if os.environ.get("CLIBD_BENCH_CHILD") == "1":
+        _watchdog(float(os.environ.get("CLIBD_BENCH_TIMEOUT_S", 1500)))
+        main()
+    else:
+        sys.exit(_supervised())
