@@ -191,7 +191,9 @@ def cmd_configs(args, overrides) -> int:
 def cmd_bench(args, overrides) -> int:
     import runpy
 
-    path = os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    # cli/ is a package since round 4: bench.py lives two levels up, at the
+    # repo root (clibd_tpu/cli/ops_cmds.py -> clibd_tpu -> repo root)
+    path = os.path.join(os.path.dirname(__file__), "..", "..", "bench.py")
     if not os.path.exists(path):
         # pip-installed package: bench.py lives at the repo root, not in the
         # wheel — point the user at the checkout instead of a FileNotFoundError

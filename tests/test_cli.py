@@ -59,6 +59,20 @@ def test_cli_configs_lists(capsys):
     assert "for_bioscan_1m/final_experiments/image_dna_text_seed_42.yaml" in out
 
 
+def test_cli_bench_resolves_repo_root_bench_py():
+    """Regression (round-4 cli/ package split): cmd_bench's relative path
+    must reach the repo-root bench.py, not clibd_tpu/bench.py — the wrong
+    path made `clibd bench` refuse with 'requires a repository checkout'
+    even inside one.  Pin the resolution without running the bench."""
+    import clibd_tpu.cli.ops_cmds as ops
+
+    path = os.path.normpath(os.path.join(
+        os.path.dirname(ops.__file__), "..", "..", "bench.py"))
+    assert os.path.exists(path), path
+    src = open(ops.__file__).read()
+    assert '"..", "..", "bench.py"' in src
+
+
 def test_resolve_params_finds_train_output(tmp_path):
     """eval-after-train: _resolve_params must search the directory cmd_train
     saves to (model_output_dir/<name>) before the canonical published tree
