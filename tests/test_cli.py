@@ -59,6 +59,53 @@ def test_cli_configs_lists(capsys):
     assert "for_bioscan_1m/final_experiments/image_dna_text_seed_42.yaml" in out
 
 
+@pytest.mark.parametrize("cmd", [
+    "train", "eval", "extract", "simclr", "create-splits", "build-hdf5",
+    "bzsl-extract", "extract-single", "serve", "doctor", "finetune",
+    "method-nn", "zeroshot", "flatten-csv", "plot-embeddings",
+    "fetch-taxonomy", "stats-summary", "compare-experiments",
+    "confusion-matrices", "attention-maps", "subset-hdf5",
+    "generate-split-csv", "failure-cases", "verify-parity", "configs",
+    "bench"])
+def test_cli_every_subcommand_parses_help(cmd):
+    """Wiring smoke over EVERY registered subcommand: `clibd <cmd> --help`
+    must parse and exit 0.  Catches dispatcher/parser drift of the kind the
+    round-4 cli/ package split introduced (cmd_bench's stale relative
+    path) at the argparse layer for all 26 commands."""
+    with pytest.raises(SystemExit) as e:
+        main([cmd, "--help"])
+    assert e.value.code == 0
+
+
+def test_cli_stats_summary_body(tiny_hdf5, tmp_path, capsys):
+    """Drive cmd_stats_summary through the dispatcher (the engine function
+    is covered in test_analysis_tail; this pins the parser→body wiring)."""
+    assert main(["stats-summary", "--hdf5", tiny_hdf5,
+                 "--out", str(tmp_path / "stats")]) == 0
+    out = capsys.readouterr().out
+    assert "csv" in out
+
+
+def test_cli_confusion_matrices_body(tmp_path, capsys):
+    """Drive cmd_confusion_matrices end-to-end from a pred_dict JSON."""
+    n = 30
+    gt = [{lv: f"{lv}{i % 3}" for lv in ("order", "family", "genus", "species")}
+          for i in range(n)]
+    preds = [{lv: [f"{lv}{(i + (1 if i % 4 == 0 else 0)) % 3}"]
+              for lv in ("order", "family", "genus", "species")} for i in range(n)]
+    pred_json = tmp_path / "pred_dict_test.json"
+    pred_json.write_text(json.dumps({
+        "seen_gt_label": gt,
+        "unseen_gt_label": [],
+        "encoded_image_feature": {"encoded_image_feature": {
+            "curr_seen_pred_list": preds, "curr_unseen_pred_list": []}},
+    }))
+    assert main(["confusion-matrices", "--pred-json", str(pred_json),
+                 "--out", str(tmp_path / "cmx"), "--top-n", "3"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out and all(os.path.getsize(p) > 0 for p in out)
+
+
 def test_cli_bench_resolves_repo_root_bench_py():
     """Regression (round-4 cli/ package split): cmd_bench's relative path
     must reach the repo-root bench.py, not clibd_tpu/bench.py — the wrong
