@@ -106,6 +106,57 @@ def test_cli_confusion_matrices_body(tmp_path, capsys):
     assert out and all(os.path.getsize(p) > 0 for p in out)
 
 
+def test_cli_compare_experiments_body(tmp_path, capsys):
+    """Drive cmd_compare_experiments from accuracy.json files on disk (the
+    engine functions are covered in test_analysis_builders; this pins the
+    parser→body wiring and the JSON-stringified k-key path)."""
+    acc = {
+        "encoded_image_feature": {
+            "encoded_image_feature": {
+                "seen": {"micro_acc": {1: {"order": 0.9, "family": 0.8,
+                                           "genus": 0.7, "species": 0.6}},
+                         "macro_acc": {1: {"order": 0.85, "family": 0.75,
+                                           "genus": 0.65, "species": 0.55}}},
+                "unseen": {"micro_acc": {1: {"order": 0.5, "family": 0.4,
+                                             "genus": 0.3, "species": 0.2}},
+                           "macro_acc": {1: {"order": 0.45, "family": 0.35,
+                                             "genus": 0.25, "species": 0.15}}},
+            }
+        }
+    }
+    pa = tmp_path / "a.json"
+    pb = tmp_path / "b.json"
+    pa.write_text(json.dumps(acc))
+    pb.write_text(json.dumps(acc))
+    assert main(["compare-experiments", f"expA={pa}", f"expB={pb}",
+                 "--out", str(tmp_path / "cmp"), "--poster"]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out and all(os.path.getsize(p) > 0 for p in out)
+
+
+def test_cli_plot_embeddings_body(tiny_exp_yaml, tmp_path, capsys):
+    """Drive cmd_plot_embeddings from a cached-extraction-shaped HDF5 +
+    labels JSON (reference inference_and_eval.py:98-220 cache layout)."""
+    rng = np.random.default_rng(0)
+    n = 60
+    feats = tmp_path / "extracted_feature_from_test_split.hdf5"
+    with h5py.File(feats, "w") as f:
+        g = f.create_group("key")
+        emb = rng.standard_normal((n, 16)).astype(np.float32)
+        emb /= np.linalg.norm(emb, axis=1, keepdims=True)
+        g.create_dataset("encoded_image_feature", data=emb)
+        g.create_dataset("encoded_dna_feature", data=emb)
+    labels = tmp_path / "labels_test.json"
+    labels.write_text(json.dumps({"key_gt_dict": [
+        {"order": f"o{i % 3}", "family": f"f{i % 4}", "genus": f"g{i % 5}",
+         "species": f"s{i % 6}"} for i in range(n)]}))
+    assert main(["plot-embeddings", "-e", tiny_exp_yaml,
+                 "--features", str(feats), "--labels", str(labels),
+                 "--group", "key", "--out", str(tmp_path / "plots")]) == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    assert out and all(os.path.getsize(p) > 0 for p in out)
+
+
 def test_cli_bench_resolves_repo_root_bench_py():
     """Regression (round-4 cli/ package split): cmd_bench's relative path
     must reach the repo-root bench.py, not clibd_tpu/bench.py — the wrong
