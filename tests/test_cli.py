@@ -157,6 +157,14 @@ def test_cli_plot_embeddings_body(tiny_exp_yaml, tmp_path, capsys):
     assert out and all(os.path.getsize(p) > 0 for p in out)
 
 
+def test_cli_fetch_taxonomy_requires_species_source(tmp_path, capsys):
+    """cmd_fetch_taxonomy without --species/--res101-mat must return 2 with
+    a usage hint (the NCBI fetch itself is network-gated in this env)."""
+    assert main(["fetch-taxonomy", "--out", str(tmp_path / "t.json"),
+                 "--email", "a@b.c"]) == 2
+    assert "--species" in capsys.readouterr().err
+
+
 def test_cli_bench_resolves_repo_root_bench_py():
     """Regression (round-4 cli/ package split): cmd_bench's relative path
     must reach the repo-root bench.py, not clibd_tpu/bench.py — the wrong
