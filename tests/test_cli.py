@@ -157,6 +157,57 @@ def test_cli_plot_embeddings_body(tiny_exp_yaml, tmp_path, capsys):
     assert out and all(os.path.getsize(p) > 0 for p in out)
 
 
+def test_cli_bzsl_extract_body(tiny_exp_yaml, tmp_path, capsys, rng):
+    """Drive cmd_bzsl_extract end-to-end over a tiny INSECT fixture:
+    .mat metadata + JPEG HDF5 → extraction → the two BZSL CSVs at the
+    reference's folder layout (scripts/BZSL/extract_feature_for_insect_
+    dataset.py)."""
+    import scipy.io as sio
+
+    from tests.fixtures import random_jpeg_bytes
+
+    n = 12
+    ids = np.array([[f"im{i}"] for i in range(n)], dtype=object)
+    barcodes = np.array([[("ACGT" * 30)[: 100 + i]] for i in range(n)], dtype=object)
+    species = np.array([[f"sp{i % 3}"] for i in range(n)], dtype=object)
+    labels = (np.arange(n) % 3 + 1).reshape(-1, 1)
+    sio.savemat(str(tmp_path / "res101.mat"), {
+        "ids": ids, "nucleotides": barcodes, "species": species, "labels": labels,
+    })
+    sio.savemat(str(tmp_path / "att_splits.mat"), {
+        "trainval_loc": np.arange(1, 9).reshape(1, -1),
+        "test_seen_loc": np.arange(9, 11).reshape(1, -1),
+        "test_unseen_loc": np.arange(11, n + 1).reshape(1, -1),
+    })
+    with h5py.File(str(tmp_path / "images.hdf5"), "w") as f:
+        g = f.create_group("images")
+        for i in range(n):
+            g.create_dataset(
+                f"im{i}", data=np.frombuffer(random_jpeg_bytes(rng), dtype=np.uint8))
+    s2o = {f"sp{i}": {"order": f"o{i % 2}", "family": f"f{i}", "genus": f"g{i}"}
+           for i in range(3)}
+    (tmp_path / "s2o.json").write_text(json.dumps(s2o))
+
+    assert main([
+        "bzsl-extract", "-e", tiny_exp_yaml, "--batch-size", "6",
+        f"project_root_path={tmp_path}",
+        f"insect_data.path_to_att_splits_mat={tmp_path / 'att_splits.mat'}",
+        f"insect_data.path_to_res_101_mat={tmp_path / 'res101.mat'}",
+        f"insect_data.path_to_image_hdf5={tmp_path / 'images.hdf5'}",
+        f"insect_data.species_to_other={tmp_path / 's2o.json'}",
+    ]) == 0
+    out = capsys.readouterr().out
+    csvs = [ln for ln in out.strip().splitlines() if ln.endswith(".csv")]
+    assert len(csvs) == 2
+    # reference layout: dna CSV = per-class mean embeddings [dim, n_classes],
+    # image CSV = per-sample embeddings [dim, n] (both transposed)
+    dna = np.loadtxt(csvs[0], delimiter=",")
+    img = np.loadtxt(csvs[1], delimiter=",")
+    assert dna.shape == (16, 3)
+    assert img.shape == (16, n)
+    assert np.isfinite(dna).all() and np.isfinite(img).all()
+
+
 def test_cli_fetch_taxonomy_requires_species_source(tmp_path, capsys):
     """cmd_fetch_taxonomy without --species/--res101-mat must return 2 with
     a usage hint (the NCBI fetch itself is network-gated in this env)."""
